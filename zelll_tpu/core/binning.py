@@ -1,0 +1,175 @@
+"""Sort-based particle binning: the TPU-native replacement for the
+reference's sparse hashmap-of-cells counting sort.
+
+Reference semantics being re-designed here (zelll `src/cellgrid.rs:187-312`):
+the reference counts particles per cell into a `HashMap<i32, CellSliceMeta>`,
+reserves contiguous slices in a flat buffer, and scatters particles into
+their slice. On TPU the idiomatic equivalent is:
+
+1. one fused pass computing a flat cell key per particle,
+2. a stable sort of (key, particle id),
+3. segment-boundary detection on the sorted keys -> a CSR-like table of
+   occupied cells: ``cell_keys`` (sorted, ascending), ``cell_starts``,
+   ``cell_counts``.
+
+Sparsity is preserved: only *occupied* cells ever materialize (the table is
+bounded by ``max_cells <= n``); nothing is allocated proportional to
+``prod(shape)``, so elongated/sparse boxes behave like the reference's
+sparse hashmap (README.md:21-22 of the reference).
+
+All shapes are static: ``n`` rows of particle data (padding rows carry
+``valid=False``) and a ``max_cells``-row cell table padded with sentinel
+keys. The whole pipeline is one XLA graph and differentiates/jits cleanly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import SENTINEL_KEY, Aabb, GridInfo, aabb_from_positions
+
+__all__ = ["Bins", "build_bins", "compute_keys"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Bins:
+    """CSR-like occupied-cell table over sorted particles.
+
+    The reference's three-part state {hashmap, CellStorage, FlatIndex}
+    (cellgrid.rs:114-126) becomes:
+
+    * ``info``          grid geometry (origin/cutoff/shape/strides)
+    * ``keys``          (n,) flat cell key per particle, **input order** —
+                        the analogue of `FlatIndex.index` (flatindex.rs:19)
+    * ``perm``          (n,) stable sort permutation: sorted slot -> input id
+    * ``sorted_keys``   (n,) keys[perm], ascending; sentinel rows last
+    * ``cell_keys``     (max_cells,) ascending occupied-cell keys, padded
+                        with SENTINEL_KEY
+    * ``cell_starts``   (max_cells,) first sorted slot of each cell, padded n
+    * ``cell_counts``   (max_cells,) particles per cell, padded 0
+    * ``num_cells``     scalar int32, number of occupied cells
+    * ``num_valid``     scalar int32, number of valid (non-padding) particles
+    * ``overflow``      scalar bool, true iff num_cells > max_cells (table
+                        truncated; caller must rebuild with larger capacity)
+    """
+
+    info: GridInfo
+    keys: jax.Array
+    perm: jax.Array
+    sorted_keys: jax.Array
+    cell_keys: jax.Array
+    cell_starts: jax.Array
+    cell_counts: jax.Array
+    num_cells: jax.Array
+    num_valid: jax.Array
+    overflow: jax.Array
+
+    @property
+    def n(self) -> int:
+        return self.keys.shape[0]
+
+    @property
+    def max_cells(self) -> int:
+        return self.cell_keys.shape[0]
+
+    def max_cell_count(self) -> jax.Array:
+        """Largest per-cell occupancy (drives bucket capacity choice)."""
+        return jnp.max(self.cell_counts)
+
+
+def compute_keys(
+    positions: jax.Array,
+    info: GridInfo,
+    valid: jax.Array | None = None,
+) -> jax.Array:
+    """Flat cell key per particle; padding rows get SENTINEL_KEY."""
+    keys = info.flat_cell_index(positions)
+    if valid is not None:
+        keys = jnp.where(valid, keys, SENTINEL_KEY)
+    return keys
+
+
+def build_bins(
+    positions: jax.Array,
+    cutoff,
+    *,
+    max_cells: int | None = None,
+    valid: jax.Array | None = None,
+    info: GridInfo | None = None,
+) -> Bins:
+    """Bin (n, N) positions into occupied cells.
+
+    ``max_cells`` defaults to n (can never overflow). ``info`` may be passed
+    to reuse a precomputed grid geometry (e.g. a shared multi-chip grid);
+    otherwise it is recomputed from the data like the reference's rebuild
+    (cellgrid.rs:187-238).
+    """
+    n = positions.shape[0]
+    if max_cells is None:
+        max_cells = max(n, 1)
+    if info is None:
+        aabb = aabb_from_positions(positions, valid)
+        info = GridInfo.create(aabb, cutoff)
+
+    keys = compute_keys(positions, info, valid)
+    if n == 0:
+        z = jnp.zeros((0,), jnp.int32)
+        return Bins(
+            info=info,
+            keys=z,
+            perm=z,
+            sorted_keys=z,
+            cell_keys=jnp.full((max_cells,), SENTINEL_KEY, jnp.int32),
+            cell_starts=jnp.zeros((max_cells,), jnp.int32),
+            cell_counts=jnp.zeros((max_cells,), jnp.int32),
+            num_cells=jnp.zeros((), jnp.int32),
+            num_valid=jnp.zeros((), jnp.int32),
+            overflow=jnp.zeros((), jnp.bool_),
+        )
+
+    # Stable sort keeps per-cell particle order == input order, matching the
+    # reference's scatter order (cellgrid.rs:215-231).
+    perm = jnp.argsort(keys, stable=True).astype(jnp.int32)
+    sorted_keys = keys[perm]
+
+    iota = jnp.arange(n, dtype=jnp.int32)
+    valid_sorted = sorted_keys != SENTINEL_KEY
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sorted_keys[1:] != sorted_keys[:-1]]
+    )
+    is_start = is_start & valid_sorted
+    # segment id per sorted slot (garbage for sentinel rows; masked below)
+    seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    num_cells = jnp.sum(is_start, dtype=jnp.int32)
+
+    # Scatter the per-cell table. Out-of-range rows (sentinel particles or
+    # table overflow) are dropped by XLA's scatter OOB semantics.
+    scatter_id = jnp.where(valid_sorted, seg_id, max_cells)
+    cell_keys = (
+        jnp.full((max_cells,), SENTINEL_KEY, jnp.int32).at[scatter_id].set(sorted_keys)
+    )
+    cell_starts = (
+        jnp.full((max_cells,), n, jnp.int32).at[scatter_id].min(iota)
+    )
+    cell_counts = (
+        jnp.zeros((max_cells,), jnp.int32)
+        .at[scatter_id]
+        .add(1, indices_are_sorted=True)
+    )
+
+    return Bins(
+        info=info,
+        keys=keys,
+        perm=perm,
+        sorted_keys=sorted_keys,
+        cell_keys=cell_keys,
+        cell_starts=cell_starts,
+        cell_counts=cell_counts,
+        num_cells=num_cells,
+        num_valid=jnp.sum(valid_sorted, dtype=jnp.int32),
+        overflow=num_cells > max_cells,
+    )
