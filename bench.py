@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Headline benchmark: cutoff-filtered pairs/sec with full grid rebuild.
+
+Protocol mirrors the reference (BASELINE.md): n particles uniformly random
+in a 30 x 30 x (n/0.01/900) cuboid (ChaCha12 seed 3079380797442975911 —
+bit-identical to benches/cellgrid.rs data), cutoff 10, mean ~10 particles
+per cell. Each timed iteration performs the FULL pipeline on device: cell
+keys -> sort -> occupied-cell table -> fused LJ energy over cutoff pairs.
+
+Timing note: this environment reaches the TPU through a tunnel with ~28 ms
+round-trip latency per dispatch, so the REPS rebuild+energy iterations run
+inside one jitted `fori_loop` (positions perturbed per iteration to defeat
+loop-invariant hoisting) and the RTT is subtracted once.
+
+Prints one JSON line:
+  {"metric": ..., "value": pairs/sec, "unit": "pairs/s", "vs_baseline": x}
+vs_baseline is against the driver target of 1e9 pairs/s/chip at 1e7
+particles (BASELINE.json).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N = int(float(os.environ.get("BENCH_N", "1e7")))
+CUTOFF = 10.0
+TARGET_PAIRS_PER_SEC = 1e9
+REPS = int(os.environ.get("BENCH_REPS", "10"))
+
+
+def round_up(x: int, g: int) -> int:
+    return ((x + g - 1) // g) * g
+
+
+def measure_rtt(jax, jnp):
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    float(f(x)[0])
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f(x)[0])
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from zelll_tpu.ops.fused import fused_lj_rebuild_energy
+    from zelll_tpu.ops.pallas_pairs import count_term
+    from zelll_tpu.utils.datagen import generate_points_random, lj_box
+
+    M = int(os.environ.get("BENCH_M", "8192"))
+    L = int(os.environ.get("BENCH_L", "256"))
+
+    t0 = time.time()
+    pts64 = generate_points_random(N, lj_box(N, CUTOFF))
+    gen_s = time.time() - t0
+
+    positions = jax.device_put(jnp.asarray(pts64, jnp.float32))
+
+    @jax.jit
+    def step(pos):
+        return fused_lj_rebuild_energy(pos, CUTOFF, M=M, L=L)
+
+    @jax.jit
+    def count_step(pos):
+        return fused_lj_rebuild_energy(pos, CUTOFF, M=M, L=L, term=count_term)
+
+    @jax.jit
+    def bench_loop(pos):
+        def body(i, acc):
+            # per-iteration jitter defeats loop-invariant code motion while
+            # keeping the workload statistically identical
+            p = pos + (i % 2).astype(pos.dtype) * 1e-6
+            e, ok = step(p)
+            return acc + e + jnp.where(ok, 0.0, jnp.nan)
+
+        return jax.lax.fori_loop(0, REPS, body, jnp.float32(0))
+
+    energy, cov = step(positions)
+    energy, cov = float(energy), bool(cov)
+    if not cov:
+        print(json.dumps({"error": f"lag coverage failed at L={L}"}))
+        sys.exit(1)
+    npairs = int(count_step(positions)[0])
+    rtt = measure_rtt(jax, jnp)
+
+    total_e = float(bench_loop(positions))  # compile + warm
+    assert not np.isnan(total_e), "coverage failed inside bench loop"
+    t0 = time.perf_counter()
+    float(bench_loop(positions))
+    total = time.perf_counter() - t0
+    dt = max(total - rtt, 1e-9) / REPS
+
+    pairs_per_sec = npairs / dt
+    result = {
+        "metric": f"lj_cutoff_pairs_per_sec_full_rebuild_n{N:.0e}",
+        "value": pairs_per_sec,
+        "unit": "pairs/s",
+        "vs_baseline": pairs_per_sec / TARGET_PAIRS_PER_SEC,
+    }
+    print(json.dumps(result))
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "n": N,
+                    "cutoff": CUTOFF,
+                    "step_ms": dt * 1e3,
+                    "rtt_ms": rtt * 1e3,
+                    "pairs": npairs,
+                    "energy_per_atom": energy / N,
+                    "M": M,
+                    "L": L,
+                    "datagen_s": round(gen_s, 2),
+                    "backend": jax.default_backend(),
+                    "reps": REPS,
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

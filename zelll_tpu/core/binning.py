@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from .geometry import SENTINEL_KEY, Aabb, GridInfo, aabb_from_positions
 
-__all__ = ["Bins", "build_bins", "compute_keys"]
+__all__ = ["Bins", "build_bins", "bin_and_sort", "compute_keys"]
 
 
 @jax.tree_util.register_dataclass
@@ -101,14 +101,34 @@ def build_bins(
     valid: jax.Array | None = None,
     info: GridInfo | None = None,
 ) -> Bins:
-    """Bin (n, N) positions into occupied cells.
+    """Bin (n, N) positions into occupied cells. See `bin_and_sort`."""
+    return bin_and_sort(
+        positions, cutoff, max_cells=max_cells, valid=valid, info=info
+    )[0]
+
+
+def bin_and_sort(
+    positions: jax.Array,
+    cutoff,
+    *,
+    max_cells: int | None = None,
+    valid: jax.Array | None = None,
+    info: GridInfo | None = None,
+) -> tuple[Bins, jax.Array]:
+    """Bin (n, N) positions into occupied cells; also return positions in
+    sorted (cell-grouped) order.
 
     ``max_cells`` defaults to n (can never overflow). ``info`` may be passed
     to reuse a precomputed grid geometry (e.g. a shared multi-chip grid);
     otherwise it is recomputed from the data like the reference's rebuild
     (cellgrid.rs:187-238).
+
+    The coordinates ride along as extra sort operands (one multi-operand
+    `lax.sort`): on TPU this is ~3x cheaper than argsort + row gather
+    (gathers of n rows cost ~7 ns/element on v5e; the extra sort operands
+    are nearly free).
     """
-    n = positions.shape[0]
+    n, dim = positions.shape
     if max_cells is None:
         max_cells = max(n, 1)
     if info is None:
@@ -118,7 +138,7 @@ def build_bins(
     keys = compute_keys(positions, info, valid)
     if n == 0:
         z = jnp.zeros((0,), jnp.int32)
-        return Bins(
+        bins = Bins(
             info=info,
             keys=z,
             perm=z,
@@ -130,11 +150,15 @@ def build_bins(
             num_valid=jnp.zeros((), jnp.int32),
             overflow=jnp.zeros((), jnp.bool_),
         )
+        return bins, positions
 
     # Stable sort keeps per-cell particle order == input order, matching the
     # reference's scatter order (cellgrid.rs:215-231).
-    perm = jnp.argsort(keys, stable=True).astype(jnp.int32)
-    sorted_keys = keys[perm]
+    iota0 = jnp.arange(n, dtype=jnp.int32)
+    cols = tuple(positions[:, a] for a in range(dim))
+    out = jax.lax.sort((keys, *cols, iota0), num_keys=1, is_stable=True)
+    sorted_keys, sorted_cols, perm = out[0], out[1:-1], out[-1]
+    sorted_pos = jnp.stack(sorted_cols, axis=-1)
 
     iota = jnp.arange(n, dtype=jnp.int32)
     valid_sorted = sorted_keys != SENTINEL_KEY
@@ -161,7 +185,7 @@ def build_bins(
         .add(1, indices_are_sorted=True)
     )
 
-    return Bins(
+    bins = Bins(
         info=info,
         keys=keys,
         perm=perm,
@@ -173,3 +197,4 @@ def build_bins(
         num_valid=jnp.sum(valid_sorted, dtype=jnp.int32),
         overflow=num_cells > max_cells,
     )
+    return bins, sorted_pos

@@ -150,8 +150,16 @@ class GridInfo:
         return idx, ok
 
     def flatten_index(self, idx: jax.Array) -> jax.Array:
-        """Dot with strides: (.., N) int -> (..,) flat key (util.rs:171-176)."""
-        return jnp.sum(idx * self.strides, axis=-1, dtype=jnp.int32)
+        """Dot with strides: (.., N) int -> (..,) flat key (util.rs:171-176).
+
+        Unrolled per axis: XLA:TPU lowers a broadcast-multiply + minor-dim
+        reduce against a *traced* strides vector pathologically (~800x slower
+        than this form, measured on v5e).
+        """
+        total = idx[..., 0] * self.strides[0]
+        for a in range(1, self.dim):
+            total = total + idx[..., a] * self.strides[a]
+        return total
 
     def flat_cell_index(self, coords: jax.Array) -> jax.Array:
         """Direct coordinates -> flat key, no bounds check (util.rs:291-297)."""

@@ -265,6 +265,46 @@ def pair_forces(
     return grid.unsort(forces[:n])
 
 
+def pair_energy_per_particle(
+    grid: CellGridData,
+    fn: Callable,
+    *,
+    K: int,
+    chunk: int = 256,
+    cutoff_sq=None,
+):
+    """Per-particle half-energies e_i = 1/2 sum_j fn(dsq_ij), input order.
+
+    Each unique pair contributes fn/2 to both endpoints, so summing e_i over
+    any subset S counts pairs inside S once and boundary pairs half — the
+    building block for halo-correct distributed energy sums (sum only the
+    owned rows, psum across devices).
+    """
+    n, dim = grid.sorted_pos.shape
+    dtype = grid.sorted_pos.dtype
+
+    def half(dsq, mask):
+        if cutoff_sq is not None:
+            mask = mask & (dsq < cutoff_sq)
+        safe = jnp.where(mask, dsq, jnp.ones_like(dsq))
+        return jnp.where(mask, 0.5 * fn(safe).astype(dtype), 0)
+
+    def body(acc, blk: PairBlock):
+        dsq, m = blk.intra_dsq()
+        v = half(dsq, m)
+        acc = acc.at[blk.own_slots].add(jnp.sum(v, axis=2))
+        acc = acc.at[blk.own_slots].add(jnp.sum(v, axis=1))
+        dsq, m = blk.inter_dsq()
+        v = half(dsq, m)
+        acc = acc.at[blk.own_slots].add(jnp.sum(v, axis=2))
+        acc = acc.at[blk.nb_slots].add(jnp.sum(v, axis=1))
+        return acc
+
+    acc = jnp.zeros((n + 1,), dtype)
+    acc = scan_cell_chunks(grid, body, acc, K=K, chunk=chunk, half=True)
+    return grid.unsort(acc[:n])
+
+
 def count_pairs(grid: CellGridData, *, K: int, chunk: int = 256, cutoff_sq=None):
     """Number of unique candidate (or distance-filtered) pairs."""
     return pair_sum(

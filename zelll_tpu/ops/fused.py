@@ -1,0 +1,102 @@
+"""High-level fused pair reductions: grid in, scalar out, never a pair list.
+
+Wraps the Pallas lag kernel (`pallas_pairs.pair_lag_reduce`) with:
+* lag-bound selection + coverage verification,
+* a full-rebuild convenience (`fused_lj_rebuild_energy`) that is the
+  benchmark step: keys -> multi-operand sort -> fused kernel, skipping the
+  occupied-cell table entirely (the kernel needs none),
+* an XLA fallback for platforms without Mosaic (tests on CPU use
+  interpret=True instead).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..core.binning import bin_and_sort
+from ..core.grid import CellGridData
+from .pallas_pairs import (
+    count_term,
+    lag_coverage_ok,
+    lj_term,
+    pair_lag_reduce,
+)
+
+__all__ = [
+    "fused_pair_sum",
+    "fused_lj_energy",
+    "fused_count_pairs",
+    "fused_lj_rebuild_energy",
+]
+
+
+def fused_pair_sum(
+    grid: CellGridData,
+    term: Callable,
+    *,
+    cutoff=None,
+    M: int = 4096,
+    L: int = 256,
+    interpret: bool = False,
+    out_dtype=None,
+):
+    """Sum term(dsq) over unique cutoff pairs. Returns (total, coverage_ok).
+
+    coverage_ok False means the lag bound L is too small for this data's
+    density — rerun with a larger L (the wrapper cannot resize under jit).
+    """
+    c = grid.info.cutoff if cutoff is None else cutoff
+    total = pair_lag_reduce(
+        grid.sorted_pos,
+        grid.bins.sorted_keys,
+        grid.info.strides,
+        c * c,
+        M=M,
+        L=L,
+        term=term,
+        interpret=interpret,
+        out_dtype=out_dtype,
+    )
+    ok = lag_coverage_ok(grid.bins.sorted_keys, grid.info.strides, L)
+    return total, ok
+
+
+def fused_lj_energy(grid: CellGridData, **kw):
+    return fused_pair_sum(grid, lj_term, **kw)
+
+
+def fused_count_pairs(grid: CellGridData, **kw):
+    return fused_pair_sum(grid, count_term, **kw)
+
+
+def fused_lj_rebuild_energy(
+    positions: jax.Array,
+    cutoff,
+    *,
+    M: int = 4096,
+    L: int = 256,
+    term: Callable = lj_term,
+    interpret: bool = False,
+):
+    """Full pipeline in one jittable step (the headline benchmark path):
+    cell keys -> sort positions by key -> fused LJ reduction.
+
+    No occupied-cell table is built — the lag kernel only needs the sorted
+    planes. Returns (energy, coverage_ok).
+    """
+    bins, sorted_pos = bin_and_sort(positions, cutoff, max_cells=1)
+    total = pair_lag_reduce(
+        sorted_pos,
+        bins.sorted_keys,
+        bins.info.strides,
+        jnp.asarray(cutoff, positions.dtype) ** 2,
+        M=M,
+        L=L,
+        term=term,
+        interpret=interpret,
+    )
+    ok = lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
+    return total, ok

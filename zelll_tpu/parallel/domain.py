@@ -1,0 +1,172 @@
+"""Multi-chip spatial domain decomposition with halo exchange over ICI.
+
+The reference's only parallelism is shared-memory rayon over cells
+(zelll `src/cellgrid.rs:447-451`); its roadmap hints at merging grids
+(README.md:148-152). The TPU-native scale-out is classic MD spatial domain
+decomposition mapped onto a 1D device mesh:
+
+* Space is sliced into slabs along the sort-major (z) axis; each device
+  owns one contiguous block of the globally key-sorted particle array, so
+  slab partitioning IS block partitioning of the sorted order.
+* The grid geometry is global: the AABB is reduced with `lax.pmin/pmax`
+  over ICI so every device bins into the same key space.
+* Halo exchange: each device sends the head/tail H particles of its sorted
+  block to its neighbors with `lax.ppermute` (pure ICI neighbor traffic —
+  the analogue of MD halo exchange). Ghosts concatenate cleanly: left
+  ghosts have smaller keys than all owned keys, right ghosts larger, so
+  the combined array is still sorted.
+* Forces: computed over [left ghosts | own | right ghosts]; only the owned
+  rows are kept, so each device gets exact forces for its particles.
+* Energy: per-particle half-energies summed over owned rows, `psum`'d —
+  every pair counted exactly once globally regardless of which devices see
+  it.
+
+Ring wraparound ghosts (device 0 <-> device D-1) are spatially distant and
+get filtered by the cutoff; they cost bandwidth, not correctness.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.binning import bin_and_sort
+from ..core.geometry import Aabb, GridInfo
+from ..core.grid import build
+from ..core.pairs import pair_energy_per_particle, pair_forces
+from ..ops.lj import lj, lj_force_factor
+
+__all__ = ["make_mesh", "partition_by_slab", "sharded_md_step", "sharded_lj_energy"]
+
+AXIS = "z"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(devs[:n], axis_names=(AXIS,))
+
+
+def partition_by_slab(positions, cutoff, n_devices: int):
+    """Host-side global partition: sort particles by cell key and split the
+    sorted order into equal blocks (= spatial slabs, z-major key order).
+    Returns (positions_sorted, n_local) with n padded to a multiple of the
+    device count using far-away spread coordinates.
+    """
+    import numpy as np
+
+    pts = np.asarray(positions)
+    n = pts.shape[0]
+    n_local = -(-n // n_devices)
+    n_pad = n_local * n_devices - n
+
+    inf = pts.min(axis=0)
+    # padded-stride keys, same math as GridInfo (host mirror)
+    shape = np.floor((pts.max(axis=0) - inf) / cutoff).astype(np.int64) + 1
+    padded = shape + 4
+    strides = np.array([1, padded[0], padded[0] * padded[1]])
+    keys = (np.floor((pts - inf) / cutoff).astype(np.int64) * strides).sum(1)
+    order = np.argsort(keys, kind="stable")
+    out = pts[order]
+    if n_pad:
+        spread = 1e12 + 1e5 * np.arange(1, n_pad + 1)[:, None] * np.ones(3)
+        out = np.vstack([out, spread.astype(pts.dtype)])
+    return out, n_local
+
+
+def _global_grid_info(local_pos, cutoff):
+    """Grid geometry from the global AABB (pmin/pmax over the mesh)."""
+    inf = jax.lax.pmin(jnp.min(local_pos, axis=0), AXIS)
+    sup = jax.lax.pmax(jnp.max(local_pos, axis=0), AXIS)
+    return GridInfo.create(Aabb(inf=inf, sup=sup), cutoff)
+
+
+def _halo_exchange(arr, H: int):
+    """Send tail H rows right, head H rows left around the ring."""
+    nd = jax.lax.axis_size(AXIS)
+    idx = jax.lax.axis_index(AXIS)
+    fwd = [(i, (i + 1) % nd) for i in range(nd)]
+    bwd = [(i, (i - 1) % nd) for i in range(nd)]
+    from_left = jax.lax.ppermute(arr[-H:], AXIS, fwd)
+    from_right = jax.lax.ppermute(arr[:H], AXIS, bwd)
+    return from_left, from_right, idx, nd
+
+
+def sharded_md_step(
+    mesh: Mesh,
+    *,
+    cutoff: float,
+    H: int,
+    K: int,
+    dt: float = 1e-4,
+    chunk: int = 64,
+):
+    """Build a jitted velocity-Verlet-style MD step over the mesh.
+
+    step(positions, velocities) -> (positions, velocities, energy) where
+    positions/velocities are (n, 3) sharded along axis 0 ('z' slabs of the
+    globally sorted order). H = halo capacity (particles per boundary), K =
+    bucket capacity for the XLA pair path.
+    """
+
+    def local_step(pos, vel):
+        info = _global_grid_info(pos, cutoff)
+        # keep the owned block sorted by key (cheap local sort; the global
+        # order across devices is maintained by slab partitioning)
+        bins, pos_s = bin_and_sort(pos, cutoff, max_cells=1, info=info)
+        vel_s = vel[bins.perm]
+
+        gl, gr, idx, nd = _halo_exchange(pos_s, H)
+        ext = jnp.concatenate([gl, pos_s, gr], axis=0)
+
+        grid = build(ext, cutoff, info=info)
+        csq = jnp.asarray(cutoff, pos.dtype) ** 2
+        forces = pair_forces(grid, lj_force_factor, K=K, chunk=chunk, cutoff_sq=csq)
+        e_pp = pair_energy_per_particle(grid, lj, K=K, chunk=chunk, cutoff_sq=csq)
+
+        n_loc = pos_s.shape[0]
+        f_own = forces[H : H + n_loc]
+        energy = jax.lax.psum(jnp.sum(e_pp[H : H + n_loc]), AXIS)
+
+        vel_new = vel_s + dt * f_own
+        pos_new = pos_s + dt * vel_new
+        return pos_new, vel_new, energy
+
+    step = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None)),
+        out_specs=(P(AXIS, None), P(AXIS, None), P()),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+def sharded_lj_energy(mesh: Mesh, *, cutoff: float, H: int, K: int, chunk: int = 64):
+    """Jitted global LJ energy over slab-sharded positions (exact)."""
+
+    def local(pos):
+        info = _global_grid_info(pos, cutoff)
+        bins, pos_s = bin_and_sort(pos, cutoff, max_cells=1, info=info)
+        gl, gr, *_ = _halo_exchange(pos_s, H)
+        ext = jnp.concatenate([gl, pos_s, gr], axis=0)
+        grid = build(ext, cutoff, info=info)
+        csq = jnp.asarray(cutoff, pos.dtype) ** 2
+        e_pp = pair_energy_per_particle(grid, lj, K=K, chunk=chunk, cutoff_sq=csq)
+        n_loc = pos_s.shape[0]
+        return jax.lax.psum(jnp.sum(e_pp[H : H + n_loc]), AXIS)
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(AXIS, None),),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
