@@ -1,0 +1,266 @@
+"""User-facing `CellGrid` class mirroring the reference Python bindings.
+
+API parity with the PyO3 module `zelll` (reference `python/zelll.pyi:1-22`,
+`python/src/lib.rs`):
+
+* ``CellGrid(particles=None, cutoff=1.0)`` — build from an iterable of 3D
+  coordinates (or any (n, 3) array-like)            (lib.rs:111-131)
+* ``rebuild(particles, cutoff=None)``               (lib.rs:155-166)
+* ``__iter__`` — iterator over unique *candidate* particle pairs
+  ``((i, [x,y,z]), (j, [x,y,z]))``                  (lib.rs:168-170, 262-345)
+* ``aabb() -> (inf, sup)``                          (lib.rs:174-180)
+* ``cutoff() -> float``                             (lib.rs:183-185)
+* ``query_neighbors(coords)`` — lazy iterator of (i, coords) in the full
+  27-cell neighborhood, or None if too far outside  (lib.rs:204-210)
+* ``neighbors(coords)`` — eager, distance-filtered list (lib.rs:228-241)
+* pickle support via ``__getstate__``/``__setstate__`` (lib.rs:243-259) —
+  state is (positions, cutoff); the grid is rebuilt on unpickle (cheap by
+  construction, replacing the reference's bincode of internal state)
+
+Deviations (documented):
+* Iteration never does per-pair host transfers: pairs are materialized
+  on-device in one fused pass and transferred once
+  (cf. SURVEY §7 "iterator-protocol API on accelerator arrays").
+* Like the reference's input adapter (lib.rs:40-58), items of a generic
+  iterable that don't convert to 3 floats are silently skipped; array
+  inputs are validated strictly.
+* ``rebuild()`` while iterators are alive is safe here (immutable device
+  arrays) — the reference raises RuntimeError; existing iterators keep
+  iterating the old snapshot.
+
+TPU-native extensions: ``query_neighbors_batch``, ``pair_reduce``,
+``lj_energy``, ``positions``, ``grid_data``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+
+__all__ = ["CellGrid"]
+
+
+def _coerce_particles(particles) -> np.ndarray:
+    """Array inputs: strict. Generic iterables: silently skip items that
+    don't convert to 3 floats (reference lib.rs:40-58 behavior)."""
+    if particles is None:
+        return np.zeros((0, 3), np.float64)
+    if isinstance(particles, np.ndarray):
+        arr = np.asarray(particles, np.float64)
+        if arr.ndim != 2 or arr.shape[1] != 3:
+            raise TypeError(f"expected (n, 3) array, got {arr.shape}")
+        return arr
+    try:
+        arr = np.asarray(particles, np.float64)
+        if arr.ndim == 2 and arr.shape[1] == 3:
+            return arr
+    except (TypeError, ValueError):
+        pass
+    rows = []
+    for item in particles:
+        try:
+            row = [float(c) for c in item]
+        except (TypeError, ValueError):
+            continue
+        if len(row) == 3:
+            rows.append(row)
+    return np.asarray(rows, np.float64).reshape(-1, 3)
+
+
+def _round_capacity(n: int) -> int:
+    """Pad particle counts to capacity classes to bound recompilation."""
+    if n <= 128:
+        return max(n, 1)
+    return 1 << (n - 1).bit_length()
+
+
+class CellGrid:
+    """A grid of cells providing the cell-lists algorithm on TPU.
+
+    See module docstring for the API contract. The functional core
+    (`zelll_tpu.core`) stays jit-pure; this class does the host-side
+    orchestration: capacity classes, padding, and iterator materialization.
+    """
+
+    def __init__(self, particles=None, /, cutoff: float = 1.0):
+        self._build(_coerce_particles(particles), float(cutoff))
+
+    # -- construction ------------------------------------------------------
+
+    def _build(self, pts: np.ndarray, cutoff: float):
+        import jax
+        import jax.numpy as jnp
+
+        from .core import build
+
+        self._pts = pts
+        self._cutoff = cutoff
+        n = pts.shape[0]
+        n_pad = _round_capacity(n)
+        padded = np.zeros((n_pad, 3), pts.dtype)
+        padded[:n] = pts
+        valid = np.arange(n_pad) < n
+        if n == 0:
+            self._grid = None
+            self._K = 0
+            return
+        self._grid = build(
+            jnp.asarray(padded), cutoff, valid=jnp.asarray(valid)
+        )
+        self._K = int(self._grid.bins.max_cell_count())
+
+    def rebuild(self, particles, /, cutoff: float | None = None) -> None:
+        """Rebuild from new data (reference lib.rs:155-166). Reuses device
+        buffers via the functional rebuild when the particle capacity class
+        is unchanged."""
+        import jax.numpy as jnp
+
+        from .core import rebuild as core_rebuild
+
+        pts = _coerce_particles(particles)
+        cut = self._cutoff if cutoff is None else float(cutoff)
+        n = pts.shape[0]
+        if self._grid is not None and _round_capacity(n) == self._grid.n:
+            n_pad = self._grid.n
+            padded = np.zeros((n_pad, 3), pts.dtype)
+            padded[:n] = pts
+            valid = np.arange(n_pad) < n
+            self._grid = core_rebuild(
+                self._grid, jnp.asarray(padded), cut, valid=jnp.asarray(valid)
+            )
+            self._pts = pts
+            self._cutoff = cut
+            self._K = int(self._grid.bins.max_cell_count())
+        else:
+            self._build(pts, cut)
+
+    # -- reference API surface ---------------------------------------------
+
+    def aabb(self) -> tuple[list[float], list[float]]:
+        """Bounding box as (inf, sup) 3-lists (reference lib.rs:174-180)."""
+        if len(self._pts) == 0:
+            return ([0.0, 0.0, 0.0], [0.0, 0.0, 0.0])
+        return (self._pts.min(axis=0).tolist(), self._pts.max(axis=0).tolist())
+
+    def cutoff(self) -> float:
+        return self._cutoff
+
+    def __iter__(self) -> Iterator:
+        """Iterate unique candidate pairs ((i, p), (j, q)).
+
+        Pair order is unspecified (reference iters.rs:251). Materialized
+        device-side in one pass, transferred once.
+        """
+        i, j = self._candidate_pairs()
+        pts = self._pts
+        for a, b in zip(i.tolist(), j.tolist()):
+            yield ((a, pts[a].tolist()), (b, pts[b].tolist()))
+
+    def _candidate_pairs(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._grid is None or len(self._pts) < 2:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        from .core import count_pairs, materialize_pairs
+
+        g = self._grid
+        total = int(count_pairs(g, K=self._K, chunk=min(256, g.bins.max_cells)))
+        if total == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        cap = _round_capacity(total)
+        i, j, cnt, overflow = materialize_pairs(
+            g, K=self._K, max_pairs=cap, chunk=min(256, g.bins.max_cells)
+        )
+        cnt = int(cnt)
+        assert not bool(overflow) and cnt == total
+        return np.asarray(i)[:cnt], np.asarray(j)[:cnt]
+
+    def query_neighbors(self, coordinates: Sequence[float]):
+        """Iterator of (index, [x, y, z]) over the full-space neighborhood
+        of the query location, or None if the location is farther than one
+        cell layer outside the grid (reference lib.rs:204-210). Items may
+        be farther than cutoff (candidate semantics)."""
+        res = self.query_neighbors_batch(np.asarray(coordinates, np.float64)[None, :])
+        ids, ok = res[0][0], res[1][0]
+        if not ok:
+            return None
+        pts = self._pts
+        return iter([(int(k), pts[int(k)].tolist()) for k in ids])
+
+    def neighbors(self, coordinates: Sequence[float]):
+        """Eager distance-filtered neighbor list [(i, [x,y,z]), ...] or None
+        (reference lib.rs:228-241; filter is <= cutoff on the euclidean
+        distance, lib.rs:234-238)."""
+        q = np.asarray(coordinates, np.float64)
+        res = self.query_neighbors_batch(q[None, :])
+        ids, ok = res[0][0], res[1][0]
+        if not ok:
+            return None
+        pts = self._pts
+        out = []
+        csq = self._cutoff * self._cutoff
+        for k in ids:
+            d = pts[int(k)] - q
+            if float(d @ d) <= csq:
+                out.append((int(k), pts[int(k)].tolist()))
+        return out
+
+    # -- TPU-native extensions ----------------------------------------------
+
+    def query_neighbors_batch(self, points: np.ndarray):
+        """Batched point queries: (Q, 3) -> (list of id arrays, valid mask).
+
+        The vectorized analogue of query_neighbors for many points at once
+        (one device pass; what the surface-sampling workload uses).
+        """
+        import jax.numpy as jnp
+
+        points = np.asarray(points, np.float64)
+        if self._grid is None:
+            return [np.zeros(0, np.int64)] * len(points), np.zeros(
+                len(points), bool
+            )
+        from .core import query_neighbors
+
+        ids, _, mask, ok = query_neighbors(
+            self._grid, jnp.asarray(points), K=self._K
+        )
+        ids, mask, ok = np.asarray(ids), np.asarray(mask), np.asarray(ok)
+        n = len(self._pts)
+        out = []
+        for qi in range(len(points)):
+            sel = ids[qi][mask[qi]]
+            out.append(sel[sel < n])
+        return out, ok
+
+    def lj_energy(self) -> float:
+        """Total LJ potential over cutoff-filtered pairs (fused on device)."""
+        if self._grid is None or len(self._pts) < 2:
+            return 0.0
+        from .ops.lj import lj_energy
+
+        return float(
+            lj_energy(self._grid, K=self._K, chunk=min(256, self._grid.bins.max_cells))
+        )
+
+    @property
+    def positions(self) -> np.ndarray:
+        return self._pts
+
+    @property
+    def grid_data(self):
+        """The underlying functional `CellGridData` pytree (device arrays)."""
+        return self._grid
+
+    # -- pickle --------------------------------------------------------------
+
+    def __getstate__(self):
+        return {"positions": self._pts, "cutoff": self._cutoff}
+
+    def __setstate__(self, state):
+        self._build(np.asarray(state["positions"], np.float64), state["cutoff"])
+
+    def __repr__(self):
+        return (
+            f"CellGrid(n={len(self._pts)}, cutoff={self._cutoff}, "
+            f"cells={int(self._grid.num_cells) if self._grid is not None else 0})"
+        )
