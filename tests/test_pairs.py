@@ -187,8 +187,8 @@ def test_query_neighbors_bruteforce():
         pts[:5],                      # on-particle queries
         np.array([[50.0, 50.0, 50.0]]),  # far outside -> invalid
     ])
-    ids, qpos, mask, ok = query_neighbors(grid, jnp.asarray(queries), K=K)
-    ids, mask, ok = np.asarray(ids), np.asarray(mask), np.asarray(ok)
+    res = query_neighbors(grid, jnp.asarray(queries), K=K)
+    ids, mask, ok = np.asarray(res.ids), np.asarray(res.mask), np.asarray(res.valid)
 
     assert not ok[-1]  # far-away query invalid (reference returns None)
     for q in range(len(queries) - 1):

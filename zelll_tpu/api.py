@@ -179,22 +179,23 @@ class CellGrid:
         of the query location, or None if the location is farther than one
         cell layer outside the grid (reference lib.rs:204-210). Items may
         be farther than cutoff (candidate semantics)."""
-        res = self.query_neighbors_batch(np.asarray(coordinates, np.float64)[None, :])
-        ids, ok = res[0][0], res[1][0]
-        if not ok:
+        ids_list, ok = self.query_neighbors_batch(
+            np.asarray(coordinates, np.float64)[None, :]
+        )
+        if not ok[0]:
             return None
         pts = self._pts
-        return iter([(int(k), pts[int(k)].tolist()) for k in ids])
+        return iter([(int(k), pts[int(k)].tolist()) for k in ids_list[0]])
 
     def neighbors(self, coordinates: Sequence[float]):
         """Eager distance-filtered neighbor list [(i, [x,y,z]), ...] or None
         (reference lib.rs:228-241; filter is <= cutoff on the euclidean
         distance, lib.rs:234-238)."""
         q = np.asarray(coordinates, np.float64)
-        res = self.query_neighbors_batch(q[None, :])
-        ids, ok = res[0][0], res[1][0]
-        if not ok:
+        ids_list, ok = self.query_neighbors_batch(q[None, :])
+        if not ok[0]:
             return None
+        ids = ids_list[0]
         pts = self._pts
         out = []
         csq = self._cutoff * self._cutoff
@@ -221,10 +222,8 @@ class CellGrid:
             )
         from .core import query_neighbors
 
-        ids, _, mask, ok = query_neighbors(
-            self._grid, jnp.asarray(points), K=self._K
-        )
-        ids, mask, ok = np.asarray(ids), np.asarray(mask), np.asarray(ok)
+        res = query_neighbors(self._grid, jnp.asarray(points), K=self._K)
+        ids, mask, ok = np.asarray(res.ids), np.asarray(res.mask), np.asarray(res.valid)
         n = len(self._pts)
         out = []
         for qi in range(len(points)):

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +39,7 @@ from .grid import CellGridData
 
 __all__ = [
     "PairBlock",
+    "QueryResult",
     "scan_cell_chunks",
     "pair_sum",
     "pair_forces",
@@ -376,15 +377,29 @@ def materialize_pairs(
     return sid[ids_i], sid[ids_j], total, total > max_pairs
 
 
-def query_neighbors(grid: CellGridData, points: jax.Array, *, K: int):
+class QueryResult(NamedTuple):
+    """Batched neighborhood query result (all padded to S1K = 3^N * K).
+
+    ids: (Q, S1K) original particle indices (padding -> n)
+    slots: (Q, S1K) sorted-slot indices (padding -> n)
+    pos: (Q, S1K, N) neighbor coordinates (garbage where masked)
+    mask: (Q, S1K) validity
+    valid: (Q,) query-location validity (None analogue, util.rs:245-256)
+    """
+
+    ids: jax.Array
+    slots: jax.Array
+    pos: jax.Array
+    mask: jax.Array
+    valid: jax.Array
+
+
+def query_neighbors(grid: CellGridData, points: jax.Array, *, K: int) -> QueryResult:
     """Batched point queries: full-space neighborhood of each query point.
 
     Vmapped analogue of `CellGrid::query_neighbors` (cellgrid.rs:391-401):
     the query cell's own slice followed by all 3^N - 1 full-space neighbor
-    slices. Returns ``(ids, pos, mask, valid)`` where ids/pos/mask have
-    shape (Q, 3^N * K) and ``valid`` is the (Q,) analogue of the reference
-    returning None for points farther than one cell layer outside the box
-    (util.rs:245-256).
+    slices, padded to K per cell.
     """
     b = grid.bins
     mc = b.max_cells
@@ -405,6 +420,12 @@ def query_neighbors(grid: CellGridData, points: jax.Array, *, K: int):
     ppos, slots, mask = _gather_window(grid, starts, counts, K)
     Q = points.shape[0]
     S1K = stencil.shape[0] * K
+    slots = slots.reshape(Q, S1K)
     sid = jnp.concatenate([grid.sorted_ids, jnp.full((1,), grid.n, jnp.int32)])
-    ids = sid[slots.reshape(Q, S1K)]
-    return ids, ppos.reshape(Q, S1K, -1), mask.reshape(Q, S1K), ok
+    return QueryResult(
+        ids=sid[slots],
+        slots=slots,
+        pos=ppos.reshape(Q, S1K, -1),
+        mask=mask.reshape(Q, S1K),
+        valid=ok,
+    )

@@ -1,0 +1,144 @@
+"""psssh: Protein Structure Surface Sampling using HMC — end-to-end app.
+
+TPU-native re-design of the reference case study crate
+(surface-sampling/examples/cli.rs): sample points on a protein iso-surface
+defined by the smooth distance field, driven by cell-list neighbor queries.
+
+Two subcommands, mirroring the reference CLI:
+* sample: burn-in + draws on the harmonic iso-surface log density, written
+  out as a PDB point cloud (cli.rs:63-143). The TPU path runs many chains
+  at once (`chains` parameter); `sampler="nuts"` gives the single-chain
+  host-recursion NUTS matching the reference's nuts-rs usage.
+* eval: evaluate SDF value+gradient over an l^3 query grid around the
+  structure, reporting timing (cli.rs:150-195) — batched into one device
+  pass instead of the reference's per-point loop.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.pdb import read_pdb, write_points_pdb
+from .nuts import hmc_sample_batched, nuts_sample
+from .sdf import SmoothDistanceField
+
+__all__ = ["sample_surface", "eval_grid", "main"]
+
+
+def sample_surface(
+    sdf: SmoothDistanceField,
+    *,
+    chains: int = 256,
+    burnin: int = 300,
+    draws: int = 20,
+    seed: int = 0,
+    sampler: str = "hmc",
+):
+    """Sample points near the iso-surface. Returns (points (draws*chains, 3)).
+
+    Chains start at randomly jittered atom positions (inside the grid so
+    logp is finite), like the reference seeding near the structure.
+    """
+    atoms = np.asarray(sdf.data.grid.sorted_pos)
+    rng = np.random.default_rng(seed)
+
+    if sampler == "nuts":
+        # single-chain host-recursion NUTS (reference parity path)
+        def vg(q):
+            v, g, ok = sdf.hmc_gradient(q[None, :])
+            if not ok[0]:
+                return -np.inf, np.zeros(3)
+            return float(v[0]), np.asarray(g[0])
+
+        q0 = atoms[rng.integers(len(atoms))] + rng.normal(0, 0.1, 3)
+        samples, _ = nuts_sample(
+            vg, q0, num_warmup=burnin, num_samples=draws * chains, seed=seed
+        )
+        return samples
+
+    starts = atoms[rng.integers(0, len(atoms), chains)] + rng.normal(
+        0, 0.1, (chains, 3)
+    )
+    logp = sdf.logdensity_fn()
+    key = jax.random.PRNGKey(seed)
+    samples, accept = hmc_sample_batched(
+        logp,
+        jnp.asarray(starts),
+        key,
+        num_warmup=burnin,
+        num_samples=draws,
+    )
+    return np.asarray(samples).reshape(-1, 3)
+
+
+def eval_grid(sdf: SmoothDistanceField, l: int = 64, margin: float = 2.0):
+    """SDF value+gradient over an l^3 grid spanning the structure's AABB
+    plus margin. Returns (points, values, grads, elapsed_seconds) —
+    the reference's `eval` benchmark (cli.rs:150-195)."""
+    pos = np.asarray(sdf.data.grid.sorted_pos)
+    lo = pos.min(axis=0) - margin
+    hi = pos.max(axis=0) + margin
+    axes = [np.linspace(lo[a], hi[a], l) for a in range(3)]
+    grid = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, 3)
+
+    t0 = time.perf_counter()
+    vals, grads, ok = sdf.evaluate(grid)
+    elapsed = time.perf_counter() - t0
+    return grid, vals, grads, elapsed
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="psssh", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("sample", help="sample iso-surface points")
+    sp.add_argument("pdb")
+    sp.add_argument("-o", "--out", default="surface.pdb")
+    sp.add_argument("-c", "--cutoff", type=float, default=4.0)
+    sp.add_argument("-r", "--surface-radius", type=float, default=1.05)
+    sp.add_argument("-k", "--k-force", type=float, default=10.0)
+    sp.add_argument("-b", "--burnin", type=int, default=300)
+    sp.add_argument("-n", "--draws", type=int, default=20)
+    sp.add_argument("--chains", type=int, default=256)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--sampler", choices=["hmc", "nuts"], default="hmc")
+
+    ep = sub.add_parser("eval", help="evaluate SDF over an l^3 grid")
+    ep.add_argument("pdb")
+    ep.add_argument("-l", "--grid-size", type=int, default=64)
+    ep.add_argument("-c", "--cutoff", type=float, action="append",
+                    default=None)
+
+    args = ap.parse_args(argv)
+    if args.cmd == "sample":
+        pos, radii, _ = read_pdb(args.pdb)
+        sdf = SmoothDistanceField(
+            pos, radii, cutoff=args.cutoff,
+            surface_radius=args.surface_radius, k_force=args.k_force,
+        )
+        pts = sample_surface(
+            sdf, chains=args.chains, burnin=args.burnin, draws=args.draws,
+            seed=args.seed, sampler=args.sampler,
+        )
+        write_points_pdb(args.out, pts)
+        print(f"wrote {len(pts)} surface samples to {args.out}")
+    else:
+        cutoffs = args.cutoff or [1.0, 2.0, 5.0, 10.0]
+        pos, radii, _ = read_pdb(args.pdb)
+        print("cutoff,l,queries,ns_total")  # CSV like sdf_queries.sh
+        for c in cutoffs:
+            sdf = SmoothDistanceField(pos, radii, cutoff=c)
+            _, _, _, warm = eval_grid(sdf, args.grid_size)  # compile
+            _, vals, _, dt = eval_grid(sdf, args.grid_size)
+            q = args.grid_size**3
+            print(f"{c},{args.grid_size},{q},{dt * 1e9:.0f}")
+
+
+if __name__ == "__main__":
+    main()
