@@ -127,15 +127,21 @@ def bin_and_sort(
     `lax.sort`): on TPU this is ~3x cheaper than argsort + row gather
     (gathers of n rows cost ~7 ns/element on v5e; the extra sort operands
     are nearly free).
+
+    ``positions`` may have more than N columns: the first N (the spatial
+    dimension, from ``info`` or 3 by default) drive the binning; the rest
+    are per-particle payload carried through the sort (e.g. split-precision
+    low coordinate parts).
     """
     n, dim = positions.shape
     if max_cells is None:
         max_cells = max(n, 1)
+    sdim = info.dim if info is not None else min(dim, 3)
     if info is None:
-        aabb = aabb_from_positions(positions, valid)
+        aabb = aabb_from_positions(positions[:, :sdim], valid)
         info = GridInfo.create(aabb, cutoff)
 
-    keys = compute_keys(positions, info, valid)
+    keys = compute_keys(positions[:, :sdim], info, valid)
     if n == 0:
         z = jnp.zeros((0,), jnp.int32)
         bins = Bins(

@@ -1,0 +1,100 @@
+"""Lennard-Jones molecular dynamics: the flagship end-to-end workload.
+
+The reference leaves simulation to the caller (zelll README.md:41-42); its
+benchmarks model the simulate -> rebuild loop (README.md:36-39,
+benches/cellgrid.rs rebuild path). Here the whole loop is one XLA graph on
+device: every step re-bins and re-sorts the particles (full `rebuild`
+semantics — `neigh_modify every 1` in the LAMMPS comparison,
+more_benches/in.zelllbench.txt:11) and evaluates fused LJ forces with the
+Pallas lag kernel. State stays in sorted order between steps, so each
+step's sort sees nearly-sorted input and velocities ride along as sort
+payload columns — positions never leave HBM, forces never materialize a
+pair list.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.binning import bin_and_sort
+from ..ops.lj import lj_force_factor
+from ..ops.pallas_pairs import (
+    lag_coverage_ok,
+    lj_term,
+    pair_lag_forces,
+    pair_lag_reduce,
+)
+
+__all__ = ["MDState", "md_step", "md_run"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MDState:
+    positions: jax.Array  # (n, 3)
+    velocities: jax.Array  # (n, 3)
+
+
+@partial(jax.jit, static_argnames=("M", "L", "interpret"))
+def md_step(
+    state: MDState,
+    cutoff,
+    dt,
+    *,
+    M: int = 4096,
+    L: int = 256,
+    interpret: bool = False,
+):
+    """One velocity-Verlet-style step with full grid rebuild.
+
+    Returns (new_state, coverage_ok). Uses the one-force-evaluation form
+    (semi-implicit Euler / leapfrog): v += dt f(x); x += dt v.
+    """
+    pos, vel = state.positions, state.velocities
+    stacked = jnp.concatenate([pos, vel], axis=1)
+    bins, cols = bin_and_sort(stacked, cutoff, max_cells=1)
+    spos, svel = cols[:, :3], cols[:, 3:]
+
+    csq = jnp.asarray(cutoff, pos.dtype) ** 2
+    f = pair_lag_forces(
+        spos, bins.sorted_keys, bins.info.strides, csq,
+        M=M, L=L, gfn=lj_force_factor, interpret=interpret,
+    )
+    vel_new = svel + dt * f
+    pos_new = spos + dt * vel_new
+    ok = lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
+    return MDState(positions=pos_new, velocities=vel_new), ok
+
+
+@partial(jax.jit, static_argnames=("steps", "M", "L", "interpret"))
+def md_run(
+    state: MDState,
+    cutoff,
+    dt,
+    *,
+    steps: int,
+    M: int = 4096,
+    L: int = 256,
+    interpret: bool = False,
+):
+    """Run `steps` MD steps fully on device; returns (state, all_covered,
+    final_energy)."""
+
+    def body(carry, _):
+        st, okacc = carry
+        st, ok = md_step(st, cutoff, dt, M=M, L=L, interpret=interpret)
+        return (st, okacc & ok), None
+
+    (state, ok), _ = jax.lax.scan(body, (state, jnp.asarray(True)), None, length=steps)
+
+    bins, spos = bin_and_sort(state.positions, cutoff, max_cells=1)
+    energy = pair_lag_reduce(
+        spos, bins.sorted_keys, bins.info.strides,
+        jnp.asarray(cutoff, spos.dtype) ** 2,
+        M=M, L=L, term=lj_term, interpret=interpret,
+    )
+    return state, ok, energy

@@ -75,6 +75,7 @@ def fused_count_pairs(grid: CellGridData, **kw):
 def fused_lj_rebuild_energy(
     positions: jax.Array,
     cutoff,
+    positions_lo: jax.Array | None = None,
     *,
     M: int = 4096,
     L: int = 256,
@@ -85,14 +86,23 @@ def fused_lj_rebuild_energy(
     cell keys -> sort positions by key -> fused LJ reduction.
 
     No occupied-cell table is built — the lag kernel only needs the sorted
-    planes. Returns (energy, coverage_ok).
+    planes. ``positions_lo`` (f32 low parts from `split_f64`) enables
+    split-precision pair distances: f64-grade LJ parity at f32 speed.
+    Returns (energy, coverage_ok).
     """
-    bins, sorted_pos = bin_and_sort(positions, cutoff, max_cells=1)
+    if positions_lo is not None:
+        stacked = jnp.concatenate([positions, positions_lo], axis=1)
+        bins, sorted_cols = bin_and_sort(stacked, cutoff, max_cells=1)
+        sorted_pos, sorted_lo = sorted_cols[:, :3], sorted_cols[:, 3:]
+    else:
+        bins, sorted_pos = bin_and_sort(positions, cutoff, max_cells=1)
+        sorted_lo = None
     total = pair_lag_reduce(
         sorted_pos,
         bins.sorted_keys,
         bins.info.strides,
         jnp.asarray(cutoff, positions.dtype) ** 2,
+        sorted_lo,
         M=M,
         L=L,
         term=term,

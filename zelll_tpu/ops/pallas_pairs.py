@@ -25,9 +25,16 @@ the kernel gather-free and layout-friendly:
    previous L slots plus its own M-slot block (blocks arrive via automatic
    BlockSpec pipelining), so every particle is read from HBM exactly once.
 
+Precision: with f32 coordinates in a large box, ``x_i - x_j`` suffers
+catastrophic cancellation (coordinates ~1e4 with ulp ~1e-3 destroy small
+separations). ``split=True`` carries each coordinate as an (hi, lo) f32
+pair splitting the f64 value; ``dx = (hi_i - hi_j) + (lo_i - lo_j)`` is
+exact in the leading term for nearby pairs (Sterbenz), recovering ~f64
+pair distances at f32 speed. This is how f64-grade LJ parity (1e-6,
+BASELINE.json) is reached on a chip without fast f64.
+
 The pair list never exists anywhere: interaction terms fuse into the lag
-loop (BASELINE.json north star: the build->iterate->reduce loop never
-leaves the chip).
+loop (the build->iterate->reduce loop never leaves the chip).
 """
 
 from __future__ import annotations
@@ -44,6 +51,7 @@ __all__ = [
     "pair_lag_reduce",
     "lag_coverage_ok",
     "suggest_lag",
+    "split_f64",
     "lj_term",
     "count_term",
 ]
@@ -59,6 +67,14 @@ def lj_term(dsq):
 
 def count_term(dsq):
     return jnp.ones_like(dsq)
+
+
+def split_f64(x64):
+    """Split (..,) f64 values into (hi, lo) f32 planes with hi + lo == x64
+    to f32x2 precision."""
+    hi = x64.astype(jnp.float32)
+    lo = (x64 - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
 
 
 def lag_coverage_ok(sorted_keys: jax.Array, strides: jax.Array, L: int):
@@ -85,11 +101,24 @@ def suggest_lag(sorted_keys_host, strides_host, granule: int = 128) -> int:
     return min(L, ((n + granule - 1) // granule) * granule)
 
 
-def _make_kernel(M: int, L: int, term: Callable, dtype, out_dtype):
+def _make_kernel(M: int, L: int, term: Callable, n_planes: int, split: bool,
+                 dtype, out_dtype):
+    """Kernel over ``n_planes`` coordinate planes + 1 key plane.
+
+    Plane order: [x, y, z] or [xh, yh, zh, xl, yl, zl] when split.
+    """
     Mr, Lr = M // LANES, L // LANES
     Wr = Mr + Lr  # rolling window rows
+    NP = n_planes + 1  # + key plane
 
-    def kernel(wkey_ref, csq_ref, xb, yb, zb, kb, out_ref, xw, yw, zw, kw):
+    def kernel(*refs):
+        # refs: wkey, csq, blocks (NP), out, window scratch (NP)
+        wkey_ref, csq_ref = refs[0], refs[1]
+        blocks = refs[2 : 2 + NP]
+        out_ref = refs[2 + NP]
+        wins = refs[3 + NP : 3 + 2 * NP]
+        kb, kw = blocks[-1], wins[-1]
+
         p = pl.program_id(0)
         w_key = wkey_ref[0]
         csq = csq_ref[0]
@@ -99,29 +128,23 @@ def _make_kernel(M: int, L: int, term: Callable, dtype, out_dtype):
             out_ref[...] = jnp.zeros_like(out_ref)
             # "nothing before the start": keys so small every real key is
             # out of the candidate window
-            kw[0:Lr] = jnp.full((Lr, LANES), jnp.iinfo(jnp.int32).min // 2,
-                                jnp.int32)
-            xw[0:Lr] = jnp.zeros((Lr, LANES), dtype)
-            yw[0:Lr] = jnp.zeros((Lr, LANES), dtype)
-            zw[0:Lr] = jnp.zeros((Lr, LANES), dtype)
+            kw[0:Lr] = jnp.full(
+                (Lr, LANES), jnp.iinfo(jnp.int32).min // 2, jnp.int32
+            )
+            for w in wins[:-1]:
+                w[0:Lr] = jnp.zeros((Lr, LANES), dtype)
 
         @pl.when(p != 0)
         def _():
             # roll: keep the last L slots of the previous window
-            kw[0:Lr] = kw[Wr - Lr : Wr]
-            xw[0:Lr] = xw[Wr - Lr : Wr]
-            yw[0:Lr] = yw[Wr - Lr : Wr]
-            zw[0:Lr] = zw[Wr - Lr : Wr]
+            for w in wins:
+                w[0:Lr] = w[Wr - Lr : Wr]
 
-        xw[Lr:Wr] = xb[...]
-        yw[Lr:Wr] = yb[...]
-        zw[Lr:Wr] = zb[...]
-        kw[Lr:Wr] = kb[...]
+        for w, b in zip(wins, blocks):
+            w[Lr:Wr] = b[...]
 
-        own_x = xw[Lr:Wr]
-        own_y = yw[Lr:Wr]
-        own_z = zw[Lr:Wr]
-        own_k = kw[Lr:Wr]
+        own = [w[Lr:Wr] for w in wins]
+        own_k = own[-1]
 
         # Working copies of the window, shifted right by `lag` in flattened
         # slot order (W^lag[f] == window[f - lag]). Incremental update per
@@ -137,28 +160,27 @@ def _make_kernel(M: int, L: int, term: Callable, dtype, out_dtype):
             return jnp.where(is_lane0, pltpu.roll(a, 1, axis=0), a)
 
         def lag_body(lag, carry):
-            sx, sy, sz, sk, acc = carry
-            sx = shift_right_one(sx)
-            sy = shift_right_one(sy)
-            sz = shift_right_one(sz)
-            sk = shift_right_one(sk)
-            jx, jy, jz, jk = (v[Lr:Wr] for v in (sx, sy, sz, sk))
-            dx = own_x - jx
-            dy = own_y - jy
-            dz = own_z - jz
+            *shifted, acc = carry
+            shifted = [shift_right_one(s) for s in shifted]
+            j = [s[Lr:Wr] for s in shifted]
+            jk = j[-1]
+            if split:
+                dx = (own[0] - j[0]) + (own[3] - j[3])
+                dy = (own[1] - j[1]) + (own[4] - j[4])
+                dz = (own[2] - j[2]) + (own[5] - j[5])
+            else:
+                dx = own[0] - j[0]
+                dy = own[1] - j[1]
+                dz = own[2] - j[2]
             dsq = dx * dx + dy * dy + dz * dz
             mask = (jk >= own_k - w_key) & (dsq < csq)
             vals = term(jnp.where(mask, dsq, jnp.ones_like(dsq)))
             acc = acc + jnp.where(mask, vals, jnp.zeros_like(vals)).astype(
                 out_dtype
             )
-            return sx, sy, sz, sk, acc
+            return (*shifted, acc)
 
-        init = (
-            xw[...],
-            yw[...],
-            zw[...],
-            kw[...],
+        init = tuple(w[...] for w in wins) + (
             jnp.zeros((Mr, LANES), out_dtype),
         )
         *_, acc = jax.lax.fori_loop(1, L + 1, lag_body, init)
@@ -167,14 +189,249 @@ def _make_kernel(M: int, L: int, term: Callable, dtype, out_dtype):
     return kernel
 
 
+def _make_forces_kernel(M: int, L: int, gfn: Callable, dtype):
+    """Forces kernel: per unique pair (i, j = i - lag), f_i += g(dsq) * d
+    and f_j -= g(dsq) * d (Newton's third law).
+
+    The j side lands at shifted window slots. A Horner-style accumulator
+    collects all j contributions with one element shift per (ascending)
+    lag: ``D <- shift_right_nowrap(D) + embed(c_lag)`` places c_lag (own
+    position m, emitted at iteration lag) at final flat position
+    m + (L - lag) ... shifted L - lag more times ... = L + m - lag, which
+    is exactly j's window slot — no scatters, no misaligned stores. The
+    shift zero-injects at flat 0 so roll wraparound never contaminates
+    real slots.
+
+    Completed force blocks flush to HBM one block behind the compute
+    (block p-1 is final once program p ends, since the backward reach is
+    L <= M); the grid runs one extra program to flush the last block.
+    """
+    Mr, Lr = M // LANES, L // LANES
+    Wr = Mr + Lr
+
+    def kernel(wkey_ref, csq_ref, xb, yb, zb, kb, fx_out, fy_out, fz_out,
+               xw, yw, zw, kw, fxb, fyb, fzb):
+        p = pl.program_id(0)
+        num_p = pl.num_programs(0)
+        w_key = wkey_ref[0]
+        csq = csq_ref[0]
+
+        @pl.when(p == 0)
+        def _():
+            kw[0:Lr] = jnp.full(
+                (Lr, LANES), jnp.iinfo(jnp.int32).min // 2, jnp.int32
+            )
+            for w in (xw, yw, zw):
+                w[0:Lr] = jnp.zeros((Lr, LANES), dtype)
+            for f in (fxb, fyb, fzb):
+                f[...] = jnp.zeros((2 * Mr, LANES), dtype)
+
+        # roll the force double-buffer: own block becomes "previous"
+        @pl.when(p != 0)
+        def _():
+            for f in (fxb, fyb, fzb):
+                f[0:Mr] = f[Mr : 2 * Mr]
+                f[Mr : 2 * Mr] = jnp.zeros((Mr, LANES), dtype)
+
+        @pl.when((p != 0) & (p < num_p - 1))
+        def _():
+            for w in (xw, yw, zw, kw):
+                w[0:Lr] = w[Wr - Lr : Wr]
+
+        @pl.when(p < num_p - 1)
+        def _():
+            xw[Lr:Wr] = xb[...]
+            yw[Lr:Wr] = yb[...]
+            zw[Lr:Wr] = zb[...]
+            kw[Lr:Wr] = kb[...]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Wr, LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (Wr, LANES), 0)
+        is_lane0 = lane == 0
+        is_flat0 = is_lane0 & (row == 0)
+
+        def shift_right_one(v):
+            a = pltpu.roll(v, 1, axis=1)
+            return jnp.where(is_lane0, pltpu.roll(a, 1, axis=0), a)
+
+        def shift_right_nowrap(v):
+            return jnp.where(
+                is_flat0, jnp.zeros((), v.dtype), shift_right_one(v)
+            )
+
+        @pl.when(p < num_p - 1)
+        def _():
+            own = [w[Lr:Wr] for w in (xw, yw, zw)]
+            own_k = kw[Lr:Wr]
+            padL = jnp.zeros((Lr, LANES), dtype)
+
+            def lag_body(lag, carry):
+                sx, sy, sz, sk, dxx, dyy, dzz, ax, ay, az = carry
+                sx = shift_right_one(sx)
+                sy = shift_right_one(sy)
+                sz = shift_right_one(sz)
+                sk = shift_right_one(sk)
+                j = [s[Lr:Wr] for s in (sx, sy, sz)]
+                jk = sk[Lr:Wr]
+                dx = own[0] - j[0]
+                dy = own[1] - j[1]
+                dz = own[2] - j[2]
+                dsq = dx * dx + dy * dy + dz * dz
+                mask = (jk >= own_k - w_key) & (dsq < csq) & (dsq > 0)
+                g = jnp.where(
+                    mask, gfn(jnp.where(mask, dsq, jnp.ones_like(dsq))), 0.0
+                ).astype(dtype)
+                clx = g * dx
+                cly = g * dy
+                clz = g * dz
+                ax += clx
+                ay += cly
+                az += clz
+                # Horner accumulation of the j side: embed c at rows [0:Mr]
+                dxx = shift_right_nowrap(dxx) + jnp.concatenate(
+                    [clx, padL], axis=0
+                )
+                dyy = shift_right_nowrap(dyy) + jnp.concatenate(
+                    [cly, padL], axis=0
+                )
+                dzz = shift_right_nowrap(dzz) + jnp.concatenate(
+                    [clz, padL], axis=0
+                )
+                return sx, sy, sz, sk, dxx, dyy, dzz, ax, ay, az
+
+            zW = jnp.zeros((Wr, LANES), dtype)
+            zM = jnp.zeros((Mr, LANES), dtype)
+            init = (
+                xw[...], yw[...], zw[...], kw[...],
+                zW, zW, zW, zM, zM, zM,
+            )
+            *_, dxx, dyy, dzz, ax, ay, az = jax.lax.fori_loop(
+                1, L + 1, lag_body, init
+            )
+            # After iteration `lag` the term has been shifted (L - lag)
+            # more times by the remaining iterations, landing at flat
+            # m + (L - lag) + ... hmm — the embed happens *after* the
+            # shift of this iteration, so total shifts applied to c_lag is
+            # (L - lag), final position m + L - lag == j's window slot
+            # L + m - lag requires ... see fold offset below.
+            #
+            # c_lag embeds at flat m, then receives (L - lag) shifts:
+            # final flat = m + L - lag. j's true window slot = L + m - lag.
+            # So D is offset by exactly -L ... no: (m + L - lag) vs
+            # (L + m - lag) — identical. D aligns with window slots.
+            # Window flat 0 is global p*M - L = force-buffer row Mr - Lr.
+            for f, c in ((fxb, dxx), (fyb, dyy), (fzb, dzz)):
+                f[Mr - Lr : Mr + Mr] += -c  # j side (Newton)
+            fxb[Mr : 2 * Mr] += ax
+            fyb[Mr : 2 * Mr] += ay
+            fzb[Mr : 2 * Mr] += az
+
+        # flush the completed previous block
+        fx_out[...] = fxb[0:Mr]
+        fy_out[...] = fyb[0:Mr]
+        fz_out[...] = fzb[0:Mr]
+
+    return kernel
+
+
 @functools.partial(
-    jax.jit, static_argnames=("M", "L", "term", "interpret", "out_dtype")
+    jax.jit, static_argnames=("M", "L", "gfn", "interpret")
+)
+def pair_lag_forces(
+    sorted_pos: jax.Array,  # (n, 3) cell-key-sorted positions
+    sorted_keys: jax.Array,
+    strides: jax.Array,
+    cutoff_sq,
+    *,
+    M: int = 1024,
+    L: int = 256,
+    gfn: Callable = None,
+    interpret: bool = False,
+):
+    """Per-particle pairwise forces in sorted-slot order.
+
+    f_i = sum over unique cutoff pairs of ``gfn(dsq) * (p_i - p_j)`` with
+    the equal-and-opposite contribution on j. Self/coincident particles
+    (dsq == 0) are excluded (matching `pair_forces` semantics: the
+    reference leaves r == 0 to the caller; LJ diverges there anyway).
+    Returns (n, 3) forces aligned with `sorted_pos`.
+    """
+    if gfn is None:
+        from .lj import lj_force_factor as gfn  # default LJ
+
+    n = sorted_pos.shape[0]
+    dtype = sorted_pos.dtype
+    assert M % LANES == 0 and L % LANES == 0 and L >= LANES and L <= M
+    if not interpret:
+        assert M % (8 * LANES) == 0, "compiled mode requires M % 1024 == 0"
+
+    P = -(-n // M)
+    tail = P * M - n
+    big = jnp.asarray(jnp.iinfo(jnp.int32).max // 2, jnp.int32)
+    keys_p = jnp.concatenate([sorted_keys, jnp.full((tail,), big, jnp.int32)])
+    spread = (
+        jnp.arange(1, tail + 1, dtype=dtype) * jnp.asarray(1e5, dtype)
+        + jnp.asarray(1e12, dtype)
+    )
+    planes = [
+        jnp.concatenate([sorted_pos[:, a], spread]).reshape(-1, LANES)
+        for a in range(3)
+    ]
+    kp = keys_p.reshape(-1, LANES)
+
+    w_key = (strides[1] + strides[2] + 1).astype(jnp.int32).reshape(1)
+    csq = jnp.asarray(cutoff_sq, dtype).reshape(1)
+
+    Mr = M // LANES
+    kernel = _make_forces_kernel(M, L, gfn, dtype)
+    # one extra program flushes the final block; its block reads clamp to
+    # the last real block (compute masked off)
+    bs = lambda: pl.BlockSpec(
+        (Mr, LANES), lambda p, s1, s2: (jnp.minimum(p, P - 1), 0)
+    )
+    out_bs = pl.BlockSpec(
+        (Mr, LANES),
+        lambda p, s1, s2: (jnp.maximum(p - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    win = lambda dt, rows: pltpu.VMEM((rows, LANES), dt)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P + 1,),
+        in_specs=[bs(), bs(), bs(), bs()],
+        out_specs=[out_bs, out_bs, out_bs],
+        scratch_shapes=[
+            win(dtype, Mr + L // LANES),
+            win(dtype, Mr + L // LANES),
+            win(dtype, Mr + L // LANES),
+            win(jnp.int32, Mr + L // LANES),
+            win(dtype, 2 * Mr),
+            win(dtype, 2 * Mr),
+            win(dtype, 2 * Mr),
+        ],
+    )
+    fx, fy, fz = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((P * Mr, LANES), dtype)] * 3,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(w_key, csq, *planes, kp)
+    forces = jnp.stack(
+        [fx.reshape(-1)[:n], fy.reshape(-1)[:n], fz.reshape(-1)[:n]], axis=-1
+    )
+    return forces
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("M", "L", "term", "interpret", "out_dtype"),
 )
 def pair_lag_reduce(
-    sorted_pos: jax.Array,  # (n, 3) cell-key-sorted positions
+    sorted_pos: jax.Array,  # (n, 3) cell-key-sorted positions (hi part)
     sorted_keys: jax.Array,  # (n,) ascending flat cell keys
     strides: jax.Array,  # (3,) grid strides (ascending)
     cutoff_sq,
+    sorted_pos_lo: jax.Array | None = None,  # (n, 3) f32x2 low parts
     *,
     M: int = 1024,
     L: int = 256,
@@ -185,9 +442,16 @@ def pair_lag_reduce(
     """Sum ``term(dsq)`` over all unique cutoff-filtered pairs.
 
     L must satisfy `lag_coverage_ok` (host/XLA-checked separately; one
-    shifted vector compare). M and L must be multiples of 128.
+    shifted vector compare). M must be a multiple of 1024 (compiled), L a
+    multiple of 128, L <= M.
+
+    Passing ``sorted_pos_lo`` (the f32 low parts of the original f64
+    coordinates, see `split_f64`) enables split-precision pair separations:
+    ``dx = (hi_i - hi_j) + (lo_i - lo_j)`` — f64-grade distances at f32
+    speed (see module docstring).
     """
     n = sorted_pos.shape[0]
+    split = sorted_pos_lo is not None
     dtype = sorted_pos.dtype
     out_dtype = out_dtype or dtype
     assert M % LANES == 0 and L % LANES == 0 and L >= LANES
@@ -211,33 +475,37 @@ def pair_lag_reduce(
         jnp.concatenate([sorted_pos[:, a], spread]).reshape(-1, LANES)
         for a in range(3)
     ]
-    xp, yp, zp = planes
+    if split:
+        planes += [
+            jnp.concatenate(
+                [sorted_pos_lo[:, a], jnp.zeros_like(spread)]
+            ).reshape(-1, LANES)
+            for a in range(3)
+        ]
     kp = keys_p.reshape(-1, LANES)
+    n_planes = len(planes)
 
     w_key = (strides[1] + strides[2] + 1).astype(jnp.int32).reshape(1)
     csq = jnp.asarray(cutoff_sq, dtype).reshape(1)
 
     Mr = M // LANES
-    kernel = _make_kernel(M, L, term, dtype, out_dtype)
-    bs = lambda dt: pl.BlockSpec((Mr, LANES), lambda p, s1, s2: (p, 0))
+    kernel = _make_kernel(M, L, term, n_planes, split, dtype, out_dtype)
+    bs = lambda: pl.BlockSpec((Mr, LANES), lambda p, s1, s2: (p, 0))
+    win = lambda dt: pltpu.VMEM((Mr + L // LANES, LANES), dt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(P,),
-        in_specs=[bs(dtype), bs(dtype), bs(dtype), bs(jnp.int32)],
+        in_specs=[bs() for _ in range(n_planes + 1)],
         out_specs=pl.BlockSpec(
             (Mr, LANES), lambda p, s1, s2: (0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((Mr + L // LANES, LANES), dtype),
-            pltpu.VMEM((Mr + L // LANES, LANES), dtype),
-            pltpu.VMEM((Mr + L // LANES, LANES), dtype),
-            pltpu.VMEM((Mr + L // LANES, LANES), jnp.int32),
-        ],
+        scratch_shapes=[win(dtype) for _ in range(n_planes)]
+        + [win(jnp.int32)],
     )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Mr, LANES), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(w_key, csq, xp, yp, zp, kp)
+    )(w_key, csq, *planes, kp)
     return jnp.sum(out)
