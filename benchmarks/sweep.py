@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     maxexp = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     out_path = sys.argv[2] if len(sys.argv) > 2 else None
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    reps_env = os.environ.get("BENCH_REPS")
 
     import jax
 
@@ -71,6 +71,9 @@ def main():
 
     for exp in range(2, maxexp + 1):
         n = 10**exp
+        # scale reps so each timed loop runs well above the ~28 ms dispatch
+        # RTT even for tiny n
+        reps = int(reps_env) if reps_env else min(2000, max(5, 3_000_000 // n))
         cutoff = 10.0
         pts = generate_points_random(n, lj_box(n, cutoff))
         pos = jax.device_put(jnp.asarray(pts, jnp.float32))

@@ -49,6 +49,22 @@ __all__ = [
 ]
 
 
+def _dsq(a, b):
+    """Squared distance with the spatial axis unrolled.
+
+    XLA:TPU lowers ``((a - b) ** 2).sum(-1)`` over a minor dim of 3 by
+    materializing the full difference tensor (measured ~8x slower at
+    scale); per-axis accumulation fuses cleanly.
+    """
+    dim = a.shape[-1]
+    d0 = a[..., 0] - b[..., 0]
+    total = d0 * d0
+    for ax in range(1, dim):
+        d = a[..., ax] - b[..., ax]
+        total = total + d * d
+    return total
+
+
 def _gather_window(grid: CellGridData, starts, counts, K: int):
     """Padded bucket gather: contiguous K-window per cell slice.
 
@@ -101,8 +117,7 @@ class PairBlock:
 
     def intra_dsq(self):
         """(B, K, K) squared distances + unique-pair mask (k1 < k2)."""
-        d = self.own_pos[:, :, None, :] - self.own_pos[:, None, :, :]
-        dsq = jnp.sum(d * d, axis=-1)
+        dsq = _dsq(self.own_pos[:, :, None, :], self.own_pos[:, None, :, :])
         K = self.own_mask.shape[-1]
         tri = jnp.tril(jnp.ones((K, K), jnp.bool_), -1).T  # strictly upper
         mask = (
@@ -115,8 +130,7 @@ class PairBlock:
 
     def inter_dsq(self):
         """(B, K, S*K) squared distances own x neighbors + mask."""
-        d = self.own_pos[:, :, None, :] - self.nb_pos[:, None, :, :]
-        dsq = jnp.sum(d * d, axis=-1)
+        dsq = _dsq(self.own_pos[:, :, None, :], self.nb_pos[:, None, :, :])
         mask = (
             self.own_mask[:, :, None]
             & self.nb_mask[:, None, :]
@@ -236,28 +250,37 @@ def pair_forces(
         return jnp.where(mask, gfn(safe), 0)
 
     def body(forces, blk: PairBlock):
+        # spatial axis unrolled (see _dsq) to keep TPU lowering fused
+        def axis_pairs(a_pos, b_pos):
+            return [
+                a_pos[..., ax][:, :, None] - b_pos[..., ax][:, None, :]
+                for ax in range(dim)
+            ]
+
         # intra-cell
-        d = blk.own_pos[:, :, None, :] - blk.own_pos[:, None, :, :]
-        dsq = jnp.sum(d * d, axis=-1)
+        ds = axis_pairs(blk.own_pos, blk.own_pos)
+        dsq = sum(d * d for d in ds)
         Kb = blk.own_mask.shape[-1]
         tri = jnp.tril(jnp.ones((Kb, Kb), jnp.bool_), -1).T
         m = tri & blk.own_mask[:, :, None] & blk.own_mask[:, None, :]
         m = m & blk.row_valid[:, None, None]
         g = masked_g(dsq, m).astype(dtype)
-        f_pair = d * g[..., None]  # (B, K, K, dim), force on k1 from k2
-        f_i = jnp.sum(f_pair, axis=2)
-        f_j = -jnp.sum(f_pair, axis=1)
+        f_i = jnp.stack([jnp.sum(d * g, axis=2) for d in ds], axis=-1)
+        f_j = jnp.stack([-jnp.sum(d * g, axis=1) for d in ds], axis=-1)
         forces = forces.at[blk.own_slots].add(f_i + f_j)
 
         # inter-cell
-        d = blk.own_pos[:, :, None, :] - blk.nb_pos[:, None, :, :]
-        dsq = jnp.sum(d * d, axis=-1)
+        ds = axis_pairs(blk.own_pos, blk.nb_pos)
+        dsq = sum(d * d for d in ds)
         m = blk.own_mask[:, :, None] & blk.nb_mask[:, None, :]
         m = m & blk.row_valid[:, None, None]
         g = masked_g(dsq, m).astype(dtype)
-        f_pair = d * g[..., None]  # (B, K, S*K, dim)
-        forces = forces.at[blk.own_slots].add(jnp.sum(f_pair, axis=2))
-        forces = forces.at[blk.nb_slots].add(-jnp.sum(f_pair, axis=1))
+        forces = forces.at[blk.own_slots].add(
+            jnp.stack([jnp.sum(d * g, axis=2) for d in ds], axis=-1)
+        )
+        forces = forces.at[blk.nb_slots].add(
+            jnp.stack([-jnp.sum(d * g, axis=1) for d in ds], axis=-1)
+        )
         return forces
 
     # one extra dump row at index n swallows masked scatters
