@@ -1,0 +1,5 @@
+"""End-to-end workloads: LJ molecular dynamics, smooth-distance-field
+surface sampling (psssh), samplers."""
+
+from .lj_md import MDState, md_run, md_step
+from .sdf import ELEMENT_RADII, SmoothDistanceField

@@ -183,7 +183,13 @@ def _make_kernel(M: int, L: int, term: Callable, n_planes: int, split: bool,
         init = tuple(w[...] for w in wins) + (
             jnp.zeros((Mr, LANES), out_dtype),
         )
-        *_, acc = jax.lax.fori_loop(1, L + 1, lag_body, init)
+        # dynamic lag bound: pairs with lag > nlag have
+        # key_j < own_k[0] - W <= key_i - W and are masked anyway, so the
+        # iterations can be skipped outright (big win when L is padded
+        # above the data's true window)
+        cnt = jnp.sum((kw[...] >= own_k[0, 0] - w_key).astype(jnp.int32))
+        nlag = jnp.clip(cnt - 1, 0, L)
+        *_, acc = jax.lax.fori_loop(1, nlag + 1, lag_body, init)
         out_ref[...] += acc
 
     return kernel
@@ -305,6 +311,10 @@ def _make_forces_kernel(M: int, L: int, gfn: Callable, dtype):
                 xw[...], yw[...], zw[...], kw[...],
                 zW, zW, zW, zM, zM, zM,
             )
+            # NOTE: the forces Horner accumulator needs the full L
+            # iterations of shifting to land contributions at their final
+            # positions, so instead of shortening the loop we just run it;
+            # a dynamic bound here would require a final variable shift.
             *_, dxx, dyy, dzz, ax, ay, az = jax.lax.fori_loop(
                 1, L + 1, lag_body, init
             )
