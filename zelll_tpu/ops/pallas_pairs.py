@@ -81,7 +81,7 @@ def lag_coverage_ok(sorted_keys: jax.Array, strides: jax.Array, L: int):
     """True iff lag bound L covers every in-window pair:
     key[i] - key[i-L] > W for all i (padding keys included is conservative).
     """
-    w = strides[1] + strides[2] + 1
+    w = jnp.sum(strides[1:]) + 1
     if sorted_keys.shape[0] <= L:
         return jnp.asarray(True)
     return jnp.all(sorted_keys[L:] - sorted_keys[:-L] > w)
@@ -91,7 +91,7 @@ def suggest_lag(sorted_keys_host, strides_host, granule: int = 128) -> int:
     """Smallest granule multiple L with full coverage (host-side helper)."""
     import numpy as np
 
-    w = int(strides_host[1] + strides_host[2] + 1)
+    w = int(np.sum(strides_host[1:]) + 1)
     n = len(sorted_keys_host)
     L = granule
     while L < n and not np.all(
@@ -159,37 +159,43 @@ def _make_kernel(M: int, L: int, term: Callable, n_planes: int, split: bool,
             a = pltpu.roll(v, 1, axis=1)
             return jnp.where(is_lane0, pltpu.roll(a, 1, axis=0), a)
 
-        def lag_body(lag, carry):
-            *shifted, acc = carry
+        ncoord = n_planes // 2 if split else n_planes
+
+        # Early-exit lag loop: the key window is monotone in lag — once no
+        # own particle's lag-partner is key-in-window, no later lag can be
+        # (j only gets older). Saves the padding between the data's true
+        # max lag and the static bound L.
+        def cond(carry):
+            lag, active = carry[0], carry[1]
+            return (lag <= L) & active
+
+        def lag_body(carry):
+            lag, active, *rest = carry
+            *shifted, acc = rest
             shifted = [shift_right_one(s) for s in shifted]
             j = [s[Lr:Wr] for s in shifted]
             jk = j[-1]
-            if split:
-                dx = (own[0] - j[0]) + (own[3] - j[3])
-                dy = (own[1] - j[1]) + (own[4] - j[4])
-                dz = (own[2] - j[2]) + (own[5] - j[5])
-            else:
-                dx = own[0] - j[0]
-                dy = own[1] - j[1]
-                dz = own[2] - j[2]
-            dsq = dx * dx + dy * dy + dz * dz
-            mask = (jk >= own_k - w_key) & (dsq < csq)
+            dsq = jnp.zeros((Mr, LANES), dtype)
+            for a in range(ncoord):
+                d = own[a] - j[a]
+                if split:
+                    d = d + (own[a + ncoord] - j[a + ncoord])
+                dsq = dsq + d * d
+            keymask = jk >= own_k - w_key
+            mask = keymask & (dsq < csq)
             vals = term(jnp.where(mask, dsq, jnp.ones_like(dsq)))
             acc = acc + jnp.where(mask, vals, jnp.zeros_like(vals)).astype(
                 out_dtype
             )
-            return (*shifted, acc)
+            return (lag + 1, jnp.any(keymask), *shifted, acc)
 
-        init = tuple(w[...] for w in wins) + (
+        init = (
+            jnp.asarray(1, jnp.int32),
+            jnp.asarray(True),
+            *(w[...] for w in wins),
             jnp.zeros((Mr, LANES), out_dtype),
         )
-        # dynamic lag bound: pairs with lag > nlag have
-        # key_j < own_k[0] - W <= key_i - W and are masked anyway, so the
-        # iterations can be skipped outright (big win when L is padded
-        # above the data's true window)
-        cnt = jnp.sum((kw[...] >= own_k[0, 0] - w_key).astype(jnp.int32))
-        nlag = jnp.clip(cnt - 1, 0, L)
-        *_, acc = jax.lax.fori_loop(1, nlag + 1, lag_body, init)
+        *_, acc = jax.lax.while_loop(cond, lag_body, init)
         out_ref[...] += acc
 
     return kernel
@@ -361,7 +367,8 @@ def pair_lag_forces(
     """Per-particle pairwise forces in sorted-slot order.
 
     f_i = sum over unique cutoff pairs of ``gfn(dsq) * (p_i - p_j)`` with
-    the equal-and-opposite contribution on j. Self/coincident particles
+    the equal-and-opposite contribution on j. 3D only (the XLA
+    `core.pairs.pair_forces` path is N-dimensional). Self/coincident particles
     (dsq == 0) are excluded (matching `pair_forces` semantics: the
     reference leaves r == 0 to the caller; LJ diverges there anyway).
     Returns (n, 3) forces aligned with `sorted_pos`.
@@ -371,6 +378,7 @@ def pair_lag_forces(
 
     n = sorted_pos.shape[0]
     dtype = sorted_pos.dtype
+    assert sorted_pos.shape[1] == 3, "pair_lag_forces is 3D-only"
     assert M % LANES == 0 and L % LANES == 0 and L >= LANES and L <= M
     if not interpret:
         assert M % (8 * LANES) == 0, "compiled mode requires M % 1024 == 0"
@@ -389,7 +397,7 @@ def pair_lag_forces(
     ]
     kp = keys_p.reshape(-1, LANES)
 
-    w_key = (strides[1] + strides[2] + 1).astype(jnp.int32).reshape(1)
+    w_key = (jnp.sum(strides[1:]) + 1).astype(jnp.int32).reshape(1)
     csq = jnp.asarray(cutoff_sq, dtype).reshape(1)
 
     Mr = M // LANES
@@ -481,21 +489,22 @@ def pair_lag_reduce(
         jnp.arange(1, tail + 1, dtype=dtype) * jnp.asarray(1e5, dtype)
         + jnp.asarray(1e12, dtype)
     )
+    dim = sorted_pos.shape[1]
     planes = [
         jnp.concatenate([sorted_pos[:, a], spread]).reshape(-1, LANES)
-        for a in range(3)
+        for a in range(dim)
     ]
     if split:
         planes += [
             jnp.concatenate(
                 [sorted_pos_lo[:, a], jnp.zeros_like(spread)]
             ).reshape(-1, LANES)
-            for a in range(3)
+            for a in range(dim)
         ]
     kp = keys_p.reshape(-1, LANES)
     n_planes = len(planes)
 
-    w_key = (strides[1] + strides[2] + 1).astype(jnp.int32).reshape(1)
+    w_key = (jnp.sum(strides[1:]) + 1).astype(jnp.int32).reshape(1)
     csq = jnp.asarray(cutoff_sq, dtype).reshape(1)
 
     Mr = M // LANES
