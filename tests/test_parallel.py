@@ -95,3 +95,42 @@ def test_sharded_md_step_forces_match_single_device():
         np.testing.assert_allclose(
             np.sort(a, axis=0), np.sort(b, axis=0), rtol=1e-6, atol=1e-12
         )
+
+
+def test_sharded_pallas_energy_matches_reference():
+    pts = _cloud(n=640, seed=7)
+    cutoff = 1.0
+    mesh = make_mesh(8)
+    parts, n_local = partition_by_slab(pts, cutoff, 8)
+    sharding = NamedSharding(mesh, P("z", None))
+    positions = jax.device_put(jnp.asarray(parts), sharding)
+
+    efn = sharded_lj_energy(
+        mesh, cutoff=cutoff, H=64, use_pallas=True, M=256, L=128,
+        interpret=True,
+    )
+    got = float(efn(positions))
+    np.testing.assert_allclose(got, _ref_energy(pts, cutoff), rtol=1e-9)
+
+
+def test_sharded_pallas_md_step_matches_xla_path():
+    pts = _cloud(n=480, seed=8)
+    cutoff = 1.0
+    mesh = make_mesh(8)
+    parts, n_local = partition_by_slab(pts, cutoff, 8)
+    sharding = NamedSharding(mesh, P("z", None))
+    positions = jax.device_put(jnp.asarray(parts), sharding)
+    velocities = jax.device_put(jnp.zeros_like(positions), sharding)
+
+    dt = 1e-8
+    s1 = sharded_md_step(mesh, cutoff=cutoff, H=60, K=16, chunk=16, dt=dt)
+    s2 = sharded_md_step(
+        mesh, cutoff=cutoff, H=60, dt=dt, use_pallas=True, M=256, L=128,
+        interpret=True,
+    )
+    p1, v1, e1 = s1(positions, velocities)
+    p2, v2, e2 = s2(positions, velocities)
+    np.testing.assert_allclose(float(e1), float(e2), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-8,
+                               atol=1e-14)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-9)

@@ -112,16 +112,17 @@ def _make_kernel(M: int, L: int, term: Callable, n_planes: int, split: bool,
     NP = n_planes + 1  # + key plane
 
     def kernel(*refs):
-        # refs: wkey, csq, blocks (NP), out, window scratch (NP)
-        wkey_ref, csq_ref = refs[0], refs[1]
-        blocks = refs[2 : 2 + NP]
-        out_ref = refs[2 + NP]
-        wins = refs[3 + NP : 3 + 2 * NP]
+        # refs: wkey, csq, min_islot, blocks (NP), out, window scratch (NP)
+        wkey_ref, csq_ref, mislot_ref = refs[0], refs[1], refs[2]
+        blocks = refs[3 : 3 + NP]
+        out_ref = refs[3 + NP]
+        wins = refs[4 + NP : 4 + 2 * NP]
         kb, kw = blocks[-1], wins[-1]
 
         p = pl.program_id(0)
         w_key = wkey_ref[0]
         csq = csq_ref[0]
+        min_islot = mislot_ref[0]
 
         @pl.when(p == 0)
         def _():
@@ -145,6 +146,15 @@ def _make_kernel(M: int, L: int, term: Callable, n_planes: int, split: bool,
 
         own = [w[Lr:Wr] for w in wins]
         own_k = own[-1]
+        # ownership mask: only rows with global slot >= min_islot emit
+        # pairs (distributed half-pair ownership: the device owning the
+        # larger-slot endpoint counts the pair)
+        own_slot = (
+            jax.lax.broadcasted_iota(jnp.int32, (Mr, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (Mr, LANES), 1)
+            + p * M
+        )
+        own_owned = own_slot >= min_islot
 
         # Working copies of the window, shifted right by `lag` in flattened
         # slot order (W^lag[f] == window[f - lag]). Incremental update per
@@ -182,7 +192,7 @@ def _make_kernel(M: int, L: int, term: Callable, n_planes: int, split: bool,
                     d = d + (own[a + ncoord] - j[a + ncoord])
                 dsq = dsq + d * d
             keymask = jk >= own_k - w_key
-            mask = keymask & (dsq < csq)
+            mask = keymask & (dsq < csq) & own_owned
             vals = term(jnp.where(mask, dsq, jnp.ones_like(dsq)))
             acc = acc + jnp.where(mask, vals, jnp.zeros_like(vals)).astype(
                 out_dtype
@@ -456,6 +466,7 @@ def pair_lag_reduce(
     term: Callable = lj_term,
     interpret: bool = False,
     out_dtype=None,
+    min_islot=0,
 ):
     """Sum ``term(dsq)`` over all unique cutoff-filtered pairs.
 
@@ -467,6 +478,11 @@ def pair_lag_reduce(
     coordinates, see `split_f64`) enables split-precision pair separations:
     ``dx = (hi_i - hi_j) + (lo_i - lo_j)`` — f64-grade distances at f32
     speed (see module docstring).
+
+    ``min_islot``: only pairs whose larger-slot endpoint has sorted slot
+    >= min_islot are counted — the distributed ownership rule for halo
+    regions (a device reduces over [left ghosts | owned] with
+    min_islot = #ghosts and each pair is counted exactly once globally).
     """
     n = sorted_pos.shape[0]
     split = sorted_pos_lo is not None
@@ -506,17 +522,18 @@ def pair_lag_reduce(
 
     w_key = (jnp.sum(strides[1:]) + 1).astype(jnp.int32).reshape(1)
     csq = jnp.asarray(cutoff_sq, dtype).reshape(1)
+    mislot = jnp.asarray(min_islot, jnp.int32).reshape(1)
 
     Mr = M // LANES
     kernel = _make_kernel(M, L, term, n_planes, split, dtype, out_dtype)
-    bs = lambda: pl.BlockSpec((Mr, LANES), lambda p, s1, s2: (p, 0))
+    bs = lambda: pl.BlockSpec((Mr, LANES), lambda p, s1, s2, s3: (p, 0))
     win = lambda dt: pltpu.VMEM((Mr + L // LANES, LANES), dt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(P,),
         in_specs=[bs() for _ in range(n_planes + 1)],
         out_specs=pl.BlockSpec(
-            (Mr, LANES), lambda p, s1, s2: (0, 0), memory_space=pltpu.VMEM
+            (Mr, LANES), lambda p, s1, s2, s3: (0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[win(dtype) for _ in range(n_planes)]
         + [win(jnp.int32)],
@@ -526,5 +543,5 @@ def pair_lag_reduce(
         out_shape=jax.ShapeDtypeStruct((Mr, LANES), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(w_key, csq, *planes, kp)
+    )(w_key, csq, mislot, *planes, kp)
     return jnp.sum(out)

@@ -35,11 +35,17 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.binning import bin_and_sort
+from ..core.binning import bin_and_sort, compute_keys
 from ..core.geometry import Aabb, GridInfo
 from ..core.grid import build
 from ..core.pairs import pair_energy_per_particle, pair_forces
 from ..ops.lj import lj, lj_force_factor
+from ..ops.pallas_pairs import (
+    lag_coverage_ok,
+    lj_term,
+    pair_lag_forces,
+    pair_lag_reduce,
+)
 
 __all__ = ["make_mesh", "partition_by_slab", "sharded_md_step", "sharded_lj_energy"]
 
@@ -102,16 +108,25 @@ def sharded_md_step(
     *,
     cutoff: float,
     H: int,
-    K: int,
+    K: int = 32,
     dt: float = 1e-4,
     chunk: int = 64,
+    use_pallas: bool = False,
+    M: int = 4096,
+    L: int = 256,
+    interpret: bool = False,
 ):
     """Build a jitted velocity-Verlet-style MD step over the mesh.
 
     step(positions, velocities) -> (positions, velocities, energy) where
     positions/velocities are (n, 3) sharded along axis 0 ('z' slabs of the
-    globally sorted order). H = halo capacity (particles per boundary), K =
-    bucket capacity for the XLA pair path.
+    globally sorted order). H = halo capacity (particles per boundary).
+
+    ``use_pallas=True`` runs the fused lag kernels per shard (the TPU
+    production path); the default XLA path works everywhere and is the
+    parity reference. Energy uses the distributed ownership rule: each
+    pair counted by the device owning its larger-slot endpoint
+    (min_islot = H over [left ghosts | owned]).
     """
 
     def local_step(pos, vel):
@@ -123,15 +138,32 @@ def sharded_md_step(
 
         gl, gr, idx, nd = _halo_exchange(pos_s, H)
         ext = jnp.concatenate([gl, pos_s, gr], axis=0)
-
-        grid = build(ext, cutoff, info=info)
-        csq = jnp.asarray(cutoff, pos.dtype) ** 2
-        forces = pair_forces(grid, lj_force_factor, K=K, chunk=chunk, cutoff_sq=csq)
-        e_pp = pair_energy_per_particle(grid, lj, K=K, chunk=chunk, cutoff_sq=csq)
-
         n_loc = pos_s.shape[0]
-        f_own = forces[H : H + n_loc]
-        energy = jax.lax.psum(jnp.sum(e_pp[H : H + n_loc]), AXIS)
+        csq = jnp.asarray(cutoff, pos.dtype) ** 2
+
+        if use_pallas:
+            keys_ext = compute_keys(ext, info)
+            f = pair_lag_forces(
+                ext, keys_ext, info.strides, csq,
+                M=M, L=L, gfn=lj_force_factor, interpret=interpret,
+            )
+            f_own = f[H : H + n_loc]
+            keys_e = keys_ext[: H + n_loc]
+            e_loc = pair_lag_reduce(
+                ext[: H + n_loc], keys_e, info.strides, csq,
+                M=M, L=L, term=lj_term, interpret=interpret, min_islot=H,
+            )
+            energy = jax.lax.psum(e_loc, AXIS)
+        else:
+            grid = build(ext, cutoff, info=info)
+            forces = pair_forces(
+                grid, lj_force_factor, K=K, chunk=chunk, cutoff_sq=csq
+            )
+            e_pp = pair_energy_per_particle(
+                grid, lj, K=K, chunk=chunk, cutoff_sq=csq
+            )
+            f_own = forces[H : H + n_loc]
+            energy = jax.lax.psum(jnp.sum(e_pp[H : H + n_loc]), AXIS)
 
         vel_new = vel_s + dt * f_own
         pos_new = pos_s + dt * vel_new
@@ -147,18 +179,37 @@ def sharded_md_step(
     return jax.jit(step)
 
 
-def sharded_lj_energy(mesh: Mesh, *, cutoff: float, H: int, K: int, chunk: int = 64):
+def sharded_lj_energy(
+    mesh: Mesh,
+    *,
+    cutoff: float,
+    H: int,
+    K: int = 32,
+    chunk: int = 64,
+    use_pallas: bool = False,
+    M: int = 4096,
+    L: int = 256,
+    interpret: bool = False,
+):
     """Jitted global LJ energy over slab-sharded positions (exact)."""
 
     def local(pos):
         info = _global_grid_info(pos, cutoff)
         bins, pos_s = bin_and_sort(pos, cutoff, max_cells=1, info=info)
         gl, gr, *_ = _halo_exchange(pos_s, H)
+        csq = jnp.asarray(cutoff, pos.dtype) ** 2
+        n_loc = pos_s.shape[0]
+        if use_pallas:
+            ext = jnp.concatenate([gl, pos_s], axis=0)
+            keys_ext = compute_keys(ext, info)
+            e_loc = pair_lag_reduce(
+                ext, keys_ext, info.strides, csq,
+                M=M, L=L, term=lj_term, interpret=interpret, min_islot=H,
+            )
+            return jax.lax.psum(e_loc, AXIS)
         ext = jnp.concatenate([gl, pos_s, gr], axis=0)
         grid = build(ext, cutoff, info=info)
-        csq = jnp.asarray(cutoff, pos.dtype) ** 2
         e_pp = pair_energy_per_particle(grid, lj, K=K, chunk=chunk, cutoff_sq=csq)
-        n_loc = pos_s.shape[0]
         return jax.lax.psum(jnp.sum(e_pp[H : H + n_loc]), AXIS)
 
     return jax.jit(
