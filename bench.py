@@ -61,20 +61,32 @@ def main():
 
     M = int(os.environ.get("BENCH_M", "8192"))
     L = int(os.environ.get("BENCH_L", "256"))
+    # split precision: f32x2 coordinates -> f64-grade LJ parity (~1e-7 vs
+    # the f64 oracle) at a ~1.5x kernel cost; plain f32 is the headline
+    split = os.environ.get("BENCH_SPLIT", "0") == "1"
 
     t0 = time.time()
     pts64 = generate_points_random(N, lj_box(N, CUTOFF))
     gen_s = time.time() - t0
 
     positions = jax.device_put(jnp.asarray(pts64, jnp.float32))
+    pos_lo = (
+        jax.device_put(
+            jnp.asarray(pts64 - np.asarray(positions, np.float64), jnp.float32)
+        )
+        if split
+        else None
+    )
 
     @jax.jit
     def step(pos):
-        return fused_lj_rebuild_energy(pos, CUTOFF, M=M, L=L)
+        return fused_lj_rebuild_energy(pos, CUTOFF, pos_lo, M=M, L=L)
 
     @jax.jit
     def count_step(pos):
-        return fused_lj_rebuild_energy(pos, CUTOFF, M=M, L=L, term=count_term)
+        return fused_lj_rebuild_energy(
+            pos, CUTOFF, pos_lo, M=M, L=L, term=count_term
+        )
 
     @jax.jit
     def bench_loop(pos):
@@ -104,7 +116,8 @@ def main():
 
     pairs_per_sec = npairs / dt
     result = {
-        "metric": f"lj_cutoff_pairs_per_sec_full_rebuild_n{N:.0e}",
+        "metric": f"lj_cutoff_pairs_per_sec_full_rebuild_n{N:.0e}"
+        + ("_f64grade" if split else ""),
         "value": pairs_per_sec,
         "unit": "pairs/s",
         "vs_baseline": pairs_per_sec / TARGET_PAIRS_PER_SEC,
