@@ -117,3 +117,22 @@ def test_lj_energy_method():
     np.testing.assert_allclose(
         cg.lj_energy(), (4 * t3 * (t3 - 1)).sum(), rtol=1e-9
     )
+
+
+def test_pairs_method():
+    rng = np.random.default_rng(7)
+    pts = rng.random((80, 3)) * 3.0
+    cg = CellGrid(pts, 1.0)
+    i, j = cg.pairs(within_cutoff=True)
+    got = {(min(a, b), max(a, b)) for a, b in zip(i.tolist(), j.tolist())}
+    d = pts[:, None] - pts[None]
+    dsq = (d * d).sum(-1)
+    want = {
+        (a, b)
+        for a in range(80)
+        for b in range(a + 1, 80)
+        if dsq[a, b] < 1.0
+    }
+    assert got == want
+    ic, jc = cg.pairs()
+    assert len(ic) >= len(i)

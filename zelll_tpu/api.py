@@ -231,6 +231,31 @@ class CellGrid:
             out.append(sel[sel < n])
         return out, ok
 
+    def pairs(self, within_cutoff: bool = False):
+        """Unique pairs as (i, j) numpy index arrays (one device pass).
+
+        ``within_cutoff=True`` filters by distance < cutoff on device —
+        the array-native equivalent of iterating + filtering.
+        """
+        if self._grid is None or len(self._pts) < 2:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        if not within_cutoff:
+            return self._candidate_pairs()
+        from .core import count_pairs, materialize_pairs
+
+        g = self._grid
+        csq = self._cutoff * self._cutoff
+        chunk = min(256, g.bins.max_cells)
+        total = int(count_pairs(g, K=self._K, chunk=chunk, cutoff_sq=csq))
+        if total == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        i, j, cnt, overflow = materialize_pairs(
+            g, K=self._K, max_pairs=_round_capacity(total), chunk=chunk,
+            cutoff_sq=csq,
+        )
+        assert not bool(overflow)
+        return np.asarray(i)[: int(cnt)], np.asarray(j)[: int(cnt)]
+
     def lj_energy(self) -> float:
         """Total LJ potential over cutoff-filtered pairs (fused on device)."""
         if self._grid is None or len(self._pts) < 2:
