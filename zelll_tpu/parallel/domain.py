@@ -93,9 +93,21 @@ def _global_grid_info(local_pos, cutoff):
 
 
 def _halo_exchange(arr, H: int):
-    """Send tail H rows right, head H rows left around the ring."""
+    """Send tail H rows right, head H rows left around the ring.
+
+    With a single device the ring would deliver copies of the device's own
+    particles (self-pairs at distance zero), so ghosts degrade to far-away
+    spread dummies instead.
+    """
     nd = jax.lax.axis_size(AXIS)
     idx = jax.lax.axis_index(AXIS)
+    if nd == 1:
+        spread = (
+            jnp.arange(1, H + 1, dtype=arr.dtype)[:, None]
+            * jnp.asarray(1e5, arr.dtype)
+            + jnp.asarray(2e12, arr.dtype)
+        ) * jnp.ones((1, arr.shape[1]), arr.dtype)
+        return spread, spread + jnp.asarray(1e11, arr.dtype), idx, nd
     fwd = [(i, (i + 1) % nd) for i in range(nd)]
     bwd = [(i, (i - 1) % nd) for i in range(nd)]
     from_left = jax.lax.ppermute(arr[-H:], AXIS, fwd)
