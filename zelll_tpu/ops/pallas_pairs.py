@@ -102,14 +102,18 @@ def suggest_lag(sorted_keys_host, strides_host, granule: int = 128) -> int:
 
 
 def _make_kernel(M: int, L: int, term: Callable, n_planes: int, split: bool,
-                 dtype, out_dtype):
-    """Kernel over ``n_planes`` coordinate planes + 1 key plane.
+                 dtype, out_dtype, n_payload: int = 0):
+    """Kernel over ``n_planes`` coordinate planes + ``n_payload`` payload
+    planes + 1 key plane.
 
-    Plane order: [x, y, z] or [xh, yh, zh, xl, yl, zl] when split.
+    Plane order: [x, y, z] (or [xh, yh, zh, xl, yl, zl] when split), then
+    payload planes, then keys. With payload, ``term`` receives
+    (dsq, own_payload_0.., j_payload_0..) and can implement
+    species-dependent interactions.
     """
     Mr, Lr = M // LANES, L // LANES
     Wr = Mr + Lr  # rolling window rows
-    NP = n_planes + 1  # + key plane
+    NP = n_planes + n_payload + 1  # + key plane
 
     def kernel(*refs):
         # refs: wkey, csq, min_islot, blocks (NP), out, window scratch (NP)
@@ -193,7 +197,15 @@ def _make_kernel(M: int, L: int, term: Callable, n_planes: int, split: bool,
                 dsq = dsq + d * d
             keymask = jk >= own_k - w_key
             mask = keymask & (dsq < csq) & own_owned
-            vals = term(jnp.where(mask, dsq, jnp.ones_like(dsq)))
+            safe = jnp.where(mask, dsq, jnp.ones_like(dsq))
+            if n_payload:
+                vals = term(
+                    safe,
+                    *own[n_planes : n_planes + n_payload],
+                    *j[n_planes : n_planes + n_payload],
+                )
+            else:
+                vals = term(safe)
             acc = acc + jnp.where(mask, vals, jnp.zeros_like(vals)).astype(
                 out_dtype
             )
@@ -460,6 +472,7 @@ def pair_lag_reduce(
     strides: jax.Array,  # (3,) grid strides (ascending)
     cutoff_sq,
     sorted_pos_lo: jax.Array | None = None,  # (n, 3) f32x2 low parts
+    sorted_payload: jax.Array | None = None,  # (n, P) per-particle payload
     *,
     M: int = 1024,
     L: int = 256,
@@ -483,6 +496,12 @@ def pair_lag_reduce(
     >= min_islot are counted — the distributed ownership rule for halo
     regions (a device reduces over [left ghosts | owned] with
     min_islot = #ghosts and each pair is counted exactly once globally).
+
+    ``sorted_payload``: optional (n, P) per-particle payload in sorted
+    order (carry it through `bin_and_sort` as extra columns); ``term``
+    then receives (dsq, own_0..own_{P-1}, j_0..j_{P-1}) for species- or
+    charge-dependent interactions (the analogue of the reference's
+    arbitrary `P: ParticleLike` pair items).
     """
     n = sorted_pos.shape[0]
     split = sorted_pos_lo is not None
@@ -517,25 +536,34 @@ def pair_lag_reduce(
             ).reshape(-1, LANES)
             for a in range(dim)
         ]
-    kp = keys_p.reshape(-1, LANES)
     n_planes = len(planes)
+    n_payload = 0 if sorted_payload is None else sorted_payload.shape[1]
+    for a in range(n_payload):
+        planes.append(
+            jnp.concatenate(
+                [sorted_payload[:, a].astype(dtype), jnp.zeros_like(spread)]
+            ).reshape(-1, LANES)
+        )
+    kp = keys_p.reshape(-1, LANES)
 
     w_key = (jnp.sum(strides[1:]) + 1).astype(jnp.int32).reshape(1)
     csq = jnp.asarray(cutoff_sq, dtype).reshape(1)
     mislot = jnp.asarray(min_islot, jnp.int32).reshape(1)
 
     Mr = M // LANES
-    kernel = _make_kernel(M, L, term, n_planes, split, dtype, out_dtype)
+    kernel = _make_kernel(
+        M, L, term, n_planes, split, dtype, out_dtype, n_payload=n_payload
+    )
     bs = lambda: pl.BlockSpec((Mr, LANES), lambda p, s1, s2, s3: (p, 0))
     win = lambda dt: pltpu.VMEM((Mr + L // LANES, LANES), dt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(P,),
-        in_specs=[bs() for _ in range(n_planes + 1)],
+        in_specs=[bs() for _ in range(n_planes + n_payload + 1)],
         out_specs=pl.BlockSpec(
             (Mr, LANES), lambda p, s1, s2, s3: (0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[win(dtype) for _ in range(n_planes)]
+        scratch_shapes=[win(dtype) for _ in range(n_planes + n_payload)]
         + [win(jnp.int32)],
     )
     out = pl.pallas_call(
