@@ -108,8 +108,16 @@ class StdRng:
         start = self._consumed_u32
         end = start + 2 * n
         b0, b1 = start // 16, (end + 15) // 16
-        counters = np.arange(b0, b1, dtype=np.uint64)
-        words = _chacha_blocks(self.key, counters, self.ROUNDS).reshape(-1)
+        # chunk the block generation: cache-sized working sets are ~10x
+        # faster than one giant pass at 1e8-point scale
+        CHUNK = 1 << 20
+        parts = []
+        for cb in range(b0, b1, CHUNK):
+            counters = np.arange(cb, min(cb + CHUNK, b1), dtype=np.uint64)
+            parts.append(
+                _chacha_blocks(self.key, counters, self.ROUNDS).reshape(-1)
+            )
+        words = np.concatenate(parts) if len(parts) > 1 else parts[0]
         words = words[start - b0 * 16 : end - b0 * 16]
         self._consumed_u32 = end
         lo = words[0::2].astype(np.uint64)
