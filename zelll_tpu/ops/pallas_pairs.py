@@ -299,8 +299,8 @@ def _make_forces_kernel(M: int, L: int, gfn: Callable, dtype):
             own_k = kw[Lr:Wr]
             padL = jnp.zeros((Lr, LANES), dtype)
 
-            def lag_body(lag, carry):
-                sx, sy, sz, sk, dxx, dyy, dzz, ax, ay, az = carry
+            def lag_body(carry):
+                lag, active, sx, sy, sz, sk, dxx, dyy, dzz, ax, ay, az = carry
                 sx = shift_right_one(sx)
                 sy = shift_right_one(sy)
                 sz = shift_right_one(sz)
@@ -311,7 +311,8 @@ def _make_forces_kernel(M: int, L: int, gfn: Callable, dtype):
                 dy = own[1] - j[1]
                 dz = own[2] - j[2]
                 dsq = dx * dx + dy * dy + dz * dz
-                mask = (jk >= own_k - w_key) & (dsq < csq) & (dsq > 0)
+                keymask = jk >= own_k - w_key
+                mask = keymask & (dsq < csq) & (dsq > 0)
                 g = jnp.where(
                     mask, gfn(jnp.where(mask, dsq, jnp.ones_like(dsq))), 0.0
                 ).astype(dtype)
@@ -331,20 +332,38 @@ def _make_forces_kernel(M: int, L: int, gfn: Callable, dtype):
                 dzz = shift_right_nowrap(dzz) + jnp.concatenate(
                     [clz, padL], axis=0
                 )
-                return sx, sy, sz, sk, dxx, dyy, dzz, ax, ay, az
+                return (
+                    lag + 1, jnp.any(keymask),
+                    sx, sy, sz, sk, dxx, dyy, dzz, ax, ay, az,
+                )
 
             zW = jnp.zeros((Wr, LANES), dtype)
             zM = jnp.zeros((Mr, LANES), dtype)
             init = (
+                jnp.asarray(1, jnp.int32), jnp.asarray(True),
                 xw[...], yw[...], zw[...], kw[...],
                 zW, zW, zW, zM, zM, zM,
             )
-            # NOTE: the forces Horner accumulator needs the full L
-            # iterations of shifting to land contributions at their final
-            # positions, so instead of shortening the loop we just run it;
-            # a dynamic bound here would require a final variable shift.
-            *_, dxx, dyy, dzz, ax, ay, az = jax.lax.fori_loop(
-                1, L + 1, lag_body, init
+            # Phase 1: compute while any lag partner is key-in-window
+            # (monotone, same early exit as the energy kernel).
+            lag_end, _, *_rest = out = jax.lax.while_loop(
+                lambda c: (c[0] <= L) & c[1], lag_body, init
+            )
+            *_, dxx, dyy, dzz, ax, ay, az = out
+            # Phase 2: the Horner accumulator still needs its remaining
+            # L - (lag_end - 1) shifts to land contributions at their final
+            # positions — shift-only, no pair compute.
+            def tail_body(c):
+                lag, dxx, dyy, dzz = c
+                return (
+                    lag + 1,
+                    shift_right_nowrap(dxx),
+                    shift_right_nowrap(dyy),
+                    shift_right_nowrap(dzz),
+                )
+
+            _, dxx, dyy, dzz = jax.lax.while_loop(
+                lambda c: c[0] <= L, tail_body, (lag_end, dxx, dyy, dzz)
             )
             # After iteration `lag` the term has been shifted (L - lag)
             # more times by the remaining iterations, landing at flat
