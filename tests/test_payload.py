@@ -37,3 +37,42 @@ def test_mixed_sigma_lj_matches_bruteforce():
     t3 = ((s[sel] ** 2) / v[sel]) ** 3
     want = (4 * t3 * (t3 - 1)).sum()
     np.testing.assert_allclose(float(e), want, rtol=1e-11)
+
+
+def test_payload_with_split_and_ownership():
+    """Payload + split precision + min_islot compose."""
+    import numpy as np
+    from zelll_tpu.ops.pallas_pairs import pair_lag_reduce
+
+    rng = np.random.default_rng(3)
+    n, cutoff = 300, 1.0
+    pts = rng.uniform(0, 1, size=(n, 3)) * np.array([3.0, 3.0, 3000.0])
+    q = rng.choice([1.0, -1.0], n)  # "charges"
+
+    stacked = jnp.asarray(np.hstack([pts, q[:, None]]))
+    bins, cols = bin_and_sort(stacked, cutoff, max_cells=1)
+    spos64, spay = cols[:, :3], cols[:, 3:]
+    hi = jnp.asarray(np.asarray(spos64, np.float64).astype(np.float32))
+    lo = jnp.asarray(
+        (np.asarray(spos64, np.float64) - np.asarray(hi, np.float64)).astype(
+            np.float32
+        )
+    )
+
+    def qq(dsq, qi, qj):
+        return qi * qj / dsq
+
+    got = pair_lag_reduce(
+        hi, bins.sorted_keys, bins.info.strides, cutoff**2,
+        lo, spay.astype(jnp.float32),
+        M=256, L=256, term=qq, interpret=True, min_islot=0,
+    )
+
+    d = pts[:, None] - pts[None]
+    dsq = (d * d).sum(-1)
+    iu = np.triu_indices(n, 1)
+    v = dsq[iu]
+    qprod = (q[:, None] * q[None, :])[iu]
+    sel = v < cutoff**2
+    want = (qprod[sel] / v[sel]).sum()
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)

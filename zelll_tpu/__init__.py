@@ -15,6 +15,7 @@ Layers:
   api        the user-facing CellGrid class mirroring the reference Python API
 """
 
+from .api import CellGrid
 from .core import (
     Aabb,
     CellGridData,
