@@ -47,6 +47,9 @@ def _load():
     lib.zelll_oracle_query.argtypes = [f64p, i64, ctypes.c_double, f64p, i32p, i64]
     lib.zelll_oracle_query.restype = i64
     lib.zelll_oracle_forces.argtypes = [f64p, i64, ctypes.c_double, f64p]
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.zelll_chacha12_u64.argtypes = [u32p, ctypes.c_uint64, i64, u64p]
     _lib = lib
     return lib
 
@@ -108,6 +111,20 @@ def query_neighbors(positions, cutoff: float, q):
     if total < 0:
         return None
     return out[:total]
+
+
+def chacha12_u64(key_words: np.ndarray, start_u32: int, n: int) -> np.ndarray:
+    """Native ChaCha12 u64 stream (rand 0.8 StdRng layout)."""
+    lib = _load()
+    key = np.ascontiguousarray(key_words, np.uint32)
+    out = np.empty(n, np.uint64)
+    lib.zelll_chacha12_u64(
+        key.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_uint64(start_u32),
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    return out
 
 
 def forces(positions, cutoff: float) -> np.ndarray:

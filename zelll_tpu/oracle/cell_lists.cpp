@@ -187,6 +187,56 @@ int64_t zelll_oracle_query(const double* pos, int64_t n, double cutoff,
   return count;
 }
 
+// ChaCha12 u64 stream (rand 0.8 StdRng layout: 64-bit block counter in
+// words 12-13, stream id 0) — the native fast path for benchmark data
+// generation (bit-identical to the numpy implementation in
+// zelll_tpu/utils/datagen.py, which documents the algorithm spec).
+static inline uint32_t rotl32(uint32_t x, int k) {
+  return (x << k) | (x >> (32 - k));
+}
+
+void zelll_chacha12_u64(const uint32_t* key, uint64_t start_u32, int64_t n,
+                        uint64_t* out) {
+  // produces n next_u64 outputs starting at u32-stream offset start_u32
+  // (must be even, as in the rand BlockRng usage pattern)
+  static const uint32_t SIGMA[4] = {0x61707865u, 0x3320646eu, 0x79622d32u,
+                                    0x6b206574u};
+  int64_t produced = 0;
+  uint64_t block = start_u32 / 16;
+  int off = static_cast<int>(start_u32 % 16);
+  while (produced < n) {
+    uint32_t s[16], x[16];
+    for (int i = 0; i < 4; ++i) s[i] = SIGMA[i];
+    for (int i = 0; i < 8; ++i) s[4 + i] = key[i];
+    s[12] = static_cast<uint32_t>(block & 0xffffffffu);
+    s[13] = static_cast<uint32_t>(block >> 32);
+    s[14] = 0;
+    s[15] = 0;
+    for (int i = 0; i < 16; ++i) x[i] = s[i];
+#define QR(a, b, c, d)                          \
+  x[a] += x[b]; x[d] = rotl32(x[d] ^ x[a], 16); \
+  x[c] += x[d]; x[b] = rotl32(x[b] ^ x[c], 12); \
+  x[a] += x[b]; x[d] = rotl32(x[d] ^ x[a], 8);  \
+  x[c] += x[d]; x[b] = rotl32(x[b] ^ x[c], 7);
+    for (int r = 0; r < 6; ++r) {
+      QR(0, 4, 8, 12) QR(1, 5, 9, 13) QR(2, 6, 10, 14) QR(3, 7, 11, 15)
+      QR(0, 5, 10, 15) QR(1, 6, 11, 12) QR(2, 7, 8, 13) QR(3, 4, 9, 14)
+    }
+#undef QR
+    for (int i = 0; i < 16; ++i) x[i] += s[i];
+    while (off + 1 < 16 && produced < n) {
+      out[produced++] =
+          static_cast<uint64_t>(x[off]) |
+          (static_cast<uint64_t>(x[off + 1]) << 32);
+      off += 2;
+    }
+    if (off >= 15) {
+      off = 0;
+      ++block;
+    }
+  }
+}
+
 // Per-particle LJ forces over cutoff pairs (Newton's third law).
 void zelll_oracle_forces(const double* pos, int64_t n, double cutoff,
                          double* forces_out) {
