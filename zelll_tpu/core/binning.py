@@ -114,6 +114,7 @@ def bin_and_sort(
     max_cells: int | None = None,
     valid: jax.Array | None = None,
     info: GridInfo | None = None,
+    need_perm: bool = True,
 ) -> tuple[Bins, jax.Array]:
     """Bin (n, N) positions into occupied cells; also return positions in
     sorted (cell-grouped) order.
@@ -159,11 +160,17 @@ def bin_and_sort(
         return bins, positions
 
     # Stable sort keeps per-cell particle order == input order, matching the
-    # reference's scatter order (cellgrid.rs:215-231).
+    # reference's scatter order (cellgrid.rs:215-231). The permutation rides
+    # along only when requested (fused reductions never use it — one fewer
+    # sort operand).
     iota0 = jnp.arange(n, dtype=jnp.int32)
     cols = tuple(positions[:, a] for a in range(dim))
-    out = jax.lax.sort((keys, *cols, iota0), num_keys=1, is_stable=True)
-    sorted_keys, sorted_cols, perm = out[0], out[1:-1], out[-1]
+    if need_perm:
+        out = jax.lax.sort((keys, *cols, iota0), num_keys=1, is_stable=True)
+        sorted_keys, sorted_cols, perm = out[0], out[1:-1], out[-1]
+    else:
+        out = jax.lax.sort((keys, *cols), num_keys=1, is_stable=True)
+        sorted_keys, sorted_cols, perm = out[0], out[1:], iota0
     sorted_pos = jnp.stack(sorted_cols, axis=-1)
 
     iota = jnp.arange(n, dtype=jnp.int32)

@@ -56,7 +56,7 @@ def md_step(
     """
     pos, vel = state.positions, state.velocities
     stacked = jnp.concatenate([pos, vel], axis=1)
-    bins, cols = bin_and_sort(stacked, cutoff, max_cells=1)
+    bins, cols = bin_and_sort(stacked, cutoff, max_cells=1, need_perm=False)
     spos, svel = cols[:, :3], cols[:, 3:]
 
     csq = jnp.asarray(cutoff, pos.dtype) ** 2
@@ -91,7 +91,9 @@ def md_run(
 
     (state, ok), _ = jax.lax.scan(body, (state, jnp.asarray(True)), None, length=steps)
 
-    bins, spos = bin_and_sort(state.positions, cutoff, max_cells=1)
+    bins, spos = bin_and_sort(
+        state.positions, cutoff, max_cells=1, need_perm=False
+    )
     energy = pair_lag_reduce(
         spos, bins.sorted_keys, bins.info.strides,
         jnp.asarray(cutoff, spos.dtype) ** 2,

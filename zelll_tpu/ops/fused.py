@@ -92,10 +92,14 @@ def fused_lj_rebuild_energy(
     """
     if positions_lo is not None:
         stacked = jnp.concatenate([positions, positions_lo], axis=1)
-        bins, sorted_cols = bin_and_sort(stacked, cutoff, max_cells=1)
+        bins, sorted_cols = bin_and_sort(
+            stacked, cutoff, max_cells=1, need_perm=False
+        )
         sorted_pos, sorted_lo = sorted_cols[:, :3], sorted_cols[:, 3:]
     else:
-        bins, sorted_pos = bin_and_sort(positions, cutoff, max_cells=1)
+        bins, sorted_pos = bin_and_sort(
+            positions, cutoff, max_cells=1, need_perm=False
+        )
         sorted_lo = None
     total = pair_lag_reduce(
         sorted_pos,
