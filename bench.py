@@ -92,8 +92,11 @@ def main():
 
     @jax.jit
     def count_step(pos):
+        import jax.numpy as jnp
+
         return fused_lj_rebuild_energy(
-            pos, CUTOFF, pos_lo, M=M, L=L, term=count_term
+            pos, CUTOFF, pos_lo, M=M, L=L, term=count_term,
+            out_dtype=jnp.int32,
         )
 
     @jax.jit

@@ -69,6 +69,9 @@ def fused_lj_energy(grid: CellGridData, **kw):
 
 
 def fused_count_pairs(grid: CellGridData, **kw):
+    # integer accumulation: counts exceed f32's 2^24 exact-integer range
+    # beyond ~1e6 particles
+    kw.setdefault("out_dtype", jnp.int32)
     return fused_pair_sum(grid, count_term, **kw)
 
 
@@ -81,6 +84,7 @@ def fused_lj_rebuild_energy(
     L: int = 256,
     term: Callable = lj_term,
     interpret: bool = False,
+    out_dtype=None,
 ):
     """Full pipeline in one jittable step (the headline benchmark path):
     cell keys -> sort positions by key -> fused LJ reduction.
@@ -111,6 +115,7 @@ def fused_lj_rebuild_energy(
         L=L,
         term=term,
         interpret=interpret,
+        out_dtype=out_dtype,
     )
     ok = lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
     return total, ok

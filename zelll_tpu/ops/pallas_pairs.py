@@ -116,11 +116,13 @@ def _make_kernel(M: int, L: int, term: Callable, n_planes: int, split: bool,
     NP = n_planes + n_payload + 1  # + key plane
 
     def kernel(*refs):
-        # refs: wkey, csq, min_islot, blocks (NP), out, window scratch (NP)
+        # refs: wkey, csq, min_islot, blocks (NP), out,
+        #       window scratch (NP), kahan compensation scratch
         wkey_ref, csq_ref, mislot_ref = refs[0], refs[1], refs[2]
         blocks = refs[3 : 3 + NP]
         out_ref = refs[3 + NP]
         wins = refs[4 + NP : 4 + 2 * NP]
+        comp_ref = refs[4 + 2 * NP]
         kb, kw = blocks[-1], wins[-1]
 
         p = pl.program_id(0)
@@ -131,6 +133,7 @@ def _make_kernel(M: int, L: int, term: Callable, n_planes: int, split: bool,
         @pl.when(p == 0)
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
+            comp_ref[...] = jnp.zeros_like(comp_ref)
             # "nothing before the start": keys so small every real key is
             # out of the candidate window
             kw[0:Lr] = jnp.full(
@@ -183,9 +186,11 @@ def _make_kernel(M: int, L: int, term: Callable, n_planes: int, split: bool,
             lag, active = carry[0], carry[1]
             return (lag <= L) & active
 
+        kahan = jnp.issubdtype(out_dtype, jnp.floating)
+
         def lag_body(carry):
             lag, active, *rest = carry
-            *shifted, acc = rest
+            *shifted, acc, comp = rest
             shifted = [shift_right_one(s) for s in shifted]
             j = [s[Lr:Wr] for s in shifted]
             jk = j[-1]
@@ -206,19 +211,42 @@ def _make_kernel(M: int, L: int, term: Callable, n_planes: int, split: bool,
                 )
             else:
                 vals = term(safe)
-            acc = acc + jnp.where(mask, vals, jnp.zeros_like(vals)).astype(
-                out_dtype
-            )
-            return (lag + 1, jnp.any(keymask), *shifted, acc)
+            v = jnp.where(mask, vals, jnp.zeros_like(vals)).astype(out_dtype)
+            if kahan:
+                # Kahan-compensated per-lane accumulation: single pair terms
+                # can exceed 1e14 while the ulp of a plain f32 accumulator
+                # would then drop everything below ~1e7
+                y = v - comp
+                t = acc + y
+                comp = (t - acc) - y
+                acc = t
+            else:
+                acc = acc + v
+            return (lag + 1, jnp.any(keymask), *shifted, acc, comp)
 
         init = (
             jnp.asarray(1, jnp.int32),
             jnp.asarray(True),
             *(w[...] for w in wins),
             jnp.zeros((Mr, LANES), out_dtype),
+            jnp.zeros((Mr, LANES), out_dtype),
         )
-        *_, acc = jax.lax.while_loop(cond, lag_body, init)
-        out_ref[...] += acc
+        *_, acc, comp = jax.lax.while_loop(cond, lag_body, init)
+        if kahan:
+            # compensated cross-program accumulation (programs are
+            # sequential; comp_ref persists in scratch)
+            prev = out_ref[...]
+            y = (acc - comp) - comp_ref[...]
+            t = prev + y
+            comp_ref[...] = (t - prev) - y
+            out_ref[...] = t
+
+            @pl.when(p == pl.num_programs(0) - 1)
+            def _():
+                out_ref[...] = out_ref[...] - comp_ref[...]
+
+        else:
+            out_ref[...] += acc
 
     return kernel
 
@@ -583,7 +611,7 @@ def pair_lag_reduce(
             (Mr, LANES), lambda p, s1, s2, s3: (0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[win(dtype) for _ in range(n_planes + n_payload)]
-        + [win(jnp.int32)],
+        + [win(jnp.int32), pltpu.VMEM((Mr, LANES), out_dtype)],
     )
     out = pl.pallas_call(
         kernel,
