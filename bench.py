@@ -59,7 +59,7 @@ def main():
     from zelll_tpu.ops.pallas_pairs import count_term
     from zelll_tpu.utils.datagen import generate_points_random, lj_box
 
-    M = int(os.environ.get("BENCH_M", "8192"))
+    M = int(os.environ.get("BENCH_M", "16384"))
     L = int(os.environ.get("BENCH_L", "256"))
     # split precision: f32x2 coordinates -> f64-grade LJ parity (~1e-7 vs
     # the f64 oracle) at a ~1.5x kernel cost; plain f32 is the headline
