@@ -134,3 +134,39 @@ def test_sharded_pallas_md_step_matches_xla_path():
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-8,
                                atol=1e-14)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-9)
+
+
+def test_repartition_restores_slab_invariant():
+    from zelll_tpu.parallel import repartition
+
+    pts = _cloud(n=320, seed=11)
+    cutoff = 1.0
+    mesh = make_mesh(8)
+    parts, n_local = partition_by_slab(pts, cutoff, 8)
+    sharding = NamedSharding(mesh, P("z", None))
+    pos = jax.device_put(jnp.asarray(parts), sharding)
+    vel = jax.device_put(jnp.asarray(np.arange(320 * 3).reshape(320, 3) * 1.0),
+                         sharding)
+
+    # scramble the slab order, then repartition
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(320)
+    pos_scrambled = jax.device_put(jnp.asarray(parts[perm]), sharding)
+    vel_scrambled = jax.device_put(
+        jnp.asarray(np.asarray(vel)[perm]), sharding
+    )
+
+    rp = repartition(mesh, cutoff=cutoff)
+    p2, v2 = rp(pos_scrambled, vel_scrambled)
+    p2, v2 = np.asarray(p2), np.asarray(v2)
+
+    # energy via the sharded path must match the reference after repartition
+    efn = sharded_lj_energy(mesh, cutoff=cutoff, H=64, K=16, chunk=16)
+    got = float(efn(jax.device_put(jnp.asarray(p2), sharding)))
+    np.testing.assert_allclose(got, _ref_energy(pts, cutoff), rtol=1e-9)
+
+    # velocities stay paired with their particles
+    order = {tuple(np.round(r, 9)): i for i, r in enumerate(parts)}
+    for r, v in zip(p2, v2):
+        i = order[tuple(np.round(r, 9))]
+        np.testing.assert_allclose(v, np.asarray(vel)[i])

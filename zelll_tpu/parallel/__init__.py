@@ -1,5 +1,17 @@
 """Multi-chip spatial sharding: slab domain decomposition + halo exchange."""
 
-from .domain import make_mesh, partition_by_slab, sharded_lj_energy, sharded_md_step
+from .domain import (
+    make_mesh,
+    partition_by_slab,
+    repartition,
+    sharded_lj_energy,
+    sharded_md_step,
+)
 
-__all__ = ["make_mesh", "partition_by_slab", "sharded_md_step", "sharded_lj_energy"]
+__all__ = [
+    "make_mesh",
+    "partition_by_slab",
+    "repartition",
+    "sharded_md_step",
+    "sharded_lj_energy",
+]

@@ -142,13 +142,17 @@ def sharded_md_step(
     """
 
     def local_step(pos, vel):
+        # ghosts are head/tail slices of the local block, so the halo can
+        # never exceed the block itself; slicing with a larger H would
+        # silently clamp the ghosts while ownership offsets kept using H
+        H_eff = min(H, pos.shape[0])
         info = _global_grid_info(pos, cutoff)
         # keep the owned block sorted by key (cheap local sort; the global
         # order across devices is maintained by slab partitioning)
         bins, pos_s = bin_and_sort(pos, cutoff, max_cells=1, info=info)
         vel_s = vel[bins.perm]
 
-        gl, gr, idx, nd = _halo_exchange(pos_s, H)
+        gl, gr, idx, nd = _halo_exchange(pos_s, H_eff)
         ext = jnp.concatenate([gl, pos_s, gr], axis=0)
         n_loc = pos_s.shape[0]
         csq = jnp.asarray(cutoff, pos.dtype) ** 2
@@ -159,11 +163,12 @@ def sharded_md_step(
                 ext, keys_ext, info.strides, csq,
                 M=M, L=L, gfn=lj_force_factor, interpret=interpret,
             )
-            f_own = f[H : H + n_loc]
-            keys_e = keys_ext[: H + n_loc]
+            f_own = f[H_eff : H_eff + n_loc]
+            keys_e = keys_ext[: H_eff + n_loc]
             e_loc = pair_lag_reduce(
                 ext[: H + n_loc], keys_e, info.strides, csq,
-                M=M, L=L, term=lj_term, interpret=interpret, min_islot=H,
+                M=M, L=L, term=lj_term, interpret=interpret,
+                min_islot=H_eff,
             )
             energy = jax.lax.psum(e_loc, AXIS)
         else:
@@ -174,8 +179,8 @@ def sharded_md_step(
             e_pp = pair_energy_per_particle(
                 grid, lj, K=K, chunk=chunk, cutoff_sq=csq
             )
-            f_own = forces[H : H + n_loc]
-            energy = jax.lax.psum(jnp.sum(e_pp[H : H + n_loc]), AXIS)
+            f_own = forces[H_eff : H_eff + n_loc]
+            energy = jax.lax.psum(jnp.sum(e_pp[H_eff : H_eff + n_loc]), AXIS)
 
         vel_new = vel_s + dt * f_own
         pos_new = pos_s + dt * vel_new
@@ -189,6 +194,48 @@ def sharded_md_step(
         check_vma=False,
     )
     return jax.jit(step)
+
+
+def repartition(mesh: Mesh, *, cutoff: float):
+    """Jitted global repartition: restore the slab invariant (globally
+    key-sorted order, equal blocks per device) after particles drift.
+
+    Uses all_gather + a global sort + local slice — O(n) replicated
+    memory, fine up to ~1e7 per pod; a distributed sample-sort replaces
+    this at larger scale. Returns a function (positions, velocities) ->
+    (positions, velocities) with the same shardings.
+    """
+
+    def local(pos, vel):
+        info = _global_grid_info(pos, cutoff)
+        allp = jax.lax.all_gather(pos, AXIS, tiled=True)
+        allv = jax.lax.all_gather(vel, AXIS, tiled=True)
+        keys = compute_keys(allp, info)
+        n = allp.shape[0]
+        cols = tuple(allp[:, a] for a in range(3)) + tuple(
+            allv[:, a] for a in range(3)
+        )
+        out = jax.lax.sort((keys, *cols), num_keys=1, is_stable=True)
+        sp = jnp.stack(out[1:4], axis=-1)
+        sv = jnp.stack(out[4:7], axis=-1)
+        idx = jax.lax.axis_index(AXIS)
+        n_loc = pos.shape[0]
+        start = (idx * n_loc).astype(jnp.int32)
+        zero = jnp.zeros((), jnp.int32)
+        return (
+            jax.lax.dynamic_slice(sp, (start, zero), (n_loc, 3)),
+            jax.lax.dynamic_slice(sv, (start, zero), (n_loc, 3)),
+        )
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS, None)),
+            out_specs=(P(AXIS, None), P(AXIS, None)),
+            check_vma=False,
+        )
+    )
 
 
 def sharded_lj_energy(
@@ -206,9 +253,10 @@ def sharded_lj_energy(
     """Jitted global LJ energy over slab-sharded positions (exact)."""
 
     def local(pos):
+        H_eff = min(H, pos.shape[0])
         info = _global_grid_info(pos, cutoff)
         bins, pos_s = bin_and_sort(pos, cutoff, max_cells=1, info=info)
-        gl, gr, *_ = _halo_exchange(pos_s, H)
+        gl, gr, *_ = _halo_exchange(pos_s, H_eff)
         csq = jnp.asarray(cutoff, pos.dtype) ** 2
         n_loc = pos_s.shape[0]
         if use_pallas:
@@ -216,13 +264,14 @@ def sharded_lj_energy(
             keys_ext = compute_keys(ext, info)
             e_loc = pair_lag_reduce(
                 ext, keys_ext, info.strides, csq,
-                M=M, L=L, term=lj_term, interpret=interpret, min_islot=H,
+                M=M, L=L, term=lj_term, interpret=interpret,
+                min_islot=H_eff,
             )
             return jax.lax.psum(e_loc, AXIS)
         ext = jnp.concatenate([gl, pos_s, gr], axis=0)
         grid = build(ext, cutoff, info=info)
         e_pp = pair_energy_per_particle(grid, lj, K=K, chunk=chunk, cutoff_sq=csq)
-        return jax.lax.psum(jnp.sum(e_pp[H : H + n_loc]), AXIS)
+        return jax.lax.psum(jnp.sum(e_pp[H_eff : H_eff + n_loc]), AXIS)
 
     return jax.jit(
         shard_map(
