@@ -170,14 +170,22 @@ def _sdf_point(data: SdfData, x, K: int):
     return val, res.valid[0]
 
 
+# queries are processed in chunks: each query materializes a padded
+# (3^N * K)-candidate window, so an unchunked vmap over ~1e5 queries with
+# large K would allocate tens of GB
+_QCHUNK = 4096
+
+
 @partial(jax.jit, static_argnames=("K",))
 def _evaluate_batch(data: SdfData, points, K: int):
-    def val_and_ok(x):
-        return _sdf_point(data, x, K)
+    def one(x):
+        val, ok = _sdf_point(data, x, K)
+        grad = jax.grad(lambda y: _sdf_point(data, y, K)[0])(x)
+        return val, grad, ok
 
-    vals, oks = jax.vmap(val_and_ok)(points)
-    grads = jax.vmap(jax.grad(lambda x: _sdf_point(data, x, K)[0]))(points)
-    return vals, grads, oks
+    return jax.lax.map(
+        one, points, batch_size=min(_QCHUNK, points.shape[0])
+    )
 
 
 @partial(jax.jit, static_argnames=("K",))
@@ -185,6 +193,10 @@ def _hmc_gradient_batch(data: SdfData, points, K: int, iso: float, k: float):
     def pot(x):
         return -k * (_sdf_point(data, x, K)[0] - iso) ** 2
 
-    vals, grads = jax.vmap(jax.value_and_grad(pot))(points)
-    oks = jax.vmap(lambda x: _sdf_point(data, x, K)[1])(points)
-    return vals, grads, oks
+    def one(x):
+        val, grad = jax.value_and_grad(pot)(x)
+        return val, grad, _sdf_point(data, x, K)[1]
+
+    return jax.lax.map(
+        one, points, batch_size=min(_QCHUNK, points.shape[0])
+    )
