@@ -179,8 +179,9 @@ _QCHUNK = 4096
 @partial(jax.jit, static_argnames=("K",))
 def _evaluate_batch(data: SdfData, points, K: int):
     def one(x):
-        val, ok = _sdf_point(data, x, K)
-        grad = jax.grad(lambda y: _sdf_point(data, y, K)[0])(x)
+        (val, ok), grad = jax.value_and_grad(
+            lambda y: _sdf_point(data, y, K), has_aux=True
+        )(x)
         return val, grad, ok
 
     return jax.lax.map(
@@ -191,11 +192,12 @@ def _evaluate_batch(data: SdfData, points, K: int):
 @partial(jax.jit, static_argnames=("K",))
 def _hmc_gradient_batch(data: SdfData, points, K: int, iso: float, k: float):
     def pot(x):
-        return -k * (_sdf_point(data, x, K)[0] - iso) ** 2
+        val, ok = _sdf_point(data, x, K)
+        return -k * (val - iso) ** 2, ok
 
     def one(x):
-        val, grad = jax.value_and_grad(pot)(x)
-        return val, grad, _sdf_point(data, x, K)[1]
+        (val, ok), grad = jax.value_and_grad(pot, has_aux=True)(x)
+        return val, grad, ok
 
     return jax.lax.map(
         one, points, batch_size=min(_QCHUNK, points.shape[0])
