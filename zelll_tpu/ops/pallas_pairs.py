@@ -251,6 +251,192 @@ def _make_kernel(M: int, L: int, term: Callable, n_planes: int, split: bool,
     return kernel
 
 
+def _make_per_particle_kernel(M: int, L: int, term: Callable, dtype):
+    """Per-particle reduction kernel: out_i = sum over cutoff pairs (i, j)
+    of term(dsq) — both endpoints receive the contribution (full-space
+    per-particle sums: coordination numbers, per-particle energies with
+    term/2, local densities). Same rolling-window + Horner machinery as the
+    forces kernel with a single scalar accumulator plane.
+    """
+    Mr, Lr = M // LANES, L // LANES
+    Wr = Mr + Lr
+
+    def kernel(wkey_ref, csq_ref, xb, yb, zb, kb, out, xw, yw, zw, kw, fb):
+        p = pl.program_id(0)
+        num_p = pl.num_programs(0)
+        w_key = wkey_ref[0]
+        csq = csq_ref[0]
+
+        @pl.when(p == 0)
+        def _():
+            kw[0:Lr] = jnp.full(
+                (Lr, LANES), jnp.iinfo(jnp.int32).min // 2, jnp.int32
+            )
+            for w in (xw, yw, zw):
+                w[0:Lr] = jnp.zeros((Lr, LANES), dtype)
+            fb[...] = jnp.zeros((2 * Mr, LANES), dtype)
+
+        @pl.when(p != 0)
+        def _():
+            fb[0:Mr] = fb[Mr : 2 * Mr]
+            fb[Mr : 2 * Mr] = jnp.zeros((Mr, LANES), dtype)
+
+        @pl.when((p != 0) & (p < num_p - 1))
+        def _():
+            for w in (xw, yw, zw, kw):
+                w[0:Lr] = w[Wr - Lr : Wr]
+
+        @pl.when(p < num_p - 1)
+        def _():
+            xw[Lr:Wr] = xb[...]
+            yw[Lr:Wr] = yb[...]
+            zw[Lr:Wr] = zb[...]
+            kw[Lr:Wr] = kb[...]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Wr, LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (Wr, LANES), 0)
+        is_lane0 = lane == 0
+        is_flat0 = is_lane0 & (row == 0)
+
+        def shift_right_one(v):
+            a = pltpu.roll(v, 1, axis=1)
+            return jnp.where(is_lane0, pltpu.roll(a, 1, axis=0), a)
+
+        def shift_right_nowrap(v):
+            return jnp.where(
+                is_flat0, jnp.zeros((), v.dtype), shift_right_one(v)
+            )
+
+        @pl.when(p < num_p - 1)
+        def _():
+            own = [w[Lr:Wr] for w in (xw, yw, zw)]
+            own_k = kw[Lr:Wr]
+            padL = jnp.zeros((Lr, LANES), dtype)
+
+            def lag_body(carry):
+                lag, active, sx, sy, sz, sk, dj, ai = carry
+                sx = shift_right_one(sx)
+                sy = shift_right_one(sy)
+                sz = shift_right_one(sz)
+                sk = shift_right_one(sk)
+                j = [s[Lr:Wr] for s in (sx, sy, sz)]
+                jk = sk[Lr:Wr]
+                dx = own[0] - j[0]
+                dy = own[1] - j[1]
+                dz = own[2] - j[2]
+                dsq = dx * dx + dy * dy + dz * dz
+                keymask = jk >= own_k - w_key
+                mask = keymask & (dsq < csq) & (dsq > 0)
+                c = jnp.where(
+                    mask,
+                    term(jnp.where(mask, dsq, jnp.ones_like(dsq))),
+                    0.0,
+                ).astype(dtype)
+                ai += c
+                dj = shift_right_nowrap(dj) + jnp.concatenate(
+                    [c, padL], axis=0
+                )
+                return lag + 1, jnp.any(keymask), sx, sy, sz, sk, dj, ai
+
+            init = (
+                jnp.asarray(1, jnp.int32), jnp.asarray(True),
+                xw[...], yw[...], zw[...], kw[...],
+                jnp.zeros((Wr, LANES), dtype),
+                jnp.zeros((Mr, LANES), dtype),
+            )
+            lag_end, _, *_r = full = jax.lax.while_loop(
+                lambda c: (c[0] <= L) & c[1], lag_body, init
+            )
+            *_, dj, ai = full
+
+            def tail_body(c):
+                lag, dj = c
+                return lag + 1, shift_right_nowrap(dj)
+
+            _, dj = jax.lax.while_loop(
+                lambda c: c[0] <= L, tail_body, (lag_end, dj)
+            )
+            fb[Mr - Lr : Mr + Mr] += dj  # j side (same sign: symmetric term)
+            fb[Mr : 2 * Mr] += ai
+
+        out[...] = fb[0:Mr]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("M", "L", "term", "interpret"))
+def pair_lag_per_particle(
+    sorted_pos: jax.Array,
+    sorted_keys: jax.Array,
+    strides: jax.Array,
+    cutoff_sq,
+    *,
+    M: int = 1024,
+    L: int = 256,
+    term: Callable = count_term,
+    interpret: bool = False,
+):
+    """Per-particle sums over cutoff partners, sorted-slot order:
+    out_i = sum_{j != i, dsq < cutoff_sq} term(dsq). Default term gives
+    coordination numbers; use lj_term and multiply by 1/2 for per-particle
+    energies. 3D only."""
+    n = sorted_pos.shape[0]
+    dtype = sorted_pos.dtype
+    assert sorted_pos.shape[1] == 3
+    assert M % LANES == 0 and L % LANES == 0 and L >= LANES and L <= M
+    if not interpret:
+        assert M % (8 * LANES) == 0, "compiled mode requires M % 1024 == 0"
+
+    P = -(-n // M)
+    tail = P * M - n
+    big = jnp.asarray(jnp.iinfo(jnp.int32).max // 2, jnp.int32)
+    keys_p = jnp.concatenate([sorted_keys, jnp.full((tail,), big, jnp.int32)])
+    spread = (
+        jnp.arange(1, tail + 1, dtype=dtype) * jnp.asarray(1e5, dtype)
+        + jnp.asarray(1e12, dtype)
+    )
+    planes = [
+        jnp.concatenate([sorted_pos[:, a], spread]).reshape(-1, LANES)
+        for a in range(3)
+    ]
+    kp = keys_p.reshape(-1, LANES)
+
+    w_key = (jnp.sum(strides[1:]) + 1).astype(jnp.int32).reshape(1)
+    csq = jnp.asarray(cutoff_sq, dtype).reshape(1)
+
+    Mr = M // LANES
+    kernel = _make_per_particle_kernel(M, L, term, dtype)
+    bs = lambda: pl.BlockSpec(
+        (Mr, LANES), lambda p, s1, s2: (jnp.minimum(p, P - 1), 0)
+    )
+    out_bs = pl.BlockSpec(
+        (Mr, LANES),
+        lambda p, s1, s2: (jnp.maximum(p - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    win = lambda dt, rows: pltpu.VMEM((rows, LANES), dt)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P + 1,),
+        in_specs=[bs(), bs(), bs(), bs()],
+        out_specs=out_bs,
+        scratch_shapes=[
+            win(dtype, Mr + L // LANES),
+            win(dtype, Mr + L // LANES),
+            win(dtype, Mr + L // LANES),
+            win(jnp.int32, Mr + L // LANES),
+            win(dtype, 2 * Mr),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((P * Mr, LANES), dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(w_key, csq, *planes, kp)
+    return out.reshape(-1)[:n]
+
+
 def _make_forces_kernel(M: int, L: int, gfn: Callable, dtype):
     """Forces kernel: per unique pair (i, j = i - lag), f_i += g(dsq) * d
     and f_j -= g(dsq) * d (Newton's third law).
