@@ -136,3 +136,15 @@ def test_pairs_method():
     assert got == want
     ic, jc = cg.pairs()
     assert len(ic) >= len(i)
+
+
+def test_coordination_numbers():
+    rng = np.random.default_rng(9)
+    # non-power-of-two n exercises the padding path
+    pts = rng.random((300, 3)) * 4.0
+    cg = CellGrid(pts, 1.0)
+    got = cg.coordination_numbers()
+    d = pts[:, None] - pts[None]
+    dsq = (d * d).sum(-1)
+    want = ((dsq < 1.0) & ~np.eye(300, dtype=bool)).sum(1)
+    np.testing.assert_array_equal(got, want)

@@ -68,6 +68,20 @@ def _coerce_particles(particles) -> np.ndarray:
     return np.asarray(rows, np.float64).reshape(-1, 3)
 
 
+def _pad_far(pts: np.ndarray, n_pad: int) -> np.ndarray:
+    """Pad to n_pad rows with far-away, mutually spread coordinates so
+    padding rows can never appear as spurious neighbors of real particles
+    (they are also key-sentineled via the valid mask, but fused kernels
+    filter purely by distance)."""
+    n = pts.shape[0]
+    padded = np.empty((n_pad, 3), pts.dtype)
+    padded[:n] = pts
+    if n_pad > n:
+        spread = 1e12 + 1e5 * np.arange(1, n_pad - n + 1, dtype=np.float64)
+        padded[n:] = spread[:, None]
+    return padded
+
+
 def _round_capacity(n: int) -> int:
     """Pad particle counts to capacity classes to bound recompilation."""
     if n <= 128:
@@ -98,8 +112,7 @@ class CellGrid:
         self._cutoff = cutoff
         n = pts.shape[0]
         n_pad = _round_capacity(n)
-        padded = np.zeros((n_pad, 3), pts.dtype)
-        padded[:n] = pts
+        padded = _pad_far(pts, n_pad)
         valid = np.arange(n_pad) < n
         if n == 0:
             self._grid = None
@@ -123,8 +136,7 @@ class CellGrid:
         n = pts.shape[0]
         if self._grid is not None and _round_capacity(n) == self._grid.n:
             n_pad = self._grid.n
-            padded = np.zeros((n_pad, 3), pts.dtype)
-            padded[:n] = pts
+            padded = _pad_far(pts, n_pad)
             valid = np.arange(n_pad) < n
             self._grid = core_rebuild(
                 self._grid, jnp.asarray(padded), cut, valid=jnp.asarray(valid)
@@ -255,6 +267,34 @@ class CellGrid:
         )
         assert not bool(overflow)
         return np.asarray(i)[: int(cnt)], np.asarray(j)[: int(cnt)]
+
+    def coordination_numbers(self) -> np.ndarray:
+        """Number of neighbors within cutoff per particle (input order) —
+        a fused per-particle reduction on device."""
+        if self._grid is None or len(self._pts) < 2:
+            return np.zeros(len(self._pts), np.int64)
+        import jax.numpy as jnp
+
+        from .ops.pallas_pairs import (
+            count_term,
+            pair_lag_per_particle,
+            suggest_lag,
+        )
+
+        g = self._grid
+        L = suggest_lag(
+            np.asarray(g.bins.sorted_keys), np.asarray(g.info.strides)
+        )
+        M = max(1024, L)
+        import jax
+
+        interpret = jax.default_backend() == "cpu"
+        out = pair_lag_per_particle(
+            g.sorted_pos, g.bins.sorted_keys, g.info.strides,
+            self._cutoff**2, M=M, L=L, term=count_term, interpret=interpret,
+        )
+        unsorted = np.asarray(g.unsort(out)).astype(np.int64)
+        return unsorted[: len(self._pts)]
 
     def lj_energy(self) -> float:
         """Total LJ potential over cutoff-filtered pairs (fused on device)."""
