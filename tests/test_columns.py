@@ -1,0 +1,55 @@
+"""Column decomposition: cutoff pair reductions for cubic/wide boxes."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zelll_tpu.ops.columns import column_lj_energy, column_pair_sum
+from zelll_tpu.ops.pallas_pairs import count_term
+
+
+def brute(pts, cutoff):
+    d = pts[:, None] - pts[None]
+    dsq = (d * d).sum(-1)
+    iu = np.triu_indices(len(pts), 1)
+    v = dsq[iu]
+    return v[v < cutoff**2]
+
+
+@pytest.mark.parametrize("n,box,cutoff,T", [
+    (800, (20.0, 20.0, 20.0), 1.0, 4),    # cubic — the target geometry
+    (600, (30.0, 30.0, 4.0), 1.0, 4),     # flat box
+    (500, (12.0, 12.0, 12.0), 2.0, 3),    # coarser cells, T=3
+    (400, (3.0, 40.0, 40.0), 1.0, 4),     # wide in y,z
+    (300, (6.0, 6.0, 6.0), 1.0, 8),       # T larger than the grid
+])
+def test_column_counts_and_energy_vs_bruteforce(n, box, cutoff, T):
+    rng = np.random.default_rng(n)
+    pts = rng.uniform(0, 1, size=(n, 3)) * np.asarray(box)
+    v = brute(pts, cutoff)
+
+    cnt, ok = column_pair_sum(
+        jnp.asarray(pts), cutoff, T=T, M=1024, L=1024,
+        term=count_term, interpret=True, out_dtype=jnp.int32,
+    )
+    assert bool(ok)
+    assert int(cnt) == len(v)
+
+    e, ok = column_lj_energy(
+        jnp.asarray(pts), cutoff, T=T, M=1024, L=1024, interpret=True
+    )
+    assert bool(ok)
+    t3 = (1.0 / v) ** 3
+    np.testing.assert_allclose(float(e), (4 * t3 * (t3 - 1)).sum(), rtol=1e-10)
+
+
+def test_column_matches_thin_box_path():
+    from zelll_tpu.ops.fused import fused_lj_rebuild_energy
+
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(0, 1, size=(700, 3)) * np.array([4.0, 4.0, 40.0])
+    e1, ok1 = column_lj_energy(jnp.asarray(pts), 1.0, T=4, L=1024, interpret=True)
+    e2, ok2 = fused_lj_rebuild_energy(jnp.asarray(pts), 1.0, M=1024, L=256,
+                                      interpret=True)
+    assert bool(ok1) and bool(ok2)
+    np.testing.assert_allclose(float(e1), float(e2), rtol=1e-12)

@@ -1,0 +1,174 @@
+"""Cubic/wide-box pair reductions via column decomposition.
+
+The lag kernel's candidate window is the key range W = sum(strides[1:])+1,
+which for a box with a large x*y cross-section spans an entire z-layer —
+the one geometry where the plain sorted order loses (see
+docs/DESIGN_NOTES.md). Fix: decompose the x-y plane into T x T cell
+columns and give every particle one copy per column whose *extended*
+region (owned cells plus a one-cell shell) contains its cell:
+
+* a cell (cx, cy) belongs to the extended regions of the columns
+  {(cx-1)//T, (cx+1)//T} x {(cy-1)//T, (cy+1)//T} — at most 4 distinct
+  (exactly 4 copies emitted, duplicates invalidated), ~(1 + 2/T)^2
+  valid copies per particle;
+* copies sort by a composite key  col_id * COLSPAN + local_key  where the
+  local key uses column-local padded strides (x, y fast; z slow), so the
+  candidate window inside a column is one (T+2)^2-cell z-slab — thin-box
+  economics regardless of the global box shape. Cross-column copy pairs
+  differ by >= COLSPAN in key and are masked by the kernel's key window;
+* each copy carries an `owner` payload flag (its cell lies in the column's
+  owned T x T range). Every cutoff pair appears in exactly one column with
+  its larger-slot endpoint owned... more precisely: for each unordered
+  pair, the column owning the larger-slot endpoint's cell contains both
+  endpoints (cells within +-1), so masking contributions by the
+  larger-slot endpoint's owner flag counts each pair exactly once
+  globally. This reuses the kernel's payload mechanism — no new Pallas.
+
+Cost vs the thin-box fast path: ~2.25x copies and a somewhat larger L;
+versus the naive full-layer window it is O(layer/T^2) faster.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..core.geometry import GridInfo, aabb_from_positions
+from .pallas_pairs import count_term, lj_term, pair_lag_reduce
+
+__all__ = ["column_expand", "column_pair_sum", "column_lj_energy"]
+
+# Invalid (duplicate) copies get distinct ascending keys from this base:
+# above every real composite key, below the lag kernel's tail-padding key,
+# and spaced by 1 so sentinel blocks early-exit the lag loop after ~W
+# iterations instead of running to L. Their pair contributions are masked
+# by the owner flag regardless.
+SENTINEL_BASE = 1 << 29
+
+
+def column_expand(positions: jax.Array, cutoff, T: int = 4):
+    """Expand (n, 3) positions into column copies.
+
+    Returns (pos4 (4n, 3), keys (4n,), owner (4n,), local_strides (3,),
+    valid (4n,)). Copies are unsorted; invalid (duplicate) copies carry
+    SENTINEL keys.
+    """
+    n = positions.shape[0]
+    aabb = aabb_from_positions(positions)
+    info = GridInfo.create(aabb, cutoff)
+    cell = info.cell_index(positions)  # (n, 3)
+    cx, cy, cz = cell[:, 0], cell[:, 1], cell[:, 2]
+
+    # column-local grid: (T+2) x (T+2) x shape_z cells, +4-padded strides
+    sx = jnp.asarray(T + 6, jnp.int32)
+    s_local = jnp.stack([jnp.asarray(1, jnp.int32), sx, sx * sx])
+    colspan = sx * sx * (info.shape[2] + 4)
+
+    # candidate column coordinates (floor division, negative-safe)
+    cxm = jnp.floor_divide(cx - 1, T)
+    cxp = jnp.floor_divide(cx + 1, T)
+    cym = jnp.floor_divide(cy - 1, T)
+    cyp = jnp.floor_divide(cy + 1, T)
+    ncols_x = jnp.floor_divide(info.shape[0] - 1, T) + 2  # +slack for edges
+
+    outs = []
+    for colx, dup_x in ((cxm, None), (cxp, cxm)):
+        for coly, dup_y in ((cym, None), (cyp, cym)):
+            dup = jnp.zeros((n,), jnp.bool_)
+            if dup_x is not None:
+                dup = dup | (colx == dup_x)
+            if dup_y is not None:
+                dup = dup | (coly == dup_y)
+            if dup_x is not None and dup_y is not None:
+                # the (cxp, cyp) copy duplicates earlier ones if either
+                # axis collapsed
+                dup = (colx == dup_x) | (coly == dup_y)
+            lx = cx - colx * T + 1  # in [0, T+1]
+            ly = cy - coly * T + 1
+            lkey = lx + ly * sx + cz * (sx * sx)
+            col_id = (colx + 1) + (coly + 1) * ncols_x  # shift: col >= -1
+            key = col_id * colspan + lkey
+            owner = (
+                (cx >= colx * T) & (cx < (colx + 1) * T)
+                & (cy >= coly * T) & (cy < (coly + 1) * T)
+                & ~dup
+            )
+            outs.append((key, owner, dup))
+
+    keys = jnp.concatenate([k for k, _, _ in outs])
+    owner = jnp.concatenate([o for _, o, _ in outs])
+    dup = jnp.concatenate([d for _, _, d in outs])
+    iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    keys = jnp.where(dup, SENTINEL_BASE + iota, keys)
+    pos4 = jnp.tile(positions, (4, 1))
+    return pos4, keys, owner, s_local, ~dup
+
+
+@partial(
+    jax.jit, static_argnames=("T", "M", "L", "term", "interpret", "out_dtype")
+)
+def column_pair_sum(
+    positions: jax.Array,
+    cutoff,
+    *,
+    T: int = 4,
+    M: int = 1024,
+    L: int = 512,
+    term: Callable = lj_term,
+    interpret: bool = False,
+    out_dtype=None,
+):
+    """Sum term(dsq) over unique cutoff pairs for arbitrary box shapes.
+
+    Full rebuild each call: column expansion -> one sort -> lag kernel
+    with the owner flag as payload. Returns (total, coverage_ok).
+    """
+    pos4, keys, owner, s_local, valid = column_expand(positions, cutoff, T)
+
+    n4 = pos4.shape[0]
+    flag = owner.astype(pos4.dtype)
+    cols = (pos4[:, 0], pos4[:, 1], pos4[:, 2], flag)
+    out = jax.lax.sort((keys, *cols), num_keys=1, is_stable=False)
+    skeys, sx_, sy_, sz_, sflag = out
+    spos = jnp.stack([sx_, sy_, sz_], axis=-1)
+
+    def owned_term(dsq, fi, fj):
+        # i is the larger-slot endpoint: count the pair iff i's copy owns
+        # its cell in this column. Re-guard dsq where the flag masks the
+        # pair: sentinel copies of one particle sit at dsq == 0 and
+        # term(0) * 0 would produce inf * 0 = nan.
+        del fj
+        safe = jnp.where(fi > 0, dsq, jnp.ones_like(dsq))
+        return term(safe) * fi
+
+    total = pair_lag_reduce(
+        spos,
+        skeys,
+        jnp.stack(
+            [jnp.asarray(1, jnp.int32), s_local[1], s_local[2]]
+        ),
+        jnp.asarray(cutoff, pos4.dtype) ** 2,
+        None,
+        sflag[:, None],
+        M=M,
+        L=L,
+        term=owned_term,
+        interpret=interpret,
+        out_dtype=out_dtype,
+    )
+
+    # coverage: within-column window bound (sentinel keys ascend by 1 and
+    # satisfy it over any L > W span automatically)
+    w = s_local[1] + s_local[2] + 1
+    if n4 > L:
+        ok = jnp.all(skeys[L:] - skeys[:-L] > w)
+    else:
+        ok = jnp.asarray(True)
+    return total, ok
+
+
+def column_lj_energy(positions, cutoff, **kw):
+    return column_pair_sum(positions, cutoff, term=lj_term, **kw)
