@@ -53,3 +53,21 @@ def test_column_matches_thin_box_path():
                                       interpret=True)
     assert bool(ok1) and bool(ok2)
     np.testing.assert_allclose(float(e1), float(e2), rtol=1e-12)
+
+
+def test_column_split_precision():
+    """Split coordinates compose with the column path (f32 hi/lo planes,
+    f64 oracle check on CPU)."""
+    rng = np.random.default_rng(4)
+    pts = rng.uniform(0, 1, size=(500, 3)) * 20.0
+    v = brute(pts, 1.0)
+    hi = pts.astype(np.float32)
+    lo = (pts - hi.astype(np.float64)).astype(np.float32)
+    e, ok = column_lj_energy(
+        jnp.asarray(hi), 1.0, jnp.asarray(lo), T=4, L=1024, interpret=True
+    )
+    assert bool(ok)
+    t3 = (1.0 / v) ** 3
+    np.testing.assert_allclose(
+        float(e), (4 * t3 * (t3 - 1)).sum(), rtol=2e-5
+    )

@@ -113,6 +113,7 @@ def column_expand(positions: jax.Array, cutoff, T: int = 4):
 def column_pair_sum(
     positions: jax.Array,
     cutoff,
+    positions_lo: jax.Array | None = None,
     *,
     T: int = 4,
     M: int = 1024,
@@ -130,10 +131,16 @@ def column_pair_sum(
 
     n4 = pos4.shape[0]
     flag = owner.astype(pos4.dtype)
-    cols = (pos4[:, 0], pos4[:, 1], pos4[:, 2], flag)
+    cols = [pos4[:, 0], pos4[:, 1], pos4[:, 2]]
+    if positions_lo is not None:
+        lo4 = jnp.tile(positions_lo, (4, 1))
+        cols += [lo4[:, 0], lo4[:, 1], lo4[:, 2]]
+    cols.append(flag)
     out = jax.lax.sort((keys, *cols), num_keys=1, is_stable=False)
-    skeys, sx_, sy_, sz_, sflag = out
-    spos = jnp.stack([sx_, sy_, sz_], axis=-1)
+    skeys = out[0]
+    spos = jnp.stack(out[1:4], axis=-1)
+    slo = jnp.stack(out[4:7], axis=-1) if positions_lo is not None else None
+    sflag = out[-1]
 
     def owned_term(dsq, fi, fj):
         # i is the larger-slot endpoint: count the pair iff i's copy owns
@@ -151,7 +158,7 @@ def column_pair_sum(
             [jnp.asarray(1, jnp.int32), s_local[1], s_local[2]]
         ),
         jnp.asarray(cutoff, pos4.dtype) ** 2,
-        None,
+        slo,
         sflag[:, None],
         M=M,
         L=L,
@@ -170,5 +177,7 @@ def column_pair_sum(
     return total, ok
 
 
-def column_lj_energy(positions, cutoff, **kw):
-    return column_pair_sum(positions, cutoff, term=lj_term, **kw)
+def column_lj_energy(positions, cutoff, positions_lo=None, **kw):
+    return column_pair_sum(
+        positions, cutoff, positions_lo, term=lj_term, **kw
+    )
