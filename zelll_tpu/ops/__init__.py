@@ -1,5 +1,41 @@
 """Fused interaction kernels (XLA + Pallas)."""
 
+from .columns import column_lj_energy, column_pair_sum
+from .fused import (
+    fused_count_pairs,
+    fused_lj_energy,
+    fused_lj_rebuild_energy,
+    fused_pair_sum,
+)
 from .lj import lj, lj_energy, lj_force_factor, lj_forces
+from .pallas_pairs import (
+    count_term,
+    lag_coverage_ok,
+    lj_term,
+    pair_lag_forces,
+    pair_lag_per_particle,
+    pair_lag_reduce,
+    split_f64,
+    suggest_lag,
+)
 
-__all__ = ["lj", "lj_energy", "lj_force_factor", "lj_forces"]
+__all__ = [
+    "lj",
+    "lj_energy",
+    "lj_force_factor",
+    "lj_forces",
+    "fused_pair_sum",
+    "fused_lj_energy",
+    "fused_count_pairs",
+    "fused_lj_rebuild_energy",
+    "column_pair_sum",
+    "column_lj_energy",
+    "pair_lag_reduce",
+    "pair_lag_forces",
+    "pair_lag_per_particle",
+    "lag_coverage_ok",
+    "suggest_lag",
+    "split_f64",
+    "lj_term",
+    "count_term",
+]
