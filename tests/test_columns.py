@@ -71,3 +71,24 @@ def test_column_split_precision():
     np.testing.assert_allclose(
         float(e), (4 * t3 * (t3 - 1)).sum(), rtol=2e-5
     )
+
+
+def test_column_forces_cubic_vs_bruteforce():
+    from zelll_tpu.ops.columns import column_lj_forces
+
+    rng = np.random.default_rng(5)
+    n, cutoff = 500, 1.0
+    pts = rng.uniform(0, 1, size=(n, 3)) * 12.0 + 0.01  # cubic
+    f, ok = column_lj_forces(
+        jnp.asarray(pts), cutoff, T=4, M=1024, L=1024, interpret=True
+    )
+    assert bool(ok)
+    d = pts[:, None] - pts[None]
+    dsq = (d * d).sum(-1)
+    mask = (dsq < cutoff**2) & ~np.eye(n, dtype=bool)
+    inv = np.where(mask, 1.0 / np.where(mask, dsq, 1.0), 0.0)
+    t = inv**3
+    gf = np.where(mask, 24 * t * (2 * t - 1) * inv, 0.0)
+    f_ref = (d * gf[..., None]).sum(axis=1)
+    scale = np.abs(f_ref).max() + 1e-30
+    np.testing.assert_allclose(np.asarray(f), f_ref, rtol=1e-9, atol=1e-9 * scale)

@@ -1,6 +1,6 @@
 """Fused interaction kernels (XLA + Pallas)."""
 
-from .columns import column_lj_energy, column_pair_sum
+from .columns import column_lj_energy, column_lj_forces, column_pair_sum
 from .fused import (
     fused_count_pairs,
     fused_lj_energy,
@@ -30,6 +30,7 @@ __all__ = [
     "fused_lj_rebuild_energy",
     "column_pair_sum",
     "column_lj_energy",
+    "column_lj_forces",
     "pair_lag_reduce",
     "pair_lag_forces",
     "pair_lag_per_particle",

@@ -181,3 +181,68 @@ def column_lj_energy(positions, cutoff, positions_lo=None, **kw):
     return column_pair_sum(
         positions, cutoff, positions_lo, term=lj_term, **kw
     )
+
+
+def column_lj_forces(
+    positions: jax.Array,
+    cutoff,
+    *,
+    T: int = 4,
+    M: int = 1024,
+    L: int = 512,
+    gfn: Callable = None,
+    interpret: bool = False,
+):
+    """Per-particle pairwise forces for arbitrary box shapes, input order.
+
+    Within a column, the forces kernel accumulates both force sides onto
+    each copy's slot (i-side directly, j-side via the Horner shift). A
+    particle's OWNER copy sees its complete stencil (the extended region
+    covers owned cells +-1), so owner-copy sums are the exact full forces;
+    ghost copies hold partial sums and are discarded. Extraction back to
+    input order uses a second small sort keyed by (is_ghost, particle id).
+
+    Returns ((n, 3) forces, coverage_ok).
+    """
+    from .lj import lj_force_factor
+    from .pallas_pairs import pair_lag_forces
+
+    if gfn is None:
+        gfn = lj_force_factor
+    n = positions.shape[0]
+    pos4, keys, owner, s_local, valid = column_expand(positions, cutoff, T)
+    pid = jnp.tile(jnp.arange(n, dtype=jnp.int32), 4)
+
+    ghost = (~owner).astype(jnp.int32)
+    out = jax.lax.sort(
+        (keys, pos4[:, 0], pos4[:, 1], pos4[:, 2], pid, ghost),
+        num_keys=1,
+        is_stable=False,
+    )
+    skeys, sx_, sy_, sz_, spid, sghost = out
+    spos = jnp.stack([sx_, sy_, sz_], axis=-1)
+
+    f = pair_lag_forces(
+        spos,
+        skeys,
+        jnp.stack([jnp.asarray(1, jnp.int32), s_local[1], s_local[2]]),
+        jnp.asarray(cutoff, pos4.dtype) ** 2,
+        M=M,
+        L=L,
+        gfn=gfn,
+        interpret=interpret,
+    )
+
+    # owner copies first (ghost = 0), ordered by particle id
+    order_key = sghost * jnp.asarray(n, jnp.int32) + spid
+    out2 = jax.lax.sort(
+        (order_key, f[:, 0], f[:, 1], f[:, 2]), num_keys=1, is_stable=False
+    )
+    forces = jnp.stack([out2[1][:n], out2[2][:n], out2[3][:n]], axis=-1)
+
+    w = s_local[1] + s_local[2] + 1
+    n4 = pos4.shape[0]
+    ok = (
+        jnp.all(skeys[L:] - skeys[:-L] > w) if n4 > L else jnp.asarray(True)
+    )
+    return forces, ok
