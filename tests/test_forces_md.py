@@ -80,3 +80,23 @@ def test_md_run_conserves_particles_and_stays_covered():
     assert st2.positions.shape == (n, 3)
     # particles barely moved with dt=1e-6
     assert float(jnp.abs(st2.positions).max()) < 20.0
+
+
+def test_md_step_cubic():
+    from zelll_tpu.models.lj_md import md_step_cubic
+
+    rng = np.random.default_rng(7)
+    n = 400
+    pts = rng.uniform(0, 1, size=(n, 3)) * 10.0  # cubic
+    vel = rng.normal(0, 0.05, (n, 3))
+    st = MDState(positions=jnp.asarray(pts), velocities=jnp.asarray(vel))
+    st2, ok = md_step_cubic(st, 1.0, 1e-6, T=4, M=512, L=512, interpret=True)
+    assert bool(ok)
+
+    f_ref = _brute_lj_forces(pts, 1.0)
+    v_ref = vel + 1e-6 * f_ref
+    np.testing.assert_allclose(np.asarray(st2.velocities), v_ref, rtol=1e-9,
+                               atol=1e-12 * max(1.0, np.abs(v_ref).max()))
+    np.testing.assert_allclose(
+        np.asarray(st2.positions), pts + 1e-6 * v_ref, rtol=1e-9
+    )

@@ -100,3 +100,28 @@ def md_run(
         M=M, L=L, term=lj_term, interpret=interpret,
     )
     return state, ok, energy
+
+
+@partial(jax.jit, static_argnames=("T", "M", "L", "interpret"))
+def md_step_cubic(
+    state: MDState,
+    cutoff,
+    dt,
+    *,
+    T: int = 4,
+    M: int = 8192,
+    L: int = 1024,
+    interpret: bool = False,
+):
+    """MD step for cubic/wide boxes via the column decomposition
+    (`ops.columns`): forces come back in input order, so state needs no
+    sorted invariant between steps. Returns (new_state, coverage_ok)."""
+    from ..ops.columns import column_lj_forces
+
+    pos, vel = state.positions, state.velocities
+    f, ok = column_lj_forces(
+        pos, cutoff, T=T, M=M, L=L, interpret=interpret
+    )
+    vel_new = vel + dt * f
+    pos_new = pos + dt * vel_new
+    return MDState(positions=pos_new, velocities=vel_new), ok
