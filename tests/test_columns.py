@@ -92,3 +92,15 @@ def test_column_forces_cubic_vs_bruteforce():
     f_ref = (d * gf[..., None]).sum(axis=1)
     scale = np.abs(f_ref).max() + 1e-30
     np.testing.assert_allclose(np.asarray(f), f_ref, rtol=1e-9, atol=1e-9 * scale)
+
+
+def test_column_negative_origin():
+    rng = np.random.default_rng(6)
+    pts = rng.uniform(-1, 1, size=(400, 3)) * 8.0  # spans negative coords
+    v = brute(pts, 1.0)
+    cnt, ok = column_pair_sum(
+        jnp.asarray(pts), 1.0, T=4, M=1024, L=1024,
+        term=count_term, interpret=True, out_dtype=jnp.int32,
+    )
+    assert bool(ok)
+    assert int(cnt) == len(v)
