@@ -104,3 +104,27 @@ def test_column_negative_origin():
     )
     assert bool(ok)
     assert int(cnt) == len(v)
+
+
+def test_auto_dispatch():
+    from zelll_tpu.ops.fused import auto_lj_energy
+
+    rng = np.random.default_rng(8)
+
+    def ref(pts, cutoff):
+        v = brute(pts, cutoff)
+        t3 = (1.0 / v) ** 3
+        return (4 * t3 * (t3 - 1)).sum()
+
+    thin = rng.uniform(0, 1, size=(500, 3)) * np.array([3.0, 3.0, 60.0])
+    e, path = auto_lj_energy(thin, 1.0, interpret=True)
+    assert path.startswith("fused")
+    np.testing.assert_allclose(e, ref(thin, 1.0), rtol=1e-10)
+
+    # dense cube: each z-layer holds ~500 particles, far beyond the lag cap
+    cube = rng.uniform(0, 1, size=(4000, 3)) * 8.0
+    e, path = auto_lj_energy(
+        cube, 1.0, max_thin_lag=256, interpret=True
+    )
+    assert path.startswith("columns")
+    np.testing.assert_allclose(e, ref(cube, 1.0), rtol=1e-10)

@@ -2,6 +2,7 @@
 
 from .columns import column_lj_energy, column_lj_forces, column_pair_sum
 from .fused import (
+    auto_lj_energy,
     fused_count_pairs,
     fused_lj_energy,
     fused_lj_rebuild_energy,
@@ -20,6 +21,7 @@ from .pallas_pairs import (
 )
 
 __all__ = [
+    "auto_lj_energy",
     "lj",
     "lj_energy",
     "lj_force_factor",

@@ -119,3 +119,43 @@ def fused_lj_rebuild_energy(
     )
     ok = lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
     return total, ok
+
+
+def auto_lj_energy(
+    positions,
+    cutoff,
+    *,
+    max_thin_lag: int = 2048,
+    interpret: bool = False,
+):
+    """Host-orchestrated 'just works' LJ energy: probes the data's lag
+    requirement and dispatches to the thin-box fused path (tight sorted
+    window) or the column decomposition (cubic/wide boxes).
+
+    Not jittable itself (it chooses static kernel parameters from the
+    data); each dispatch target is one jitted graph. Returns
+    (energy, path_name).
+    """
+    import numpy as np
+
+    from ..core.binning import bin_and_sort
+    from .columns import column_lj_energy
+    from .pallas_pairs import suggest_lag
+
+    positions = jnp.asarray(positions)
+    bins, _ = bin_and_sort(positions, cutoff, max_cells=1, need_perm=False)
+    L = suggest_lag(
+        np.asarray(bins.sorted_keys), np.asarray(bins.info.strides)
+    )
+    if L <= max_thin_lag:
+        M = max(1024, min(16384, L))
+        e, ok = fused_lj_rebuild_energy(
+            positions, cutoff, M=M, L=L, interpret=interpret
+        )
+        assert bool(ok)
+        return float(e), f"fused(L={L})"
+    e, ok = column_lj_energy(
+        positions, cutoff, T=4, M=8192, L=1024, interpret=interpret
+    )
+    assert bool(ok)
+    return float(e), "columns(T=4)"
