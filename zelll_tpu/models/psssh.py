@@ -47,12 +47,39 @@ def sample_surface(
     rng = np.random.default_rng(seed)
 
     if sampler == "nuts":
-        # single-chain host-recursion NUTS (reference parity path)
-        def vg(q):
-            v, g, ok = sdf.hmc_gradient(q[None, :])
-            if not ok[0]:
-                return -np.inf, np.zeros(3)
-            return float(v[0]), np.asarray(g[0])
+        # single-chain host-recursion NUTS (reference parity path). Every
+        # leapfrog is one tiny gradient evaluation, so it runs on the CPU
+        # backend when available: per-dispatch latency beats an accelerator
+        # tunnel's RTT by orders of magnitude at psssh scales.
+        import jax
+
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+
+        if cpu is not None:
+            with jax.default_device(cpu):
+                cpu_sdf = SmoothDistanceField(
+                    np.asarray(sdf.data.grid.sorted_pos, np.float64),
+                    np.asarray(sdf.data.radii_sorted[:-1], np.float64),
+                    cutoff=float(sdf.data.cutoff),
+                    surface_radius=sdf.surface_radius,
+                    k_force=sdf.k_force,
+                )
+
+            def vg(q):
+                with jax.default_device(cpu):
+                    v, g, ok = cpu_sdf.hmc_gradient(q[None, :])
+                if not ok[0]:
+                    return -np.inf, np.zeros(3)
+                return float(v[0]), np.asarray(g[0])
+        else:
+            def vg(q):
+                v, g, ok = sdf.hmc_gradient(q[None, :])
+                if not ok[0]:
+                    return -np.inf, np.zeros(3)
+                return float(v[0]), np.asarray(g[0])
 
         q0 = atoms[rng.integers(len(atoms))] + rng.normal(0, 0.1, 3)
         samples, _ = nuts_sample(
