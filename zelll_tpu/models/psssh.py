@@ -51,8 +51,6 @@ def sample_surface(
         # leapfrog is one tiny gradient evaluation, so it runs on the CPU
         # backend when available: per-dispatch latency beats an accelerator
         # tunnel's RTT by orders of magnitude at psssh scales.
-        import jax
-
         try:
             cpu = jax.devices("cpu")[0]
         except RuntimeError:
