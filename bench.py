@@ -5,17 +5,26 @@ Protocol mirrors the reference (BASELINE.md): n particles uniformly random
 in a 30 x 30 x (n/0.01/900) cuboid (ChaCha12 seed 3079380797442975911 —
 bit-identical to benches/cellgrid.rs data), cutoff 10, mean ~10 particles
 per cell. Each timed iteration performs the FULL pipeline on device: cell
-keys -> sort -> occupied-cell table -> fused LJ energy over cutoff pairs.
+keys -> sort -> fused LJ energy over cutoff pairs.
+
+Prints ONE JSON metric line on stdout (details on stderr). The metric is
+the split (f64-grade) mode — f32x2 coordinates, Kahan accumulation — so the
+single recorded line proves BOTH driver targets at once: >= 1e9 pairs/s AND
+<= 1e-6 LJ energy relative error (checked against the exact-f64 C++ oracle
+at BENCH_PARITY_N). The plain-f32 mode (fastest; ~1e-2 energy error from
+coordinate cancellation in large boxes, PARITY.md) is also timed and
+reported in the same line as "f32_pairs_per_sec".
+
+Pair counts use overflow-safe two-plane int32 accumulation (`combine_count`)
+so n >= 1e8 cannot wrap.
 
 Timing note: this environment reaches the TPU through a tunnel with ~28 ms
 round-trip latency per dispatch, so the REPS rebuild+energy iterations run
 inside one jitted `fori_loop` (positions perturbed per iteration to defeat
 loop-invariant hoisting) and the RTT is subtracted once.
 
-Prints one JSON line:
-  {"metric": ..., "value": pairs/sec, "unit": "pairs/s", "vs_baseline": x}
-vs_baseline is against the driver target of 1e9 pairs/s/chip at 1e7
-particles (BASELINE.json).
+Env knobs: BENCH_N (default 1e7), BENCH_REPS, BENCH_M, BENCH_L,
+BENCH_MODE=both|split|f32, BENCH_PARITY_N (default 1e6, 0 disables).
 """
 
 import json
@@ -29,10 +38,8 @@ N = int(float(os.environ.get("BENCH_N", "1e7")))
 CUTOFF = 10.0
 TARGET_PAIRS_PER_SEC = 1e9
 REPS = int(os.environ.get("BENCH_REPS", "10"))
-
-
-def round_up(x: int, g: int) -> int:
-    return ((x + g - 1) // g) * g
+MODE = os.environ.get("BENCH_MODE", "both")
+PARITY_N = int(float(os.environ.get("BENCH_PARITY_N", "1e6")))
 
 
 def measure_rtt(jax, jnp):
@@ -47,35 +54,24 @@ def measure_rtt(jax, jnp):
     return float(np.median(ts))
 
 
-def main():
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    import jax.numpy as jnp
-
-    from zelll_tpu.ops.fused import fused_lj_rebuild_energy
-    from zelll_tpu.ops.pallas_pairs import count_term
+def load_points(n):
     from zelll_tpu.utils.datagen import generate_points_random, lj_box
 
-    M = int(os.environ.get("BENCH_M", "16384"))
-    L = int(os.environ.get("BENCH_L", "256"))
-    # split precision: f32x2 coordinates -> f64-grade LJ parity (~1e-7 vs
-    # the f64 oracle) at a ~1.5x kernel cost; plain f32 is the headline
-    split = os.environ.get("BENCH_SPLIT", "0") == "1"
-
-    t0 = time.time()
-    cache = os.path.expanduser(f"~/.zelll_bench_cache_n{N}.npy")
+    cache = os.path.expanduser(f"~/.zelll_bench_cache_n{n}.npy")
     if os.path.exists(cache):
-        pts64 = np.load(cache, mmap_mode="r")
-    else:
-        pts64 = generate_points_random(N, lj_box(N, CUTOFF))
-        try:
-            np.save(cache, pts64)
-        except OSError:
-            pass
-    gen_s = time.time() - t0
+        return np.load(cache, mmap_mode="r")
+    pts64 = generate_points_random(n, lj_box(n, CUTOFF))
+    try:
+        np.save(cache, pts64)
+    except OSError:
+        pass
+    return pts64
+
+
+def run_mode(jax, jnp, pts64, *, split, M, L, rtt):
+    """Time REPS full rebuild+LJ steps; returns (pairs/s, energy, npairs)."""
+    from zelll_tpu.ops.fused import fused_lj_rebuild_energy
+    from zelll_tpu.ops.pallas_pairs import combine_count, count_term
 
     positions = jax.device_put(jnp.asarray(pts64, jnp.float32))
     pos_lo = (
@@ -92,8 +88,6 @@ def main():
 
     @jax.jit
     def count_step(pos):
-        import jax.numpy as jnp
-
         return fused_lj_rebuild_energy(
             pos, CUTOFF, pos_lo, M=M, L=L, term=count_term,
             out_dtype=jnp.int32,
@@ -115,8 +109,8 @@ def main():
     if not cov:
         print(json.dumps({"error": f"lag coverage failed at L={L}"}))
         sys.exit(1)
-    npairs = int(count_step(positions)[0])
-    rtt = measure_rtt(jax, jnp)
+    packed, _ = count_step(positions)
+    npairs = combine_count(packed)
 
     total_e = float(bench_loop(positions))  # compile + warm
     assert not np.isnan(total_e), "coverage failed inside bench loop"
@@ -124,36 +118,98 @@ def main():
     float(bench_loop(positions))
     total = time.perf_counter() - t0
     dt = max(total - rtt, 1e-9) / REPS
+    return npairs / dt, energy, npairs, dt
 
-    pairs_per_sec = npairs / dt
+
+def parity_rel_err(jax, jnp, M, L):
+    """Split-mode LJ energy vs the exact-f64 C++ oracle at PARITY_N."""
+    from zelll_tpu import oracle
+    from zelll_tpu.ops.fused import fused_lj_rebuild_energy
+    from zelll_tpu.ops.pallas_pairs import combine_count, count_term
+
+    if PARITY_N <= 0 or not oracle.available():
+        return None
+    pts64 = np.asarray(load_points(PARITY_N))
+    e_ref, n_ref = oracle.lj_energy(pts64, CUTOFF)
+    hi = jnp.asarray(pts64, jnp.float32)
+    lo = jnp.asarray(pts64 - np.asarray(hi, np.float64), jnp.float32)
+    e, ok = fused_lj_rebuild_energy(hi, CUTOFF, lo, M=M, L=L)
+    packed, _ = fused_lj_rebuild_energy(
+        hi, CUTOFF, lo, M=M, L=L, term=count_term, out_dtype=jnp.int32
+    )
+    assert bool(ok)
+    # split-precision distances can flip pairs sitting exactly on the
+    # cutoff boundary (f32x2 vs f64 rounding): report the relative count
+    # deviation, typically ~1e-7
+    count_err = abs(combine_count(packed) - n_ref) / max(n_ref, 1)
+    return abs(float(e) - e_ref) / abs(e_ref), count_err, n_ref
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    M = int(os.environ.get("BENCH_M", "16384"))
+    L = int(os.environ.get("BENCH_L", "256"))
+
+    t0 = time.time()
+    pts64 = load_points(N)
+    gen_s = time.time() - t0
+    rtt = measure_rtt(jax, jnp)
+
+    par = parity_rel_err(jax, jnp, min(M, 4096), L) if MODE != "f32" else None
+
+    details = {}
+    modes = {"both": [True, False], "split": [True], "f32": [False]}[MODE]
+    per_mode = {}
+    for split in modes:
+        pps, energy, npairs, dt = run_mode(
+            jax, jnp, pts64, split=split, M=M, L=L, rtt=rtt
+        )
+        per_mode[split] = pps
+        details["_f64grade" if split else "_f32"] = {
+            "step_ms": dt * 1e3,
+            "pairs": npairs,
+            "energy_per_atom": energy / N,
+        }
+
+    primary_split = True in per_mode
+    pps = per_mode[primary_split]
     result = {
         "metric": f"lj_cutoff_pairs_per_sec_full_rebuild_n{N:.0e}"
-        + ("_f64grade" if split else ""),
-        "value": pairs_per_sec,
+        + ("_f64grade" if primary_split else ""),
+        "value": pps,
         "unit": "pairs/s",
-        "vs_baseline": pairs_per_sec / TARGET_PAIRS_PER_SEC,
+        "vs_baseline": pps / TARGET_PAIRS_PER_SEC,
     }
-    print(json.dumps(result))
-    print(
-        json.dumps(
-            {
-                "detail": {
-                    "n": N,
-                    "cutoff": CUTOFF,
-                    "step_ms": dt * 1e3,
-                    "rtt_ms": rtt * 1e3,
-                    "pairs": npairs,
-                    "energy_per_atom": energy / N,
-                    "M": M,
-                    "L": L,
-                    "datagen_s": round(gen_s, 2),
-                    "backend": jax.default_backend(),
-                    "reps": REPS,
-                }
-            }
-        ),
-        file=sys.stderr,
-    )
+    if primary_split and par is not None:
+        rel, count_err, n_ref = par
+        result["energy_rel_err_vs_oracle"] = rel
+        result["count_rel_err_vs_oracle"] = count_err
+    if False in per_mode and primary_split:
+        result["f32_pairs_per_sec"] = per_mode[False]
+    print(json.dumps(result), flush=True)
+
+    detail = {
+        "n": N,
+        "cutoff": CUTOFF,
+        "rtt_ms": rtt * 1e3,
+        "M": M,
+        "L": L,
+        "datagen_s": round(gen_s, 2),
+        "backend": jax.default_backend(),
+        "reps": REPS,
+        **details,
+    }
+    if par is not None:
+        detail["parity_n"] = PARITY_N
+        detail["energy_rel_err_vs_oracle"] = par[0]
+        detail["oracle_pairs"] = par[2]
+    print(json.dumps({"detail": detail}), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -28,7 +28,7 @@ def main():
     import jax.numpy as jnp
 
     from zelll_tpu.ops.columns import column_pair_sum
-    from zelll_tpu.ops.pallas_pairs import count_term
+    from zelll_tpu.ops.pallas_pairs import combine_count, count_term
     from zelll_tpu.utils.profiling import device_time, measure_rtt
 
     rng = np.random.default_rng(0)
@@ -38,6 +38,7 @@ def main():
     c, ok = column_pair_sum(
         pos, cutoff, T=4, M=8192, L=1024, term=count_term, out_dtype=jnp.int32
     )
+    npairs = combine_count(c)
     assert bool(ok), "column coverage failed"
     rtt = measure_rtt()
 
@@ -50,8 +51,8 @@ def main():
     dt = device_time(f, pos, reps=5, rtt=rtt)
     print(
         f'{{"metric": "cubic_lj_pairs_per_sec_full_rebuild_n{n:.0e}", '
-        f'"value": {int(c) / dt:.6g}, "unit": "pairs/s", '
-        f'"step_ms": {dt * 1e3:.1f}, "pairs": {int(c)}, '
+        f'"value": {npairs / dt:.6g}, "unit": "pairs/s", '
+        f'"step_ms": {dt * 1e3:.1f}, "pairs": {npairs}, '
         f'"box_cells": {int(side / cutoff)}}}'
     )
 

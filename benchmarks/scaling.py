@@ -55,13 +55,14 @@ def main():
         H = max(256, int(4 * n_local ** (2 / 3)))
         step = sharded_md_step(mesh, cutoff=cutoff, H=min(H, n_local), K=40,
                                chunk=128, dt=1e-6)
-        p2, v2, e = step(pos, vel)
+        p2, v2, e, cov = step(pos, vel)
+        assert bool(cov), "coverage failed: raise H/K"
         float(e)  # forced readback (block_until_ready alone can be async
         # through the axon tunnel)
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):
-            p2, v2, e = step(p2, v2)
+            p2, v2, e, cov = step(p2, v2)
         float(e)
         dt = (time.perf_counter() - t0) / reps
         print(f"{ndev},{n},{dt * 1e3:.2f},{float(e):.6g}", flush=True)

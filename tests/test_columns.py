@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from zelll_tpu.ops.columns import column_lj_energy, column_pair_sum
-from zelll_tpu.ops.pallas_pairs import count_term
+from zelll_tpu.ops.pallas_pairs import combine_count, count_term
 
 
 def brute(pts, cutoff):
@@ -33,7 +33,7 @@ def test_column_counts_and_energy_vs_bruteforce(n, box, cutoff, T):
         term=count_term, interpret=True, out_dtype=jnp.int32,
     )
     assert bool(ok)
-    assert int(cnt) == len(v)
+    assert combine_count(cnt) == len(v)
 
     e, ok = column_lj_energy(
         jnp.asarray(pts), cutoff, T=T, M=1024, L=1024, interpret=True
@@ -103,7 +103,7 @@ def test_column_negative_origin():
         term=count_term, interpret=True, out_dtype=jnp.int32,
     )
     assert bool(ok)
-    assert int(cnt) == len(v)
+    assert combine_count(cnt) == len(v)
 
 
 def test_auto_dispatch():
@@ -128,3 +128,22 @@ def test_auto_dispatch():
     )
     assert path.startswith("columns")
     np.testing.assert_allclose(e, ref(cube, 1.0), rtol=1e-10)
+
+
+def test_headroom_flag_on_huge_grid():
+    """Composite keys past the sentinel band must flip the flag, never
+    silently interleave sentinel copies with real keys (ADVICE round 1)."""
+    from zelll_tpu.ops.columns import column_expand
+
+    # two distant points spanning ~600^3 cells at cutoff 1: key bound
+    # ~(602/4)^2 * 100 * 606 > 2^29
+    pts = jnp.asarray([[0.0, 0.0, 0.0], [600.0, 600.0, 600.0]])
+    *_, headroom_ok = column_expand(pts, 1.0, T=4)
+    assert not bool(headroom_ok)
+
+    # a normal box keeps headroom
+    pts2 = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 20.0, size=(100, 3))
+    )
+    *_, ok2 = column_expand(pts2, 1.0, T=4)
+    assert bool(ok2)

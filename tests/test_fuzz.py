@@ -10,7 +10,7 @@ from zelll_tpu import oracle
 from zelll_tpu.core import build, count_pairs, pair_sum
 from zelll_tpu.ops.columns import column_pair_sum
 from zelll_tpu.ops.fused import fused_count_pairs, fused_lj_energy
-from zelll_tpu.ops.pallas_pairs import count_term, suggest_lag
+from zelll_tpu.ops.pallas_pairs import combine_count, count_term, suggest_lag
 
 pytestmark = pytest.mark.skipif(not oracle.available(), reason="needs g++")
 
@@ -59,4 +59,4 @@ def test_fuzz_cross_path(seed):
         jnp.asarray(pts), cutoff, T=4, M=1024, L=1024,
         term=count_term, interpret=True, out_dtype=jnp.int32,
     )
-    assert bool(ok) and int(c2) == n_ref
+    assert bool(ok) and combine_count(c2) == n_ref

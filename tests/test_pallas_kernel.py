@@ -89,3 +89,44 @@ def test_coverage_detects_undersized_lag():
     assert bool(
         lag_coverage_ok(grid.bins.sorted_keys, grid.info.strides, 512)
     )
+
+
+def test_padded_grid_sentinel_rows():
+    """Capacity-class padding (valid=False rows -> SENTINEL_KEY) must not
+    inflate the lag bound, flag coverage false, or contribute pairs — and
+    padding coordinate families must never collide at dsq == 0 (the energy
+    kernel has no dsq > 0 exclusion)."""
+    from zelll_tpu.ops.fused import fused_count_pairs
+    from zelll_tpu.ops.pallas_pairs import suggest_lag
+
+    rng = np.random.default_rng(7)
+    n, cutoff = 1500, 1.0
+    pts = rng.uniform(0, 1, size=(n, 3)) * np.asarray([3.0, 3.0, 50.0])
+
+    # api-style padding: capacity 2048, far-away spread coords, valid mask
+    n_pad = 2048
+    padded = np.empty((n_pad, 3))
+    padded[:n] = pts
+    padded[n:] = (1e12 + 1e5 * np.arange(1, n_pad - n + 1))[:, None]
+    valid = jnp.arange(n_pad) < n
+
+    grid_pad = build(jnp.asarray(padded), cutoff, valid=valid)
+    grid = build(jnp.asarray(pts), cutoff)
+
+    L_pad = suggest_lag(
+        np.asarray(grid_pad.bins.sorted_keys), np.asarray(grid_pad.info.strides)
+    )
+    L = suggest_lag(
+        np.asarray(grid.bins.sorted_keys), np.asarray(grid.info.strides)
+    )
+    assert L_pad == L, (L_pad, L)  # sentinel rows must not inflate the lag
+
+    e_pad, ok_pad = fused_lj_energy(grid_pad, M=1024, L=L_pad, interpret=True)
+    e, ok = fused_lj_energy(grid, M=1024, L=L, interpret=True)
+    assert bool(ok_pad) and bool(ok)  # padded grids must not flag forever
+    assert np.isfinite(float(e_pad))
+    np.testing.assert_allclose(float(e_pad), float(e), rtol=1e-12)
+
+    c_pad, ok1 = fused_count_pairs(grid_pad, M=1024, L=L_pad, interpret=True)
+    c, ok2 = fused_count_pairs(grid, M=1024, L=L, interpret=True)
+    assert bool(ok1) and bool(ok2) and c_pad == c

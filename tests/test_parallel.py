@@ -57,8 +57,9 @@ def test_sharded_energy_matches_reference():
     positions = jax.device_put(jnp.asarray(parts), sharding)
 
     efn = sharded_lj_energy(mesh, cutoff=cutoff, H=64, K=16, chunk=16)
-    got = float(efn(positions))
-    np.testing.assert_allclose(got, _ref_energy(pts, cutoff), rtol=1e-9)
+    e, ok = efn(positions)
+    assert bool(ok)
+    np.testing.assert_allclose(float(e), _ref_energy(pts, cutoff), rtol=1e-9)
 
 
 def test_sharded_md_step_forces_match_single_device():
@@ -72,7 +73,8 @@ def test_sharded_md_step_forces_match_single_device():
 
     dt = 1e-9
     step = sharded_md_step(mesh, cutoff=cutoff, H=50, K=16, chunk=16, dt=dt)
-    new_pos, new_vel, energy = step(positions, velocities)
+    new_pos, new_vel, energy, cov = step(positions, velocities)
+    assert bool(cov)
     np.testing.assert_allclose(float(energy), _ref_energy(parts, cutoff), rtol=1e-9)
 
     # single-device reference forces (input order == slab-partitioned order)
@@ -109,8 +111,9 @@ def test_sharded_pallas_energy_matches_reference():
         mesh, cutoff=cutoff, H=64, use_pallas=True, M=256, L=128,
         interpret=True,
     )
-    got = float(efn(positions))
-    np.testing.assert_allclose(got, _ref_energy(pts, cutoff), rtol=1e-9)
+    e, ok = efn(positions)
+    assert bool(ok)
+    np.testing.assert_allclose(float(e), _ref_energy(pts, cutoff), rtol=1e-9)
 
 
 def test_sharded_pallas_md_step_matches_xla_path():
@@ -128,8 +131,9 @@ def test_sharded_pallas_md_step_matches_xla_path():
         mesh, cutoff=cutoff, H=60, dt=dt, use_pallas=True, M=256, L=128,
         interpret=True,
     )
-    p1, v1, e1 = s1(positions, velocities)
-    p2, v2, e2 = s2(positions, velocities)
+    p1, v1, e1, c1 = s1(positions, velocities)
+    p2, v2, e2, c2 = s2(positions, velocities)
+    assert bool(c1) and bool(c2)
     np.testing.assert_allclose(float(e1), float(e2), rtol=1e-9)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-8,
                                atol=1e-14)
@@ -162,11 +166,75 @@ def test_repartition_restores_slab_invariant():
 
     # energy via the sharded path must match the reference after repartition
     efn = sharded_lj_energy(mesh, cutoff=cutoff, H=64, K=16, chunk=16)
-    got = float(efn(jax.device_put(jnp.asarray(p2), sharding)))
-    np.testing.assert_allclose(got, _ref_energy(pts, cutoff), rtol=1e-9)
+    e, ok = efn(jax.device_put(jnp.asarray(p2), sharding))
+    assert bool(ok)
+    np.testing.assert_allclose(float(e), _ref_energy(pts, cutoff), rtol=1e-9)
 
     # velocities stay paired with their particles
     order = {tuple(np.round(r, 9)): i for i, r in enumerate(parts)}
     for r, v in zip(p2, v2):
         i = order[tuple(np.round(r, 9))]
         np.testing.assert_allclose(v, np.asarray(vel)[i])
+
+
+def test_halo_flag_detects_small_H():
+    """A deliberately undersized halo must flip coverage_ok to False —
+    never silently return a wrong energy (VERDICT round-1 item 3)."""
+    pts = _cloud(n=640, seed=5)
+    cutoff = 1.0
+    mesh = make_mesh(8)
+    parts, n_local = partition_by_slab(pts, cutoff, 8)
+    sharding = NamedSharding(mesh, P("z", None))
+    positions = jax.device_put(jnp.asarray(parts), sharding)
+
+    e_small, ok_small = sharded_lj_energy(
+        mesh, cutoff=cutoff, H=2, K=16, chunk=16
+    )(positions)
+    assert not bool(ok_small)
+
+    e_big, ok_big = sharded_lj_energy(
+        mesh, cutoff=cutoff, H=64, K=16, chunk=16
+    )(positions)
+    assert bool(ok_big)
+    np.testing.assert_allclose(float(e_big), _ref_energy(pts, cutoff), rtol=1e-9)
+
+
+def test_capacity_flag_detects_small_K():
+    """Cell-bucket overflow on the XLA path must flip coverage_ok."""
+    pts = _cloud(n=640, seed=9)
+    cutoff = 2.0  # coarser cells -> higher occupancy than K=2
+    mesh = make_mesh(8)
+    parts, n_local = partition_by_slab(pts, cutoff, 8)
+    sharding = NamedSharding(mesh, P("z", None))
+    positions = jax.device_put(jnp.asarray(parts), sharding)
+    _, ok = sharded_lj_energy(mesh, cutoff=cutoff, H=64, K=2, chunk=16)(
+        positions
+    )
+    assert not bool(ok)
+
+
+def test_pallas_H_exceeds_n_local():
+    """H larger than the local block must clamp cleanly (regression for the
+    ext[:H+n_loc] vs keys[:H_eff+n_loc] mismatch) and stay exact."""
+    pts = _cloud(n=320, seed=12)  # n_local = 40 << H
+    cutoff = 1.0
+    mesh = make_mesh(8)
+    parts, n_local = partition_by_slab(pts, cutoff, 8)
+    assert n_local < 128
+    sharding = NamedSharding(mesh, P("z", None))
+    positions = jax.device_put(jnp.asarray(parts), sharding)
+    velocities = jax.device_put(jnp.zeros_like(positions), sharding)
+
+    efn = sharded_lj_energy(
+        mesh, cutoff=cutoff, H=2 * n_local, use_pallas=True, M=256, L=128,
+        interpret=True,
+    )
+    e, ok = efn(positions)
+    np.testing.assert_allclose(float(e), _ref_energy(pts, cutoff), rtol=1e-9)
+
+    step = sharded_md_step(
+        mesh, cutoff=cutoff, H=2 * n_local, dt=1e-9, use_pallas=True,
+        M=256, L=128, interpret=True,
+    )
+    _, _, e2, cov = step(positions, velocities)
+    np.testing.assert_allclose(float(e2), _ref_energy(pts, cutoff), rtol=1e-9)

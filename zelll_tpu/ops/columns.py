@@ -53,8 +53,15 @@ def column_expand(positions: jax.Array, cutoff, T: int = 4):
     """Expand (n, 3) positions into column copies.
 
     Returns (pos4 (4n, 3), keys (4n,), owner (4n,), local_strides (3,),
-    valid (4n,)). Copies are unsorted; invalid (duplicate) copies carry
-    SENTINEL keys.
+    valid (4n,), headroom_ok). Copies are unsorted; invalid (duplicate)
+    copies carry SENTINEL keys.
+
+    ``headroom_ok`` is False when composite keys run out of int32 headroom:
+    real keys must stay a key-window W below SENTINEL_BASE, or duplicate-
+    copy sentinels (which carry real coordinates) would fall inside the lag
+    kernel's key window and contribute spurious pairs silently. Cubic grids
+    around ~465^3 cells reach this; the caller must fail or re-grid, never
+    proceed (the never-silently-drop invariant).
     """
     n = positions.shape[0]
     aabb = aabb_from_positions(positions)
@@ -75,6 +82,7 @@ def column_expand(positions: jax.Array, cutoff, T: int = 4):
     ncols_x = jnp.floor_divide(info.shape[0] - 1, T) + 2  # +slack for edges
 
     outs = []
+    max_col = jnp.asarray(-1, jnp.int32)
     for colx, dup_x in ((cxm, None), (cxp, cxm)):
         for coly, dup_y in ((cym, None), (cyp, cym)):
             dup = jnp.zeros((n,), jnp.bool_)
@@ -96,15 +104,32 @@ def column_expand(positions: jax.Array, cutoff, T: int = 4):
                 & (cy >= coly * T) & (cy < (coly + 1) * T)
                 & ~dup
             )
+            max_col = jnp.maximum(
+                max_col, jnp.max(jnp.where(dup, -1, col_id))
+            )
             outs.append((key, owner, dup))
 
     keys = jnp.concatenate([k for k, _, _ in outs])
     owner = jnp.concatenate([o for _, o, _ in outs])
     dup = jnp.concatenate([d for _, _, d in outs])
     iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    # int32 headroom: the largest real composite key must sit a full key
+    # window below the sentinel band. Bound it BEFORE the multiply (in f32,
+    # with margin for its ~32-ulp rounding at 2^29) — the keys themselves
+    # may already have wrapped int32, so max(keys) cannot be trusted.
+    w = s_local[1] + s_local[2] + 1
+    key_bound = (max_col.astype(jnp.float32) + 1.0) * colspan.astype(
+        jnp.float32
+    )
+    headroom_ok = key_bound + w.astype(jnp.float32) < float(
+        SENTINEL_BASE - 4096
+    )
+    assert SENTINEL_BASE + 4 * n < jnp.iinfo(jnp.int32).max // 2, (
+        "column sentinel keys would collide with kernel padding keys"
+    )
     keys = jnp.where(dup, SENTINEL_BASE + iota, keys)
     pos4 = jnp.tile(positions, (4, 1))
-    return pos4, keys, owner, s_local, ~dup
+    return pos4, keys, owner, s_local, ~dup, headroom_ok
 
 
 @partial(
@@ -127,7 +152,9 @@ def column_pair_sum(
     Full rebuild each call: column expansion -> one sort -> lag kernel
     with the owner flag as payload. Returns (total, coverage_ok).
     """
-    pos4, keys, owner, s_local, valid = column_expand(positions, cutoff, T)
+    pos4, keys, owner, s_local, valid, headroom_ok = column_expand(
+        positions, cutoff, T
+    )
 
     n4 = pos4.shape[0]
     flag = owner.astype(pos4.dtype)
@@ -168,13 +195,13 @@ def column_pair_sum(
     )
 
     # coverage: within-column window bound (sentinel keys ascend by 1 and
-    # satisfy it over any L > W span automatically)
+    # satisfy it over any L > W span automatically) + key headroom
     w = s_local[1] + s_local[2] + 1
     if n4 > L:
         ok = jnp.all(skeys[L:] - skeys[:-L] > w)
     else:
         ok = jnp.asarray(True)
-    return total, ok
+    return total, ok & headroom_ok
 
 
 def column_lj_energy(positions, cutoff, positions_lo=None, **kw):
@@ -210,7 +237,9 @@ def column_lj_forces(
     if gfn is None:
         gfn = lj_force_factor
     n = positions.shape[0]
-    pos4, keys, owner, s_local, valid = column_expand(positions, cutoff, T)
+    pos4, keys, owner, s_local, valid, headroom_ok = column_expand(
+        positions, cutoff, T
+    )
     pid = jnp.tile(jnp.arange(n, dtype=jnp.int32), 4)
 
     ghost = (~owner).astype(jnp.int32)
@@ -245,4 +274,4 @@ def column_lj_forces(
     ok = (
         jnp.all(skeys[L:] - skeys[:-L] > w) if n4 > L else jnp.asarray(True)
     )
-    return forces, ok
+    return forces, ok & headroom_ok

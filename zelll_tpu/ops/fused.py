@@ -69,10 +69,19 @@ def fused_lj_energy(grid: CellGridData, **kw):
 
 
 def fused_count_pairs(grid: CellGridData, **kw):
-    # integer accumulation: counts exceed f32's 2^24 exact-integer range
-    # beyond ~1e6 particles
+    """Exact pair count. Returns (count: int, coverage_ok).
+
+    Integer accumulation (counts exceed f32's 2^24 exact-integer range
+    beyond ~1e6 particles), reconstructed host-side from two int32 planes
+    so totals past 2^31 cannot wrap. Host-syncing by design; inside jit use
+    `fused_pair_sum(grid, count_term, out_dtype=jnp.int32)` which returns
+    the (hi, lo) planes for `combine_count`.
+    """
     kw.setdefault("out_dtype", jnp.int32)
-    return fused_pair_sum(grid, count_term, **kw)
+    packed, ok = fused_pair_sum(grid, count_term, **kw)
+    from .pallas_pairs import combine_count
+
+    return combine_count(packed), ok
 
 
 def fused_lj_rebuild_energy(

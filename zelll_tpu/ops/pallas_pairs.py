@@ -47,6 +47,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..core.geometry import SENTINEL_KEY
+
 __all__ = [
     "pair_lag_reduce",
     "lag_coverage_ok",
@@ -54,9 +56,23 @@ __all__ = [
     "split_f64",
     "lj_term",
     "count_term",
+    "combine_count",
 ]
 
 LANES = 128
+
+# Base for padding-row keys inside the lag kernels: above every real key
+# (real keys have int32 headroom below this; columns.py asserts it), below
+# int32 overflow even after per-slot spacing.
+_PAD_KEY_BASE = jnp.iinfo(jnp.int32).max // 2
+
+# Coordinate value family for kernel tail-padding rows. Distinct from every
+# other padding family in the repo (api._pad_far and partition_by_slab use
+# 1e12 + 1e5*k, halo spread ghosts use 2e12/2.1e12 + 1e5*k) so padding rows
+# from different stages can never coincide at dsq == 0 — the energy kernel
+# has no dsq > 0 exclusion (coincident *real* particles are counted,
+# matching the reference's iterator semantics).
+_PAD_COORD_BASE = 7e12
 
 
 def lj_term(dsq):
@@ -79,26 +95,59 @@ def split_f64(x64):
 
 def lag_coverage_ok(sorted_keys: jax.Array, strides: jax.Array, L: int):
     """True iff lag bound L covers every in-window pair:
-    key[i] - key[i-L] > W for all i (padding keys included is conservative).
+    key[i] - key[i-L] > W for all *real* rows i.
+
+    SENTINEL_KEY padding rows (capacity-class padding sorts last) are
+    excluded: sentinel runs have zero key differences but no real pairs, so
+    including them would force L toward the padded length and flag padded
+    grids as uncovered forever.
     """
     w = jnp.sum(strides[1:]) + 1
     if sorted_keys.shape[0] <= L:
         return jnp.asarray(True)
-    return jnp.all(sorted_keys[L:] - sorted_keys[:-L] > w)
+    later = sorted_keys[L:]
+    return jnp.all((later - sorted_keys[:-L] > w) | (later == SENTINEL_KEY))
 
 
 def suggest_lag(sorted_keys_host, strides_host, granule: int = 128) -> int:
-    """Smallest granule multiple L with full coverage (host-side helper)."""
+    """Smallest granule multiple L with full coverage (host-side helper).
+    SENTINEL_KEY padding rows are excluded like in `lag_coverage_ok`."""
     import numpy as np
 
     w = int(np.sum(strides_host[1:]) + 1)
-    n = len(sorted_keys_host)
+    keys = np.asarray(sorted_keys_host)
+    n = len(keys)
     L = granule
     while L < n and not np.all(
-        sorted_keys_host[L:] - sorted_keys_host[:-L] > w
+        (keys[L:] - keys[:-L] > w) | (keys[L:] == SENTINEL_KEY)
     ):
         L *= 2
     return min(L, ((n + granule - 1) // granule) * granule)
+
+
+def _pad_and_desentinel(sorted_keys: jax.Array, ntot: int) -> jax.Array:
+    """Extend (n,) keys to ntot slots and replace every padding key
+    (SENTINEL_KEY rows and the appended tail) with strictly ascending
+    spaced keys starting at _PAD_KEY_BASE.
+
+    Ascending spaced padding keys keep the kernels' early-exit alive: equal
+    padding keys would hold the key window open forever (every lag "in
+    window"), degrading padded grids to O(n*L). The spacing is the largest
+    that cannot overflow int32, so a padding run expires after
+    ceil(W / spacing) lags. Padding keys stay above every real key, so no
+    real-vs-padding pair can enter the key window (real keys have headroom
+    below _PAD_KEY_BASE)."""
+    n = sorted_keys.shape[0]
+    spacing = max(1, (jnp.iinfo(jnp.int32).max - _PAD_KEY_BASE - 1) // max(ntot, 1))
+    keys_p = jnp.concatenate(
+        [sorted_keys, jnp.full((ntot - n,), SENTINEL_KEY, jnp.int32)]
+    )
+    iota = jnp.arange(ntot, dtype=jnp.int32)
+    return jnp.where(
+        keys_p == SENTINEL_KEY,
+        jnp.int32(_PAD_KEY_BASE) + iota * jnp.int32(spacing),
+        keys_p,
+    )
 
 
 def _make_kernel(M: int, L: int, term: Callable, n_planes: int, split: bool,
@@ -389,11 +438,10 @@ def pair_lag_per_particle(
 
     P = -(-n // M)
     tail = P * M - n
-    big = jnp.asarray(jnp.iinfo(jnp.int32).max // 2, jnp.int32)
-    keys_p = jnp.concatenate([sorted_keys, jnp.full((tail,), big, jnp.int32)])
+    keys_p = _pad_and_desentinel(sorted_keys, P * M)
     spread = (
         jnp.arange(1, tail + 1, dtype=dtype) * jnp.asarray(1e5, dtype)
-        + jnp.asarray(1e12, dtype)
+        + jnp.asarray(_PAD_COORD_BASE, dtype)
     )
     planes = [
         jnp.concatenate([sorted_pos[:, a], spread]).reshape(-1, LANES)
@@ -640,11 +688,10 @@ def pair_lag_forces(
 
     P = -(-n // M)
     tail = P * M - n
-    big = jnp.asarray(jnp.iinfo(jnp.int32).max // 2, jnp.int32)
-    keys_p = jnp.concatenate([sorted_keys, jnp.full((tail,), big, jnp.int32)])
+    keys_p = _pad_and_desentinel(sorted_keys, P * M)
     spread = (
         jnp.arange(1, tail + 1, dtype=dtype) * jnp.asarray(1e5, dtype)
-        + jnp.asarray(1e12, dtype)
+        + jnp.asarray(_PAD_COORD_BASE, dtype)
     )
     planes = [
         jnp.concatenate([sorted_pos[:, a], spread]).reshape(-1, LANES)
@@ -749,13 +796,13 @@ def pair_lag_reduce(
     P = -(-n // M)
     tail = P * M - n
 
-    # Tail padding: huge keys (always "in window" together) but spread-out
-    # coordinates so every padded dsq exceeds any cutoff.
-    big = jnp.asarray(jnp.iinfo(jnp.int32).max // 2, jnp.int32)
-    keys_p = jnp.concatenate([sorted_keys, jnp.full((tail,), big, jnp.int32)])
+    # Tail padding: ascending spaced keys above every real key (see
+    # _pad_and_desentinel) with spread-out coordinates so every padded dsq
+    # exceeds any cutoff.
+    keys_p = _pad_and_desentinel(sorted_keys, P * M)
     spread = (
         jnp.arange(1, tail + 1, dtype=dtype) * jnp.asarray(1e5, dtype)
-        + jnp.asarray(1e12, dtype)
+        + jnp.asarray(_PAD_COORD_BASE, dtype)
     )
     dim = sorted_pos.shape[1]
     planes = [
@@ -805,4 +852,21 @@ def pair_lag_reduce(
         grid_spec=grid_spec,
         interpret=interpret,
     )(w_key, csq, mislot, *planes, kp)
+    if jnp.issubdtype(out_dtype, jnp.integer):
+        # Overflow-safe integer total: per-element block sums stay far below
+        # 2^31, but the grand total wraps int32 near ~2.1e9 pairs (n~1e8 at
+        # reference density is within 7%). Sum the 16-bit planes separately
+        # and reconstruct host-side with `combine_count`.
+        lo = jnp.sum(out & 0xFFFF)
+        hi = jnp.sum(out >> 16)
+        return jnp.stack([hi, lo])
     return jnp.sum(out)
+
+
+def combine_count(packed) -> int:
+    """Reconstruct the exact pair count from the (hi, lo) int32 planes
+    returned by `pair_lag_reduce` with an integer out_dtype."""
+    import numpy as np
+
+    v = np.asarray(packed)
+    return (int(v[0]) << 16) + int(v[1])

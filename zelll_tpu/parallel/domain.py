@@ -41,13 +41,18 @@ from ..core.grid import build
 from ..core.pairs import pair_energy_per_particle, pair_forces
 from ..ops.lj import lj, lj_force_factor
 from ..ops.pallas_pairs import (
-    lag_coverage_ok,
     lj_term,
     pair_lag_forces,
     pair_lag_reduce,
 )
 
-__all__ = ["make_mesh", "partition_by_slab", "sharded_md_step", "sharded_lj_energy"]
+__all__ = [
+    "make_mesh",
+    "partition_by_slab",
+    "sharded_md_step",
+    "sharded_lj_energy",
+    "halo_coverage_ok",
+]
 
 AXIS = "z"
 
@@ -115,6 +120,73 @@ def _halo_exchange(arr, H: int):
     return from_left, from_right, idx, nd
 
 
+def halo_coverage_ok(sorted_keys_loc, strides, H_eff, *, both_sides=True):
+    """Per-device halo capacity check — the slab-boundary analogue of
+    `lag_coverage_ok` (one shifted key compare per direction).
+
+    A device's ghosts are the tail/head H_eff rows of its neighbors'
+    key-sorted blocks. Every particle a neighbor could pair with must lie
+    inside those rows, or boundary pairs are silently dropped:
+
+    * needed-by-right = my rows with key >= right_min - W (a suffix of my
+      ascending keys): count <= H_eff, and < n_local unless I am device 0
+      (a fully-needed block means the window may reach past me to a
+      device whose particles are never exchanged).
+    * needed-by-left (mirrored) — only checked when ``both_sides`` (force
+      paths need both halos; the Pallas energy path consumes left ghosts
+      only, as pairs are owned by their larger-slot endpoint).
+
+    Ring-wraparound edges (device 0 <-> D-1) are spatially distant by the
+    slab invariant and excluded. Returns this device's flag; reduce with
+    `lax.pmin`-style all-reduce for the global verdict.
+    """
+    nd = jax.lax.axis_size(AXIS)
+    if nd == 1:
+        return jnp.asarray(True)
+    idx = jax.lax.axis_index(AXIS)
+    w = (jnp.sum(strides[1:]) + 1).astype(sorted_keys_loc.dtype)
+    n_loc = sorted_keys_loc.shape[0]
+    fwd = [(i, (i + 1) % nd) for i in range(nd)]
+    bwd = [(i, (i - 1) % nd) for i in range(nd)]
+    right_min = jax.lax.ppermute(sorted_keys_loc[0], AXIS, bwd)
+    needed_r = jnp.sum(sorted_keys_loc >= right_min - w)
+    ok_r = (needed_r <= H_eff) & ((needed_r < n_loc) | (idx == 0))
+    ok = jnp.where(idx < nd - 1, ok_r, True)
+    if both_sides:
+        left_max = jax.lax.ppermute(sorted_keys_loc[-1], AXIS, fwd)
+        needed_l = jnp.sum(sorted_keys_loc <= left_max + w)
+        ok_l = (needed_l <= H_eff) & ((needed_l < n_loc) | (idx == nd - 1))
+        ok = ok & jnp.where(idx > 0, ok_l, True)
+    return ok
+
+
+def _all_ok(flag):
+    """All-reduce a per-device bool over the mesh axis."""
+    return jax.lax.pmin(flag.astype(jnp.int32), AXIS) > 0
+
+
+def _lag_ok_ext(keys_ext, strides, L, H_eff, n_loc):
+    """`lag_coverage_ok` over the halo-extended block [gl | own | gr?].
+
+    Ring-wraparound ghosts (device 0's left ghosts, device D-1's right
+    ghosts) are spatially distant rows whose keys break the ascending-key
+    proxy without ever forming real pairs (the cutoff filters them), so
+    comparisons touching them are excluded.
+    """
+    nd = jax.lax.axis_size(AXIS)
+    idx = jax.lax.axis_index(AXIS)
+    ntot = keys_ext.shape[0]
+    if ntot <= L:
+        return jnp.asarray(True)
+    w = jnp.sum(strides[1:]) + 1
+    diff_ok = keys_ext[L:] - keys_ext[:-L] > w
+    i = jnp.arange(L, ntot)
+    genuine = ((idx > 0) | (i - L >= H_eff)) & (
+        (idx < nd - 1) | (i < H_eff + n_loc)
+    )
+    return jnp.all(diff_ok | ~genuine)
+
+
 def sharded_md_step(
     mesh: Mesh,
     *,
@@ -130,15 +202,23 @@ def sharded_md_step(
 ):
     """Build a jitted velocity-Verlet-style MD step over the mesh.
 
-    step(positions, velocities) -> (positions, velocities, energy) where
-    positions/velocities are (n, 3) sharded along axis 0 ('z' slabs of the
-    globally sorted order). H = halo capacity (particles per boundary).
+    step(positions, velocities) -> (positions, velocities, energy,
+    coverage_ok) where positions/velocities are (n, 3) sharded along axis 0
+    ('z' slabs of the globally sorted order). H = halo capacity (particles
+    per boundary).
+
+    ``coverage_ok`` is the global AND of every static-capacity check —
+    halo capacity H (`halo_coverage_ok`), the lag bound L (Pallas) or cell
+    bucket capacity K (XLA). False means density growth outgrew a static
+    parameter and pairs may be missing: the host must re-jit one capacity
+    class up, never trust the step's outputs (the coverage-flag invariant;
+    the single-device md_step returns the same kind of flag).
 
     ``use_pallas=True`` runs the fused lag kernels per shard (the TPU
     production path); the default XLA path works everywhere and is the
     parity reference. Energy uses the distributed ownership rule: each
     pair counted by the device owning its larger-slot endpoint
-    (min_islot = H over [left ghosts | owned]).
+    (min_islot = H_eff over [left ghosts | owned]).
     """
 
     def local_step(pos, vel):
@@ -156,6 +236,9 @@ def sharded_md_step(
         ext = jnp.concatenate([gl, pos_s, gr], axis=0)
         n_loc = pos_s.shape[0]
         csq = jnp.asarray(cutoff, pos.dtype) ** 2
+        halo_ok = halo_coverage_ok(
+            bins.sorted_keys, info.strides, H_eff, both_sides=True
+        )
 
         if use_pallas:
             keys_ext = compute_keys(ext, info)
@@ -166,11 +249,12 @@ def sharded_md_step(
             f_own = f[H_eff : H_eff + n_loc]
             keys_e = keys_ext[: H_eff + n_loc]
             e_loc = pair_lag_reduce(
-                ext[: H + n_loc], keys_e, info.strides, csq,
+                ext[: H_eff + n_loc], keys_e, info.strides, csq,
                 M=M, L=L, term=lj_term, interpret=interpret,
                 min_islot=H_eff,
             )
             energy = jax.lax.psum(e_loc, AXIS)
+            cap_ok = _lag_ok_ext(keys_ext, info.strides, L, H_eff, n_loc)
         else:
             grid = build(ext, cutoff, info=info)
             forces = pair_forces(
@@ -181,16 +265,18 @@ def sharded_md_step(
             )
             f_own = forces[H_eff : H_eff + n_loc]
             energy = jax.lax.psum(jnp.sum(e_pp[H_eff : H_eff + n_loc]), AXIS)
+            cap_ok = grid.bins.max_cell_count() <= K
 
+        coverage_ok = _all_ok(halo_ok & cap_ok)
         vel_new = vel_s + dt * f_own
         pos_new = pos_s + dt * vel_new
-        return pos_new, vel_new, energy
+        return pos_new, vel_new, energy, coverage_ok
 
     step = shard_map(
         local_step,
         mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS, None)),
-        out_specs=(P(AXIS, None), P(AXIS, None), P()),
+        out_specs=(P(AXIS, None), P(AXIS, None), P(), P()),
         check_vma=False,
     )
     return jax.jit(step)
@@ -250,7 +336,12 @@ def sharded_lj_energy(
     L: int = 256,
     interpret: bool = False,
 ):
-    """Jitted global LJ energy over slab-sharded positions (exact)."""
+    """Jitted global LJ energy over slab-sharded positions (exact).
+
+    Returns (energy, coverage_ok); see `sharded_md_step` for the flag's
+    contract. The Pallas path consumes left ghosts only (larger-slot
+    ownership), so its halo check is one-sided.
+    """
 
     def local(pos):
         H_eff = min(H, pos.shape[0])
@@ -259,6 +350,9 @@ def sharded_lj_energy(
         gl, gr, *_ = _halo_exchange(pos_s, H_eff)
         csq = jnp.asarray(cutoff, pos.dtype) ** 2
         n_loc = pos_s.shape[0]
+        halo_ok = halo_coverage_ok(
+            bins.sorted_keys, info.strides, H_eff, both_sides=not use_pallas
+        )
         if use_pallas:
             ext = jnp.concatenate([gl, pos_s], axis=0)
             keys_ext = compute_keys(ext, info)
@@ -267,18 +361,23 @@ def sharded_lj_energy(
                 M=M, L=L, term=lj_term, interpret=interpret,
                 min_islot=H_eff,
             )
-            return jax.lax.psum(e_loc, AXIS)
+            cap_ok = _lag_ok_ext(keys_ext, info.strides, L, H_eff, n_loc)
+            return jax.lax.psum(e_loc, AXIS), _all_ok(halo_ok & cap_ok)
         ext = jnp.concatenate([gl, pos_s, gr], axis=0)
         grid = build(ext, cutoff, info=info)
         e_pp = pair_energy_per_particle(grid, lj, K=K, chunk=chunk, cutoff_sq=csq)
-        return jax.lax.psum(jnp.sum(e_pp[H_eff : H_eff + n_loc]), AXIS)
+        cap_ok = grid.bins.max_cell_count() <= K
+        return (
+            jax.lax.psum(jnp.sum(e_pp[H_eff : H_eff + n_loc]), AXIS),
+            _all_ok(halo_ok & cap_ok),
+        )
 
     return jax.jit(
         shard_map(
             local,
             mesh=mesh,
             in_specs=(P(AXIS, None),),
-            out_specs=P(),
+            out_specs=(P(), P()),
             check_vma=False,
         )
     )
