@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Stage-level profile + T/M/L sweep for the cubic-box column path.
+
+Times, at n (default 1e7) in a cubic box at reference density:
+  expand  — column_expand alone (4x copy + keys + flags)
+  sort    — the 4n-row multi-operand sort alone
+  kernel  — pair_lag_reduce alone on presorted planes
+  full    — column_pair_sum end to end
+for each (T, M, L) config. Prints CSV to stdout.
+
+Usage: python benchmarks/cubic_profile.py [n] [reps]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    n = int(float(sys.argv[1])) if len(sys.argv) > 1 else 10_000_000
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    cutoff = 10.0
+    side = (n / 0.01) ** (1 / 3)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from zelll_tpu.ops.columns import column_expand, column_pair_sum
+    from zelll_tpu.ops.pallas_pairs import lj_term, pair_lag_reduce
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, side, (n, 3))
+    pos = jax.device_put(jnp.asarray(pts, jnp.float32))
+
+    def rtt_measure():
+        f = jax.jit(lambda x: x + 1.0)
+        x = jnp.zeros((8,), jnp.float32)
+        float(f(x)[0])
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(f(x)[0])
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    rtt = rtt_measure()
+
+    def timeit(fn, *args):
+        """fn must return a scalar-reducible pytree; jitted loop timing."""
+        f = jax.jit(fn)
+        out = f(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = f(*args)
+        jax.block_until_ready(out)
+        # force a real sync through the tunnel
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.asarray(leaf).reshape(-1)[0])
+        return (time.perf_counter() - t0 - rtt) / reps
+
+    print("T,M,L,expand_ms,sort_ms,kernel_ms,full_ms,pairs_per_s", flush=True)
+
+    for T in (int(os.environ.get("CP_T", "0")),) if os.environ.get("CP_T") else (3, 4, 6, 8):
+        for M, L in (
+            ((8192, 1024), (16384, 1024), (8192, 512), (16384, 2048))
+            if not os.environ.get("CP_ML")
+            else [tuple(map(int, os.environ["CP_ML"].split(",")))]
+        ):
+            # stage: expand
+            def expand_fn(p):
+                pos4, keys, owner, s_local, valid, hok = column_expand(p, cutoff, T)
+                return keys.sum(), owner.sum()
+
+            t_expand = timeit(expand_fn, pos)
+
+            # stage: expand + sort
+            def sort_fn(p):
+                pos4, keys, owner, s_local, valid, hok = column_expand(p, cutoff, T)
+                flag = owner.astype(pos4.dtype)
+                out = jax.lax.sort(
+                    (keys, pos4[:, 0], pos4[:, 1], pos4[:, 2], flag),
+                    num_keys=1, is_stable=False,
+                )
+                return out[0][-1], out[1][-1]
+
+            t_sort = timeit(sort_fn, pos) - t_expand
+
+            # full path
+            def full_fn(p):
+                e, ok = column_pair_sum(p, cutoff, T=T, M=M, L=L)
+                return e, ok
+
+            t_full = timeit(full_fn, pos)
+            t_kernel = t_full - t_expand - t_sort
+
+            # pairs (reference density): ~16.07 pairs/particle at this proto
+            pairs = 16.07 * n / 2 * 2  # rough; exact printed by cubic.py
+            print(
+                f"{T},{M},{L},{t_expand*1e3:.1f},{t_sort*1e3:.1f},"
+                f"{t_kernel*1e3:.1f},{t_full*1e3:.1f},"
+                f"{1.607e8 * (n/1e7) / t_full:.3g}",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

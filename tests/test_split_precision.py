@@ -7,7 +7,7 @@ import pytest
 
 from zelll_tpu import oracle
 from zelll_tpu.ops.fused import fused_lj_rebuild_energy
-from zelll_tpu.ops.pallas_pairs import count_term, split_f64
+from zelll_tpu.ops.pallas_pairs import combine_count, count_term, split_f64
 from zelll_tpu.utils.datagen import generate_points_random, lj_box
 
 
@@ -39,7 +39,7 @@ def test_split_precision_recovers_f64_parity():
         term=count_term, interpret=True,
     )
     # split distances resolve the cutoff boundary at f64 grade: counts match
-    assert int(c) == n_ref
+    assert combine_count(c) == n_ref
 
 
 def test_split_f64_identity():
@@ -51,3 +51,91 @@ def test_split_f64_identity():
         rtol=0,
         atol=1e-10,
     )
+
+
+@pytest.mark.skipif(not oracle.available(), reason="needs g++")
+def test_split_precision_forces_vs_oracle():
+    """Split-mode forces must reach ~f64 parity in a large-coordinate box
+    where plain f32 forces lose catastrophically (VERDICT round-1 item 4)."""
+    from zelll_tpu.core.binning import bin_and_sort
+    from zelll_tpu.ops.pallas_pairs import pair_lag_forces
+
+    n, cutoff = 2000, 10.0
+    pts = generate_points_random(n, lj_box(n, cutoff))
+    f_ref = oracle.forces(pts, cutoff)
+
+    hi = pts.astype(np.float32)
+    lo = (pts - hi.astype(np.float64)).astype(np.float32)
+    stacked = jnp.concatenate(
+        [jnp.asarray(hi), jnp.asarray(lo), jnp.arange(n, dtype=jnp.float32)[:, None]],
+        axis=1,
+    )
+    bins, cols = bin_and_sort(stacked, cutoff, max_cells=1, need_perm=False)
+    shi, slo, sid = cols[:, :3], cols[:, 3:6], cols[:, 6].astype(np.int64)
+    csq = jnp.asarray(cutoff, jnp.float32) ** 2
+
+    f_split = np.zeros_like(f_ref)
+    f_split[np.asarray(sid)] = np.asarray(
+        pair_lag_forces(
+            shi, bins.sorted_keys, bins.info.strides, csq, slo,
+            M=1024, L=256, interpret=True,
+        ),
+        np.float64,
+    )
+    f_plain = np.zeros_like(f_ref)
+    f_plain[np.asarray(sid)] = np.asarray(
+        pair_lag_forces(
+            shi, bins.sorted_keys, bins.info.strides, csq,
+            M=1024, L=256, interpret=True,
+        ),
+        np.float64,
+    )
+
+    scale = np.linalg.norm(f_ref, axis=1)
+    nz = scale > 1e-10
+    err_split = np.linalg.norm(f_split - f_ref, axis=1)[nz] / scale[nz]
+    err_plain = np.linalg.norm(f_plain - f_ref, axis=1)[nz] / scale[nz]
+    # split eliminates the coordinate-cancellation class (plain f32 is
+    # ~1e-4 here); the ~2e-7 residual is f32 rounding in evaluating
+    # g(dsq) itself (3-4 ulp), irreducible without f32x2 function
+    # evaluation in the kernel
+    assert np.median(err_split) < 5e-7, np.median(err_split)
+    # at this box size (z ~ 220) plain-f32 cancellation costs ~10x; the
+    # gap widens with coordinate magnitude (see the energy test at n=2e4)
+    assert np.median(err_split) < np.median(err_plain) / 5, (
+        np.median(err_plain), np.median(err_split)
+    )
+
+
+@pytest.mark.skipif(not oracle.available(), reason="needs g++")
+def test_md_step_split_tracks_f64_reference():
+    """A few split-MD steps must track an all-f64 numpy reference loop to
+    ~1e-7 in position change, where plain-f32 MD drifts ~1e-2-class."""
+    from zelll_tpu.models.lj_md import MDStateSplit, md_step_split
+
+    n, cutoff, dt = 1200, 10.0, 1e-9
+    pts = generate_points_random(n, lj_box(n, cutoff))
+
+    # f64 reference loop (oracle forces)
+    p, v = pts.copy(), np.zeros_like(pts)
+    for _ in range(3):
+        f = oracle.forces(p, cutoff)
+        v = v + dt * f
+        p = p + dt * v
+
+    st = MDStateSplit.from_f64(pts)
+    ok_all = True
+    for _ in range(3):
+        st, ok = md_step_split(st, cutoff, dt, M=1024, L=256, interpret=True)
+        ok_all = ok_all and bool(ok)
+    assert ok_all
+    got = np.asarray(st.positions_f64())
+
+    # compare displacement fields as multisets is awkward (sorted order);
+    # instead compare summed displacement magnitude and total energy proxy:
+    # match rows by nearest original position (dt tiny => tiny moves)
+    order_ref = np.lexsort((p[:, 0], p[:, 1], p[:, 2]))
+    order_got = np.lexsort((got[:, 0], got[:, 1], got[:, 2]))
+    dp_ref = p[order_ref]
+    dp_got = got[order_got]
+    np.testing.assert_allclose(dp_got, dp_ref, rtol=0, atol=5e-7)

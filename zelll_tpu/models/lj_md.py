@@ -29,7 +29,7 @@ from ..ops.pallas_pairs import (
     pair_lag_reduce,
 )
 
-__all__ = ["MDState", "md_step", "md_run"]
+__all__ = ["MDState", "MDStateSplit", "md_step", "md_run", "md_step_split"]
 
 
 @jax.tree_util.register_dataclass
@@ -37,6 +37,37 @@ __all__ = ["MDState", "md_step", "md_run"]
 class MDState:
     positions: jax.Array  # (n, 3)
     velocities: jax.Array  # (n, 3)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MDStateSplit:
+    """MD state with split-precision coordinates: positions are carried as
+    (hi, lo) f32 planes with hi + lo == the f64 position (`split_f64`).
+    Removes the ~1e-2-class f32 coordinate-cancellation error in large
+    boxes for BOTH forces and the integration update, at f32 speed (the
+    reference is f64 end to end, lib.rs generic over F)."""
+
+    pos_hi: jax.Array  # (n, 3) f32
+    pos_lo: jax.Array  # (n, 3) f32
+    velocities: jax.Array  # (n, 3) f32
+
+    @classmethod
+    def from_f64(cls, positions, velocities=None):
+        from ..ops.pallas_pairs import split_f64
+
+        hi, lo = split_f64(jnp.asarray(positions, jnp.float64))
+        vel = (
+            jnp.zeros_like(hi)
+            if velocities is None
+            else jnp.asarray(velocities, jnp.float32)
+        )
+        return cls(pos_hi=hi, pos_lo=lo, velocities=vel)
+
+    def positions_f64(self):
+        return self.pos_hi.astype(jnp.float64) + self.pos_lo.astype(
+            jnp.float64
+        )
 
 
 @partial(jax.jit, static_argnames=("M", "L", "interpret"))
@@ -68,6 +99,48 @@ def md_step(
     pos_new = spos + dt * vel_new
     ok = lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
     return MDState(positions=pos_new, velocities=vel_new), ok
+
+
+@partial(jax.jit, static_argnames=("M", "L", "interpret"))
+def md_step_split(
+    state: MDStateSplit,
+    cutoff,
+    dt,
+    *,
+    M: int = 4096,
+    L: int = 256,
+    interpret: bool = False,
+):
+    """One f64-grade MD step with full grid rebuild: split-precision forces
+    (hi/lo coordinate planes through the lag kernel) and a compensated
+    two-sum integration update, all in f32 arithmetic.
+
+    Returns (new_state, coverage_ok). Binning keys come from the hi plane
+    (cell assignment off-by-one requires a coordinate within one ulp of a
+    cell boundary AND a partner at the cutoff boundary — the same
+    measure-zero tie class as the documented count deviation).
+    """
+    hi, lo, vel = state.pos_hi, state.pos_lo, state.velocities
+    stacked = jnp.concatenate([hi, lo, vel], axis=1)
+    bins, cols = bin_and_sort(stacked, cutoff, max_cells=1, need_perm=False)
+    shi, slo, svel = cols[:, :3], cols[:, 3:6], cols[:, 6:9]
+
+    csq = jnp.asarray(cutoff, hi.dtype) ** 2
+    f = pair_lag_forces(
+        shi, bins.sorted_keys, bins.info.strides, csq, slo,
+        M=M, L=L, gfn=lj_force_factor, interpret=interpret,
+    )
+    vel_new = svel + dt * f
+    # two-sum position update: t = lo + dt*v is small, so hi_new + lo_new
+    # == hi + (lo + dt*v) exactly to f32x2 (fast two-sum, |hi| >= |t|)
+    t = slo + dt * vel_new
+    hi_new = shi + t
+    lo_new = (shi - hi_new) + t
+    ok = lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
+    return (
+        MDStateSplit(pos_hi=hi_new, pos_lo=lo_new, velocities=vel_new),
+        ok,
+    )
 
 
 @partial(jax.jit, static_argnames=("steps", "M", "L", "interpret"))

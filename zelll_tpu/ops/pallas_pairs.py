@@ -485,7 +485,8 @@ def pair_lag_per_particle(
     return out.reshape(-1)[:n]
 
 
-def _make_forces_kernel(M: int, L: int, gfn: Callable, dtype):
+def _make_forces_kernel(M: int, L: int, gfn: Callable, dtype,
+                        n_planes: int = 3, split: bool = False):
     """Forces kernel: per unique pair (i, j = i - lag), f_i += g(dsq) * d
     and f_j -= g(dsq) * d (Newton's third law).
 
@@ -498,15 +499,30 @@ def _make_forces_kernel(M: int, L: int, gfn: Callable, dtype):
     shift zero-injects at flat 0 so roll wraparound never contaminates
     real slots.
 
+    ``split=True`` takes 6 coordinate planes (hi, then lo f32 parts, see
+    `split_f64`): pair separations are ``(hi_i - hi_j) + (lo_i - lo_j)``,
+    exact in the leading term for nearby pairs — f64-grade forces at f32
+    speed (same scheme as the energy kernel).
+
     Completed force blocks flush to HBM one block behind the compute
     (block p-1 is final once program p ends, since the backward reach is
     L <= M); the grid runs one extra program to flush the last block.
     """
     Mr, Lr = M // LANES, L // LANES
     Wr = Mr + Lr
+    NP = n_planes + 1  # + key plane
+    ncoord = n_planes // 2 if split else n_planes
 
-    def kernel(wkey_ref, csq_ref, xb, yb, zb, kb, fx_out, fy_out, fz_out,
-               xw, yw, zw, kw, fxb, fyb, fzb):
+    def kernel(*refs):
+        # refs: wkey, csq, blocks (NP), force outs (3),
+        #       window scratch (NP), force double-buffers (3)
+        wkey_ref, csq_ref = refs[0], refs[1]
+        blocks = refs[2 : 2 + NP]
+        fouts = refs[2 + NP : 5 + NP]
+        wins = refs[5 + NP : 5 + 2 * NP]
+        fbufs = refs[5 + 2 * NP : 8 + 2 * NP]
+        kb, kw = blocks[-1], wins[-1]
+
         p = pl.program_id(0)
         num_p = pl.num_programs(0)
         w_key = wkey_ref[0]
@@ -517,29 +533,27 @@ def _make_forces_kernel(M: int, L: int, gfn: Callable, dtype):
             kw[0:Lr] = jnp.full(
                 (Lr, LANES), jnp.iinfo(jnp.int32).min // 2, jnp.int32
             )
-            for w in (xw, yw, zw):
+            for w in wins[:-1]:
                 w[0:Lr] = jnp.zeros((Lr, LANES), dtype)
-            for f in (fxb, fyb, fzb):
+            for f in fbufs:
                 f[...] = jnp.zeros((2 * Mr, LANES), dtype)
 
         # roll the force double-buffer: own block becomes "previous"
         @pl.when(p != 0)
         def _():
-            for f in (fxb, fyb, fzb):
+            for f in fbufs:
                 f[0:Mr] = f[Mr : 2 * Mr]
                 f[Mr : 2 * Mr] = jnp.zeros((Mr, LANES), dtype)
 
         @pl.when((p != 0) & (p < num_p - 1))
         def _():
-            for w in (xw, yw, zw, kw):
+            for w in wins:
                 w[0:Lr] = w[Wr - Lr : Wr]
 
         @pl.when(p < num_p - 1)
         def _():
-            xw[Lr:Wr] = xb[...]
-            yw[Lr:Wr] = yb[...]
-            zw[Lr:Wr] = zb[...]
-            kw[Lr:Wr] = kb[...]
+            for w, b in zip(wins, blocks):
+                w[Lr:Wr] = b[...]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (Wr, LANES), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (Wr, LANES), 0)
@@ -557,98 +571,76 @@ def _make_forces_kernel(M: int, L: int, gfn: Callable, dtype):
 
         @pl.when(p < num_p - 1)
         def _():
-            own = [w[Lr:Wr] for w in (xw, yw, zw)]
-            own_k = kw[Lr:Wr]
+            own = [w[Lr:Wr] for w in wins]
+            own_k = own[-1]
             padL = jnp.zeros((Lr, LANES), dtype)
 
             def lag_body(carry):
-                lag, active, sx, sy, sz, sk, dxx, dyy, dzz, ax, ay, az = carry
-                sx = shift_right_one(sx)
-                sy = shift_right_one(sy)
-                sz = shift_right_one(sz)
-                sk = shift_right_one(sk)
-                j = [s[Lr:Wr] for s in (sx, sy, sz)]
-                jk = sk[Lr:Wr]
-                dx = own[0] - j[0]
-                dy = own[1] - j[1]
-                dz = own[2] - j[2]
-                dsq = dx * dx + dy * dy + dz * dz
+                lag, active, *rest = carry
+                shifted = [shift_right_one(s) for s in rest[:NP]]
+                horner = list(rest[NP : NP + 3])
+                acc = list(rest[NP + 3 : NP + 6])
+                j = [s[Lr:Wr] for s in shifted]
+                jk = j[-1]
+                d = []
+                for a in range(3):
+                    da = own[a] - j[a]
+                    if split:
+                        da = da + (own[a + ncoord] - j[a + ncoord])
+                    d.append(da)
+                dsq = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
                 keymask = jk >= own_k - w_key
                 mask = keymask & (dsq < csq) & (dsq > 0)
                 g = jnp.where(
                     mask, gfn(jnp.where(mask, dsq, jnp.ones_like(dsq))), 0.0
                 ).astype(dtype)
-                clx = g * dx
-                cly = g * dy
-                clz = g * dz
-                ax += clx
-                ay += cly
-                az += clz
-                # Horner accumulation of the j side: embed c at rows [0:Mr]
-                dxx = shift_right_nowrap(dxx) + jnp.concatenate(
-                    [clx, padL], axis=0
-                )
-                dyy = shift_right_nowrap(dyy) + jnp.concatenate(
-                    [cly, padL], axis=0
-                )
-                dzz = shift_right_nowrap(dzz) + jnp.concatenate(
-                    [clz, padL], axis=0
-                )
+                for a in range(3):
+                    c = g * d[a]
+                    acc[a] = acc[a] + c
+                    # Horner accumulation of the j side: embed c at [0:Mr]
+                    horner[a] = shift_right_nowrap(horner[a]) + jnp.concatenate(
+                        [c, padL], axis=0
+                    )
                 return (
-                    lag + 1, jnp.any(keymask),
-                    sx, sy, sz, sk, dxx, dyy, dzz, ax, ay, az,
+                    lag + 1, jnp.any(keymask), *shifted, *horner, *acc,
                 )
 
             zW = jnp.zeros((Wr, LANES), dtype)
             zM = jnp.zeros((Mr, LANES), dtype)
             init = (
                 jnp.asarray(1, jnp.int32), jnp.asarray(True),
-                xw[...], yw[...], zw[...], kw[...],
+                *(w[...] for w in wins),
                 zW, zW, zW, zM, zM, zM,
             )
             # Phase 1: compute while any lag partner is key-in-window
             # (monotone, same early exit as the energy kernel).
-            lag_end, _, *_rest = out = jax.lax.while_loop(
+            out = jax.lax.while_loop(
                 lambda c: (c[0] <= L) & c[1], lag_body, init
             )
-            *_, dxx, dyy, dzz, ax, ay, az = out
+            lag_end = out[0]
+            horner = list(out[2 + NP : 5 + NP])
+            acc = out[5 + NP : 8 + NP]
+
             # Phase 2: the Horner accumulator still needs its remaining
             # L - (lag_end - 1) shifts to land contributions at their final
             # positions — shift-only, no pair compute.
             def tail_body(c):
-                lag, dxx, dyy, dzz = c
-                return (
-                    lag + 1,
-                    shift_right_nowrap(dxx),
-                    shift_right_nowrap(dyy),
-                    shift_right_nowrap(dzz),
-                )
+                return (c[0] + 1, *(shift_right_nowrap(v) for v in c[1:]))
 
-            _, dxx, dyy, dzz = jax.lax.while_loop(
-                lambda c: c[0] <= L, tail_body, (lag_end, dxx, dyy, dzz)
+            _, *horner = jax.lax.while_loop(
+                lambda c: c[0] <= L, tail_body, (lag_end, *horner)
             )
-            # After iteration `lag` the term has been shifted (L - lag)
-            # more times by the remaining iterations, landing at flat
-            # m + (L - lag) + ... hmm — the embed happens *after* the
-            # shift of this iteration, so total shifts applied to c_lag is
-            # (L - lag), final position m + L - lag == j's window slot
-            # L + m - lag requires ... see fold offset below.
-            #
             # c_lag embeds at flat m, then receives (L - lag) shifts:
-            # final flat = m + L - lag. j's true window slot = L + m - lag.
-            # So D is offset by exactly -L ... no: (m + L - lag) vs
-            # (L + m - lag) — identical. D aligns with window slots.
-            # Window flat 0 is global p*M - L = force-buffer row Mr - Lr.
-            for f, c in ((fxb, dxx), (fyb, dyy), (fzb, dzz)):
+            # final flat = m + L - lag == j's window slot. D aligns with
+            # window slots; window flat 0 is global p*M - L = force-buffer
+            # row Mr - Lr.
+            for f, c, a in zip(fbufs, horner, acc):
                 f[Mr - Lr : Mr + Mr] += -c  # j side (Newton)
-            fxb[Mr : 2 * Mr] += ax
-            fyb[Mr : 2 * Mr] += ay
-            fzb[Mr : 2 * Mr] += az
+                f[Mr : 2 * Mr] += a
 
         # flush the completed previous block
-        fx_out[...] = fxb[0:Mr]
-        fy_out[...] = fyb[0:Mr]
-        fz_out[...] = fzb[0:Mr]
+        for fo, f in zip(fouts, fbufs):
+            fo[...] = f[0:Mr]
 
     return kernel
 
@@ -661,6 +653,7 @@ def pair_lag_forces(
     sorted_keys: jax.Array,
     strides: jax.Array,
     cutoff_sq,
+    sorted_pos_lo: jax.Array | None = None,  # (n, 3) f32x2 low parts
     *,
     M: int = 1024,
     L: int = 256,
@@ -674,12 +667,19 @@ def pair_lag_forces(
     `core.pairs.pair_forces` path is N-dimensional). Self/coincident particles
     (dsq == 0) are excluded (matching `pair_forces` semantics: the
     reference leaves r == 0 to the caller; LJ diverges there anyway).
+
+    Passing ``sorted_pos_lo`` (f32 low parts from `split_f64`) enables
+    split-precision pair separations — f64-grade force directions and
+    magnitudes at f32 speed, removing the ~1e-2-class coordinate
+    cancellation error in large boxes (same scheme as `pair_lag_reduce`).
+
     Returns (n, 3) forces aligned with `sorted_pos`.
     """
     if gfn is None:
         from .lj import lj_force_factor as gfn  # default LJ
 
     n = sorted_pos.shape[0]
+    split = sorted_pos_lo is not None
     dtype = sorted_pos.dtype
     assert sorted_pos.shape[1] == 3, "pair_lag_forces is 3D-only"
     assert M % LANES == 0 and L % LANES == 0 and L >= LANES and L <= M
@@ -697,13 +697,21 @@ def pair_lag_forces(
         jnp.concatenate([sorted_pos[:, a], spread]).reshape(-1, LANES)
         for a in range(3)
     ]
+    if split:
+        planes += [
+            jnp.concatenate(
+                [sorted_pos_lo[:, a], jnp.zeros_like(spread)]
+            ).reshape(-1, LANES)
+            for a in range(3)
+        ]
+    n_planes = len(planes)
     kp = keys_p.reshape(-1, LANES)
 
     w_key = (jnp.sum(strides[1:]) + 1).astype(jnp.int32).reshape(1)
     csq = jnp.asarray(cutoff_sq, dtype).reshape(1)
 
     Mr = M // LANES
-    kernel = _make_forces_kernel(M, L, gfn, dtype)
+    kernel = _make_forces_kernel(M, L, gfn, dtype, n_planes, split)
     # one extra program flushes the final block; its block reads clamp to
     # the last real block (compute masked off)
     bs = lambda: pl.BlockSpec(
@@ -718,12 +726,10 @@ def pair_lag_forces(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(P + 1,),
-        in_specs=[bs(), bs(), bs(), bs()],
+        in_specs=[bs() for _ in range(n_planes + 1)],
         out_specs=[out_bs, out_bs, out_bs],
-        scratch_shapes=[
-            win(dtype, Mr + L // LANES),
-            win(dtype, Mr + L // LANES),
-            win(dtype, Mr + L // LANES),
+        scratch_shapes=[win(dtype, Mr + L // LANES) for _ in range(n_planes)]
+        + [
             win(jnp.int32, Mr + L // LANES),
             win(dtype, 2 * Mr),
             win(dtype, 2 * Mr),
@@ -865,8 +871,11 @@ def pair_lag_reduce(
 
 def combine_count(packed) -> int:
     """Reconstruct the exact pair count from the (hi, lo) int32 planes
-    returned by `pair_lag_reduce` with an integer out_dtype."""
+    returned by `pair_lag_reduce` with an integer out_dtype. Also accepts
+    a plain scalar count (float accumulation) for convenience."""
     import numpy as np
 
     v = np.asarray(packed)
+    if v.ndim == 0:
+        return int(round(float(v)))
     return (int(v[0]) << 16) + int(v[1])
