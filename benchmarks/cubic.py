@@ -19,6 +19,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     n = int(float(sys.argv[1])) if len(sys.argv) > 1 else 10_000_000
+    T = int(os.environ.get("CUBIC_T", "3"))
+    M = int(os.environ.get("CUBIC_M", "16384"))
+    L = int(os.environ.get("CUBIC_L", "1024"))
     cutoff = 10.0
     side = (n / 0.01) ** (1 / 3)
 
@@ -36,7 +39,7 @@ def main():
     pos = jax.device_put(jnp.asarray(pts, jnp.float32))
 
     c, ok = column_pair_sum(
-        pos, cutoff, T=4, M=8192, L=1024, term=count_term, out_dtype=jnp.int32
+        pos, cutoff, T=T, M=M, L=L, term=count_term, out_dtype=jnp.int32
     )
     npairs = combine_count(c)
     assert bool(ok), "column coverage failed"
@@ -44,7 +47,7 @@ def main():
 
     def f(p, i):
         e, ok = column_pair_sum(
-            p + (i % 2).astype(p.dtype) * 1e-6, cutoff, T=4, M=8192, L=1024
+            p + (i % 2).astype(p.dtype) * 1e-6, cutoff, T=T, M=M, L=L
         )
         return e
 
@@ -53,7 +56,7 @@ def main():
         f'{{"metric": "cubic_lj_pairs_per_sec_full_rebuild_n{n:.0e}", '
         f'"value": {npairs / dt:.6g}, "unit": "pairs/s", '
         f'"step_ms": {dt * 1e3:.1f}, "pairs": {npairs}, '
-        f'"box_cells": {int(side / cutoff)}}}'
+        f'"box_cells": {int(side / cutoff)}, "T": {T}, "M": {M}, "L": {L}}}'
     )
 
 

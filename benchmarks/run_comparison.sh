@@ -1,0 +1,103 @@
+#!/bin/bash
+# Cross-tool comparison orchestrator (the analogue of the reference's
+# scripts/more_benches.sh): one bit-identical dataset per size, fed to
+#   - zelll_tpu (the engine under test; auto-dispatched fused/column path)
+#   - the repo's exact-f64 C++ oracle (always available, needs g++)
+#   - LAMMPS           (skipped gracefully when `lmp` is absent)
+#   - CellListMap.jl   (skipped gracefully when `julia` is absent)
+# and merges per-atom LJ energy + runtime + memory into one CSV.
+#
+# Usage: benchmarks/run_comparison.sh [out.csv] [exponents...]
+#   e.g. benchmarks/run_comparison.sh /tmp/cmp.csv 3 4 5 6
+set -u
+
+OUT=${1:-comparison.csv}
+shift 2>/dev/null || true
+EXPONENTS=${@:-"3 4 5"}
+
+REPO_DIR=$(cd "$(dirname "$0")/.." && pwd)
+TMP_DIR=$(mktemp -d /tmp/zelll_cmp.XXXXXX)
+trap 'rm -rf "$TMP_DIR"' EXIT
+
+echo "n,reps,energy_per_atom,runtime_s,memory_mb,tool" > "$OUT"
+
+for exponent in $EXPONENTS; do
+  n=$((10**exponent))
+  data="$TMP_DIR/${n}atomsinabox.txt"
+  >&2 echo "== n=$n: generating $data"
+  python "$REPO_DIR/benchmarks/lammps_data.py" "$n" > "$data"
+
+  # zelll_tpu engine + C++ oracle (one process: shares the parsed data)
+  ZELLL_REPO="$REPO_DIR" python - "$data" "$n" >> "$OUT" <<'PYEOF'
+import os, sys, time
+import numpy as np
+
+sys.path.insert(0, os.environ["ZELLL_REPO"])
+data_path, n = sys.argv[1], int(sys.argv[2])
+
+rows = []
+inside = False
+for line in open(data_path):
+    s = line.strip()
+    if s.startswith("Atoms"):
+        inside = True
+        continue
+    if not inside or not s or s.startswith("#"):
+        continue
+    f = s.split()
+    if len(f) >= 5:
+        rows.append((float(f[2]), float(f[3]), float(f[4])))
+pts = np.asarray(rows)
+assert len(pts) == n, (len(pts), n)
+cutoff = 10.0
+
+from zelll_tpu.ops.fused import auto_lj_energy
+
+t0 = time.perf_counter()
+e, path = auto_lj_energy(pts, cutoff, split=True)  # f64-grade parity mode
+warm = time.perf_counter() - t0
+t0 = time.perf_counter()
+e, path = auto_lj_energy(pts, cutoff, split=True)
+dt = time.perf_counter() - t0
+print(f"{n},1,{e / n:.14g},{dt:.6g},,zelll_tpu[{path}]")
+
+from zelll_tpu import oracle
+
+if oracle.available():
+    t0 = time.perf_counter()
+    e_ref, n_pairs = oracle.lj_energy(pts, cutoff)
+    dt = time.perf_counter() - t0
+    print(f"{n},1,{e_ref / n:.14g},{dt:.6g},,cpp_oracle")
+PYEOF
+
+  # LAMMPS (if installed)
+  if command -v lmp >/dev/null 2>&1; then
+    >&2 echo "== n=$n: LAMMPS"
+    (cd "$TMP_DIR" && cp "$data" atomsinabox.txt && \
+     lmp -in "$REPO_DIR/benchmarks/in.zelllbench.lmp" -var repeats 1 \
+       > lmp.out 2>&1)
+    # thermo_style custom step pe: take the final pe line; loop time + Mbytes
+    pe=$(awk '/^ *[0-9]+ +-?[0-9.eE+-]+ *$/ {v=$2} END {print v}' "$TMP_DIR/lmp.out")
+    lt=$(grep -oE 'Loop time of [0-9.eE+-]+' "$TMP_DIR/lmp.out" | awk '{print $4}')
+    mb=$(grep -oE '[0-9.eE+-]+ Mbytes' "$TMP_DIR/lmp.out" | head -1 | awk '{print $1}')
+    if [ -n "$pe" ]; then
+      echo "$n,1,$pe,${lt:-},${mb:-},LAMMPS" >> "$OUT"
+    else
+      >&2 echo "   LAMMPS produced no energy line (see $TMP_DIR/lmp.out)"
+    fi
+  else
+    >&2 echo "== n=$n: lmp not found, skipping LAMMPS"
+  fi
+
+  # CellListMap.jl (if installed)
+  if command -v julia >/dev/null 2>&1; then
+    >&2 echo "== n=$n: CellListMap.jl"
+    julia "$REPO_DIR/benchmarks/celllistmap.jl" "$data" 1 >> "$OUT" \
+      || >&2 echo "   julia run failed (CellListMap installed?)"
+  else
+    >&2 echo "== n=$n: julia not found, skipping CellListMap.jl"
+  fi
+done
+
+>&2 echo "wrote $OUT"
+cat "$OUT"

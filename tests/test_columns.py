@@ -138,12 +138,12 @@ def test_headroom_flag_on_huge_grid():
     # two distant points spanning ~600^3 cells at cutoff 1: key bound
     # ~(602/4)^2 * 100 * 606 > 2^29
     pts = jnp.asarray([[0.0, 0.0, 0.0], [600.0, 600.0, 600.0]])
-    *_, headroom_ok = column_expand(pts, 1.0, T=4)
+    *_, headroom_ok, _colspan = column_expand(pts, 1.0, T=4)
     assert not bool(headroom_ok)
 
     # a normal box keeps headroom
     pts2 = jnp.asarray(
         np.random.default_rng(0).uniform(0, 20.0, size=(100, 3))
     )
-    *_, ok2 = column_expand(pts2, 1.0, T=4)
+    *_, ok2, _cs = column_expand(pts2, 1.0, T=4)
     assert bool(ok2)

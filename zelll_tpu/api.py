@@ -270,7 +270,9 @@ class CellGrid:
 
     def coordination_numbers(self) -> np.ndarray:
         """Number of neighbors within cutoff per particle (input order) —
-        a fused per-particle reduction on device."""
+        a fused per-particle reduction on device. (This class is 3D like
+        the reference's Python binding; N-dim per-particle sums live in
+        `core.pairs.pair_energy_per_particle`.)"""
         if self._grid is None or len(self._pts) < 2:
             return np.zeros(len(self._pts), np.int64)
         import jax.numpy as jnp

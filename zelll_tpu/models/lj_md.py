@@ -70,7 +70,7 @@ class MDStateSplit:
         )
 
 
-@partial(jax.jit, static_argnames=("M", "L", "interpret"))
+@partial(jax.jit, static_argnames=("M", "L", "interpret", "K"))
 def md_step(
     state: MDState,
     cutoff,
@@ -79,25 +79,48 @@ def md_step(
     M: int = 4096,
     L: int = 256,
     interpret: bool = False,
+    K: int = 32,
 ):
     """One velocity-Verlet-style step with full grid rebuild.
 
     Returns (new_state, coverage_ok). Uses the one-force-evaluation form
     (semi-implicit Euler / leapfrog): v += dt f(x); x += dt v.
+
+    3D runs the fused Pallas forces kernel; other dimensions use the XLA
+    bucketed path (the reference is generic over N, lib.rs:132-135) with
+    ``K`` as the static cell-bucket capacity, reflected in coverage_ok.
     """
     pos, vel = state.positions, state.velocities
+    dim = pos.shape[1]
     stacked = jnp.concatenate([pos, vel], axis=1)
-    bins, cols = bin_and_sort(stacked, cutoff, max_cells=1, need_perm=False)
-    spos, svel = cols[:, :3], cols[:, 3:]
-
     csq = jnp.asarray(cutoff, pos.dtype) ** 2
-    f = pair_lag_forces(
-        spos, bins.sorted_keys, bins.info.strides, csq,
-        M=M, L=L, gfn=lj_force_factor, interpret=interpret,
-    )
+    if dim == 3:
+        bins, cols = bin_and_sort(
+            stacked, cutoff, max_cells=1, need_perm=False
+        )
+        spos, svel = cols[:, :dim], cols[:, dim:]
+        f = pair_lag_forces(
+            spos, bins.sorted_keys, bins.info.strides, csq,
+            M=M, L=L, gfn=lj_force_factor, interpret=interpret,
+        )
+        ok = lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
+    else:
+        from ..core.grid import CellGridData
+        from ..core.pairs import pair_forces
+
+        bins, cols = bin_and_sort(stacked[:, :dim], cutoff, need_perm=True)
+        spos = cols
+        svel = vel[bins.perm]
+        grid = CellGridData(
+            bins=bins, sorted_pos=spos, sorted_ids=bins.perm
+        )
+        # pair_forces returns input order; re-sort to the new sorted order
+        f = pair_forces(
+            grid, lj_force_factor, K=K, chunk=64, cutoff_sq=csq
+        )[bins.perm]
+        ok = bins.max_cell_count() <= K
     vel_new = svel + dt * f
     pos_new = spos + dt * vel_new
-    ok = lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
     return MDState(positions=pos_new, velocities=vel_new), ok
 
 
@@ -181,7 +204,7 @@ def md_step_cubic(
     cutoff,
     dt,
     *,
-    T: int = 4,
+    T: int = 3,
     M: int = 8192,
     L: int = 1024,
     interpret: bool = False,

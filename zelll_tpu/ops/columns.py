@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.geometry import GridInfo, aabb_from_positions
-from .pallas_pairs import count_term, lj_term, pair_lag_reduce
+from .pallas_pairs import LANES, count_term, lj_term, pair_lag_reduce
 
 __all__ = ["column_expand", "column_pair_sum", "column_lj_energy"]
 
@@ -129,52 +129,88 @@ def column_expand(positions: jax.Array, cutoff, T: int = 4):
     )
     keys = jnp.where(dup, SENTINEL_BASE + iota, keys)
     pos4 = jnp.tile(positions, (4, 1))
-    return pos4, keys, owner, s_local, ~dup, headroom_ok
+    return pos4, keys, owner, s_local, ~dup, headroom_ok, colspan
+
+
+def _owner_from_keys(skeys, s_local, colspan, T: int):
+    """Reconstruct the owner flag from sorted composite keys (valid copies
+    own their cell iff the column-local cell coords sit in the owned T x T
+    range). Sentinel copies (keys >= SENTINEL_BASE) are never owners.
+    Deriving post-sort saves a sort operand AND a per-lag shifted plane."""
+    sx = s_local[1]
+    lkey = jnp.remainder(skeys, colspan)
+    lx = jnp.remainder(lkey, sx)
+    ly = jnp.remainder(lkey // sx, sx)
+    return (
+        (lx >= 1) & (lx <= T) & (ly >= 1) & (ly <= T)
+        & (skeys < SENTINEL_BASE)
+    )
+
+
+def _slice_cap(n4: int, T: int, cap_frac: float) -> int:
+    """Static row cap after sorting: valid copies (expected (1+2/T)^2 per
+    particle) sort before the sentinel band, so the tail can be cut before
+    the kernel. cap_frac is safety margin over the expectation."""
+    frac = min(1.0, (1.0 + 2.0 / T) ** 2 / 4.0 * cap_frac)
+    c = int(-(-int(n4 * frac) // LANES)) * LANES
+    return min(n4, max(c, LANES))
 
 
 @partial(
-    jax.jit, static_argnames=("T", "M", "L", "term", "interpret", "out_dtype")
+    jax.jit,
+    static_argnames=("T", "M", "L", "term", "interpret", "out_dtype",
+                     "cap_frac"),
 )
 def column_pair_sum(
     positions: jax.Array,
     cutoff,
     positions_lo: jax.Array | None = None,
     *,
-    T: int = 4,
+    T: int = 3,
     M: int = 1024,
     L: int = 512,
     term: Callable = lj_term,
     interpret: bool = False,
     out_dtype=None,
+    cap_frac: float = 1.25,
 ):
     """Sum term(dsq) over unique cutoff pairs for arbitrary box shapes.
 
-    Full rebuild each call: column expansion -> one sort -> lag kernel
-    with the owner flag as payload. Returns (total, coverage_ok).
+    Full rebuild each call: column expansion -> one sort -> slice off the
+    sentinel band -> lag kernel with the owner flag (derived from the
+    sorted keys, not sorted along) as an i-side-only payload. Returns
+    (total, coverage_ok); coverage_ok also covers the slice capacity
+    (valid copies beyond the static cap flag false, never drop).
     """
-    pos4, keys, owner, s_local, valid, headroom_ok = column_expand(
+    pos4, keys, owner, s_local, valid, headroom_ok, colspan = column_expand(
         positions, cutoff, T
     )
 
     n4 = pos4.shape[0]
-    flag = owner.astype(pos4.dtype)
     cols = [pos4[:, 0], pos4[:, 1], pos4[:, 2]]
     if positions_lo is not None:
         lo4 = jnp.tile(positions_lo, (4, 1))
         cols += [lo4[:, 0], lo4[:, 1], lo4[:, 2]]
-    cols.append(flag)
     out = jax.lax.sort((keys, *cols), num_keys=1, is_stable=False)
-    skeys = out[0]
-    spos = jnp.stack(out[1:4], axis=-1)
-    slo = jnp.stack(out[4:7], axis=-1) if positions_lo is not None else None
-    sflag = out[-1]
 
-    def owned_term(dsq, fi, fj):
+    # valid copies sort below the sentinel band: cut the tail before the
+    # kernel (~4n -> ~(1+2/T)^2 n rows)
+    C = _slice_cap(n4, T, cap_frac)
+    slice_ok = jnp.sum(valid, dtype=jnp.int32) <= C
+    skeys = out[0][:C]
+    spos = jnp.stack([c[:C] for c in out[1:4]], axis=-1)
+    slo = (
+        jnp.stack([c[:C] for c in out[4:7]], axis=-1)
+        if positions_lo is not None
+        else None
+    )
+    sflag = _owner_from_keys(skeys, s_local, colspan, T).astype(pos4.dtype)
+
+    def owned_term(dsq, fi):
         # i is the larger-slot endpoint: count the pair iff i's copy owns
         # its cell in this column. Re-guard dsq where the flag masks the
         # pair: sentinel copies of one particle sit at dsq == 0 and
         # term(0) * 0 would produce inf * 0 = nan.
-        del fj
         safe = jnp.where(fi > 0, dsq, jnp.ones_like(dsq))
         return term(safe) * fi
 
@@ -192,16 +228,17 @@ def column_pair_sum(
         term=owned_term,
         interpret=interpret,
         out_dtype=out_dtype,
+        payload_own_only=True,
     )
 
     # coverage: within-column window bound (sentinel keys ascend by 1 and
-    # satisfy it over any L > W span automatically) + key headroom
+    # satisfy it over any L > W span automatically) + key headroom + slice
     w = s_local[1] + s_local[2] + 1
-    if n4 > L:
+    if C > L:
         ok = jnp.all(skeys[L:] - skeys[:-L] > w)
     else:
         ok = jnp.asarray(True)
-    return total, ok & headroom_ok
+    return total, ok & headroom_ok & slice_ok
 
 
 def column_lj_energy(positions, cutoff, positions_lo=None, **kw):
@@ -213,12 +250,14 @@ def column_lj_energy(positions, cutoff, positions_lo=None, **kw):
 def column_lj_forces(
     positions: jax.Array,
     cutoff,
+    positions_lo: jax.Array | None = None,
     *,
-    T: int = 4,
+    T: int = 3,
     M: int = 1024,
     L: int = 512,
     gfn: Callable = None,
     interpret: bool = False,
+    cap_frac: float = 1.25,
 ):
     """Per-particle pairwise forces for arbitrary box shapes, input order.
 
@@ -227,7 +266,9 @@ def column_lj_forces(
     particle's OWNER copy sees its complete stencil (the extended region
     covers owned cells +-1), so owner-copy sums are the exact full forces;
     ghost copies hold partial sums and are discarded. Extraction back to
-    input order uses a second small sort keyed by (is_ghost, particle id).
+    input order uses a second small sort keyed by (is_ghost, particle id),
+    with the ghost flag derived from the sorted keys. Split-precision hi/lo
+    planes are supported like the energy path.
 
     Returns ((n, 3) forces, coverage_ok).
     """
@@ -237,25 +278,35 @@ def column_lj_forces(
     if gfn is None:
         gfn = lj_force_factor
     n = positions.shape[0]
-    pos4, keys, owner, s_local, valid, headroom_ok = column_expand(
+    pos4, keys, owner, s_local, valid, headroom_ok, colspan = column_expand(
         positions, cutoff, T
     )
     pid = jnp.tile(jnp.arange(n, dtype=jnp.int32), 4)
 
-    ghost = (~owner).astype(jnp.int32)
-    out = jax.lax.sort(
-        (keys, pos4[:, 0], pos4[:, 1], pos4[:, 2], pid, ghost),
-        num_keys=1,
-        is_stable=False,
+    cols = [pos4[:, 0], pos4[:, 1], pos4[:, 2]]
+    if positions_lo is not None:
+        lo4 = jnp.tile(positions_lo, (4, 1))
+        cols += [lo4[:, 0], lo4[:, 1], lo4[:, 2]]
+    out = jax.lax.sort((keys, *cols, pid), num_keys=1, is_stable=False)
+    n4 = pos4.shape[0]
+    C = _slice_cap(n4, T, cap_frac)
+    slice_ok = jnp.sum(valid, dtype=jnp.int32) <= C
+    skeys = out[0][:C]
+    spos = jnp.stack([c[:C] for c in out[1:4]], axis=-1)
+    slo = (
+        jnp.stack([c[:C] for c in out[4:7]], axis=-1)
+        if positions_lo is not None
+        else None
     )
-    skeys, sx_, sy_, sz_, spid, sghost = out
-    spos = jnp.stack([sx_, sy_, sz_], axis=-1)
+    spid = out[-1][:C]
+    sghost = (~_owner_from_keys(skeys, s_local, colspan, T)).astype(jnp.int32)
 
     f = pair_lag_forces(
         spos,
         skeys,
         jnp.stack([jnp.asarray(1, jnp.int32), s_local[1], s_local[2]]),
         jnp.asarray(cutoff, pos4.dtype) ** 2,
+        slo,
         M=M,
         L=L,
         gfn=gfn,
@@ -270,8 +321,7 @@ def column_lj_forces(
     forces = jnp.stack([out2[1][:n], out2[2][:n], out2[3][:n]], axis=-1)
 
     w = s_local[1] + s_local[2] + 1
-    n4 = pos4.shape[0]
     ok = (
-        jnp.all(skeys[L:] - skeys[:-L] > w) if n4 > L else jnp.asarray(True)
+        jnp.all(skeys[L:] - skeys[:-L] > w) if C > L else jnp.asarray(True)
     )
-    return forces, ok & headroom_ok
+    return forces, ok & headroom_ok & slice_ok

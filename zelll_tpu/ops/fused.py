@@ -103,12 +103,13 @@ def fused_lj_rebuild_energy(
     split-precision pair distances: f64-grade LJ parity at f32 speed.
     Returns (energy, coverage_ok).
     """
+    dim = positions.shape[1]
     if positions_lo is not None:
         stacked = jnp.concatenate([positions, positions_lo], axis=1)
         bins, sorted_cols = bin_and_sort(
             stacked, cutoff, max_cells=1, need_perm=False
         )
-        sorted_pos, sorted_lo = sorted_cols[:, :3], sorted_cols[:, 3:]
+        sorted_pos, sorted_lo = sorted_cols[:, :dim], sorted_cols[:, dim:]
     else:
         bins, sorted_pos = bin_and_sort(
             positions, cutoff, max_cells=1, need_perm=False
@@ -136,10 +137,15 @@ def auto_lj_energy(
     *,
     max_thin_lag: int = 2048,
     interpret: bool = False,
+    split: bool = False,
 ):
     """Host-orchestrated 'just works' LJ energy: probes the data's lag
     requirement and dispatches to the thin-box fused path (tight sorted
     window) or the column decomposition (cubic/wide boxes).
+
+    ``split=True`` splits the (f64) input into hi/lo f32 planes for
+    f64-grade pair distances (see `pallas_pairs.split_f64`) — use when the
+    energy must match an f64 reference (cross-tool parity harness).
 
     Not jittable itself (it chooses static kernel parameters from the
     data); each dispatch target is one jitted graph. Returns
@@ -151,7 +157,14 @@ def auto_lj_energy(
     from .columns import column_lj_energy
     from .pallas_pairs import suggest_lag
 
-    positions = jnp.asarray(positions)
+    pos64 = np.asarray(positions, np.float64)
+    if split:
+        hi = pos64.astype(np.float32)
+        positions = jnp.asarray(hi)
+        pos_lo = jnp.asarray((pos64 - hi.astype(np.float64)).astype(np.float32))
+    else:
+        positions = jnp.asarray(positions)
+        pos_lo = None
     bins, _ = bin_and_sort(positions, cutoff, max_cells=1, need_perm=False)
     L = suggest_lag(
         np.asarray(bins.sorted_keys), np.asarray(bins.info.strides)
@@ -159,12 +172,26 @@ def auto_lj_energy(
     if L <= max_thin_lag:
         M = max(1024, min(16384, L))
         e, ok = fused_lj_rebuild_energy(
-            positions, cutoff, M=M, L=L, interpret=interpret
+            positions, cutoff, pos_lo, M=M, L=L, interpret=interpret
         )
         assert bool(ok)
         return float(e), f"fused(L={L})"
+    if positions.shape[1] != 3:
+        # column decomposition is 3D-only; N != 3 wide boxes fall back to
+        # the XLA bucketed path (reference is generic over N, lib.rs:132)
+        from ..core.grid import build
+        from ..core.pairs import pair_sum
+        from .lj import lj
+
+        grid = build(positions, cutoff)
+        K = int(grid.bins.max_cell_count())
+        e = pair_sum(
+            grid, lj, K=K, chunk=min(256, grid.bins.max_cells),
+            cutoff_sq=cutoff * cutoff,
+        )
+        return float(e), f"xla(K={K})"
     e, ok = column_lj_energy(
-        positions, cutoff, T=4, M=8192, L=1024, interpret=interpret
+        positions, cutoff, pos_lo, T=3, M=16384, L=1024, interpret=interpret
     )
     assert bool(ok)
-    return float(e), "columns(T=4)"
+    return float(e), "columns(T=3)"

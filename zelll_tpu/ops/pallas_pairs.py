@@ -151,7 +151,8 @@ def _pad_and_desentinel(sorted_keys: jax.Array, ntot: int) -> jax.Array:
 
 
 def _make_kernel(M: int, L: int, term: Callable, n_planes: int, split: bool,
-                 dtype, out_dtype, n_payload: int = 0):
+                 dtype, out_dtype, n_payload: int = 0,
+                 payload_own_only: bool = False):
     """Kernel over ``n_planes`` coordinate planes + ``n_payload`` payload
     planes + 1 key plane.
 
@@ -159,10 +160,19 @@ def _make_kernel(M: int, L: int, term: Callable, n_planes: int, split: bool,
     payload planes, then keys. With payload, ``term`` receives
     (dsq, own_payload_0.., j_payload_0..) and can implement
     species-dependent interactions.
+
+    ``payload_own_only=True``: ``term`` only reads the i-side payloads
+    (signature (dsq, own_payload_0..)), so the payload planes are excluded
+    from the per-lag shift — the dominant per-lag cost is shifting planes,
+    so every plane that doesn't need j-alignment is a direct saving (the
+    column path's owner flag is the motivating case).
     """
     Mr, Lr = M // LANES, L // LANES
     Wr = Mr + Lr  # rolling window rows
     NP = n_planes + n_payload + 1  # + key plane
+    # planes that must be shifted per lag (j-side access): coordinates +
+    # key, plus payloads unless own-only
+    n_shift = NP if not payload_own_only else n_planes + 1
 
     def kernel(*refs):
         # refs: wkey, csq, min_islot, blocks (NP), out,
@@ -237,6 +247,13 @@ def _make_kernel(M: int, L: int, term: Callable, n_planes: int, split: bool,
 
         kahan = jnp.issubdtype(out_dtype, jnp.floating)
 
+        # planes carried through the per-lag shift: coordinates, payloads
+        # (unless own-only), and the key plane (always last)
+        if payload_own_only:
+            shift_wins = list(wins[:n_planes]) + [wins[-1]]
+        else:
+            shift_wins = list(wins)
+
         def lag_body(carry):
             lag, active, *rest = carry
             *shifted, acc, comp = rest
@@ -252,7 +269,9 @@ def _make_kernel(M: int, L: int, term: Callable, n_planes: int, split: bool,
             keymask = jk >= own_k - w_key
             mask = keymask & (dsq < csq) & own_owned
             safe = jnp.where(mask, dsq, jnp.ones_like(dsq))
-            if n_payload:
+            if n_payload and payload_own_only:
+                vals = term(safe, *own[n_planes : n_planes + n_payload])
+            elif n_payload:
                 vals = term(
                     safe,
                     *own[n_planes : n_planes + n_payload],
@@ -276,7 +295,7 @@ def _make_kernel(M: int, L: int, term: Callable, n_planes: int, split: bool,
         init = (
             jnp.asarray(1, jnp.int32),
             jnp.asarray(True),
-            *(w[...] for w in wins),
+            *(w[...] for w in shift_wins),
             jnp.zeros((Mr, LANES), out_dtype),
             jnp.zeros((Mr, LANES), out_dtype),
         )
@@ -750,7 +769,8 @@ def pair_lag_forces(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("M", "L", "term", "interpret", "out_dtype"),
+    static_argnames=("M", "L", "term", "interpret", "out_dtype",
+                     "payload_own_only"),
 )
 def pair_lag_reduce(
     sorted_pos: jax.Array,  # (n, 3) cell-key-sorted positions (hi part)
@@ -766,6 +786,7 @@ def pair_lag_reduce(
     interpret: bool = False,
     out_dtype=None,
     min_islot=0,
+    payload_own_only: bool = False,
 ):
     """Sum ``term(dsq)`` over all unique cutoff-filtered pairs.
 
@@ -838,7 +859,8 @@ def pair_lag_reduce(
 
     Mr = M // LANES
     kernel = _make_kernel(
-        M, L, term, n_planes, split, dtype, out_dtype, n_payload=n_payload
+        M, L, term, n_planes, split, dtype, out_dtype, n_payload=n_payload,
+        payload_own_only=payload_own_only,
     )
     bs = lambda: pl.BlockSpec((Mr, LANES), lambda p, s1, s2, s3: (p, 0))
     win = lambda dt: pltpu.VMEM((Mr + L // LANES, LANES), dt)
