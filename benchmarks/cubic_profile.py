@@ -55,38 +55,48 @@ def main():
     def timeit(fn, *args):
         """fn must return a scalar-reducible pytree; jitted loop timing."""
         f = jax.jit(fn)
-        out = f(*args)
-        jax.block_until_ready(out)
+
+        def sync(out):
+            # block_until_ready can return early through the tunnel: force
+            # a scalar readback (CLAUDE.md timing gotcha)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            float(jnp.asarray(leaf).reshape(-1)[0])
+
+        sync(f(*args))  # compile + warm, fully drained
         t0 = time.perf_counter()
         for _ in range(reps):
             out = f(*args)
-        jax.block_until_ready(out)
-        # force a real sync through the tunnel
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        float(jnp.asarray(leaf).reshape(-1)[0])
+        sync(out)
         return (time.perf_counter() - t0 - rtt) / reps
 
-    print("T,M,L,expand_ms,sort_ms,kernel_ms,full_ms,pairs_per_s", flush=True)
+    print("T,M,L,expand_ms,sort_ms,kernel_ms,full_ms,pairs_per_s,cov_ok", flush=True)
 
-    for T in (int(os.environ.get("CP_T", "0")),) if os.environ.get("CP_T") else (3, 4, 6, 8):
+    for T in (int(os.environ.get("CP_T", "0")),) if os.environ.get("CP_T") else (2, 3):
         for M, L in (
-            ((8192, 1024), (16384, 1024), (8192, 512), (16384, 2048))
+            ((16384, 384), (32768, 384), (16384, 512), (32768, 512))
             if not os.environ.get("CP_ML")
             else [tuple(map(int, os.environ["CP_ML"].split(",")))]
         ):
+            # L must cover the column window: skip configs that can't
+            w_slots = (T + 2) ** 2 * 12 + (T + 2) * 12  # ~density 10 + margin
+            if L < 0.8 * w_slots:
+                continue
             # stage: expand
             def expand_fn(p):
-                pos4, keys, owner, s_local, valid, hok = column_expand(p, cutoff, T)
+                pos4, keys, owner, s_local, valid, hok, colspan = column_expand(
+                    p, cutoff, T
+                )
                 return keys.sum(), owner.sum()
 
             t_expand = timeit(expand_fn, pos)
 
-            # stage: expand + sort
+            # stage: expand + sort (owner derived post-sort, as in the path)
             def sort_fn(p):
-                pos4, keys, owner, s_local, valid, hok = column_expand(p, cutoff, T)
-                flag = owner.astype(pos4.dtype)
+                pos4, keys, owner, s_local, valid, hok, colspan = column_expand(
+                    p, cutoff, T
+                )
                 out = jax.lax.sort(
-                    (keys, pos4[:, 0], pos4[:, 1], pos4[:, 2], flag),
+                    (keys, pos4[:, 0], pos4[:, 1], pos4[:, 2]),
                     num_keys=1, is_stable=False,
                 )
                 return out[0][-1], out[1][-1]
@@ -98,6 +108,8 @@ def main():
                 e, ok = column_pair_sum(p, cutoff, T=T, M=M, L=L)
                 return e, ok
 
+            e_val, cov_ok = jax.jit(full_fn)(pos)
+            cov_ok = bool(cov_ok)
             t_full = timeit(full_fn, pos)
             t_kernel = t_full - t_expand - t_sort
 
@@ -106,7 +118,7 @@ def main():
             print(
                 f"{T},{M},{L},{t_expand*1e3:.1f},{t_sort*1e3:.1f},"
                 f"{t_kernel*1e3:.1f},{t_full*1e3:.1f},"
-                f"{1.607e8 * (n/1e7) / t_full:.3g}",
+                f"{1.607e8 * (n/1e7) / t_full:.3g},{int(cov_ok)}",
                 flush=True,
             )
 

@@ -82,6 +82,64 @@ def test_md_run_conserves_particles_and_stays_covered():
     assert float(jnp.abs(st2.positions).max()) < 20.0
 
 
+def test_md_run_skin_matches_full_rebuild():
+    """Verlet-skin grid reuse computes the same trajectory as rebuilding
+    every step (same pair sets while the drift invariant holds), while
+    actually skipping rebuilds."""
+    from zelll_tpu.models.lj_md import md_run_skin
+
+    rng = np.random.default_rng(3)
+    cutoff, dt, steps = 1.0, 2e-4, 12
+    # perturbed lattice at spacing 1.15: no overlapping pairs, mild forces,
+    # so per-step drift stays far below skin/2
+    g = np.stack(
+        np.meshgrid(*(np.arange(s) for s in (3, 3, 32)), indexing="ij"), -1
+    ).reshape(-1, 3) * 1.15
+    pts = g + rng.uniform(-0.03, 0.03, g.shape)
+    n = len(pts)
+    vel = rng.normal(0, 0.05, (n, 3))
+    st0 = MDState(positions=jnp.asarray(pts), velocities=jnp.asarray(vel))
+
+    st_ref, ok_ref, e_ref = md_run(
+        st0, cutoff, dt, steps=steps, M=512, L=512, interpret=True
+    )
+    st_skin, ok, e, nrb = md_run_skin(
+        st0, cutoff, dt, steps=steps, skin=0.4, M=512, L=512, interpret=True
+    )
+    assert bool(ok_ref) and bool(ok)
+    # max drift per step ~ |v|*dt ~ 1e-4 << skin/2: the initial build must
+    # survive all steps
+    assert int(nrb) == 0
+    np.testing.assert_allclose(float(e), float(e_ref), rtol=1e-9)
+    # trajectories agree up to sorted-slot permutation: compare as row sets
+    a = np.asarray(st_skin.positions)
+    b = np.asarray(st_ref.positions)
+    order = lambda x: x[np.lexsort((x[:, 2], x[:, 1], x[:, 0]))]
+    np.testing.assert_allclose(order(a), order(b), rtol=1e-9, atol=1e-12)
+
+
+def test_md_run_skin_rebuilds_on_drift():
+    """With a tiny skin and real velocities the drift bound trips and the
+    loop re-sorts — and the result still matches the full-rebuild loop."""
+    from zelll_tpu.models.lj_md import md_run_skin
+
+    rng = np.random.default_rng(4)
+    n, cutoff, dt, steps = 200, 1.0, 5e-3, 10
+    pts = rng.uniform(0, 1, size=(n, 3)) * np.array([3.0, 3.0, 15.0])
+    vel = rng.normal(0, 1.0, (n, 3))
+    st0 = MDState(positions=jnp.asarray(pts), velocities=jnp.asarray(vel))
+
+    st_ref, ok_ref, e_ref = md_run(
+        st0, cutoff, dt, steps=steps, M=512, L=512, interpret=True
+    )
+    st_skin, ok, e, nrb = md_run_skin(
+        st0, cutoff, dt, steps=steps, skin=0.05, M=512, L=512, interpret=True
+    )
+    assert bool(ok_ref) and bool(ok)
+    assert int(nrb) >= 1  # drift bound actually trips
+    np.testing.assert_allclose(float(e), float(e_ref), rtol=1e-9)
+
+
 def test_md_step_cubic():
     from zelll_tpu.models.lj_md import md_step_cubic
 

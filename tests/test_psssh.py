@@ -75,6 +75,29 @@ def test_gaussian_hmc_statistics():
     assert abs(s.std() - 1.0) < 0.15
 
 
+def test_hmc_mass_matrix_adapts_to_anisotropic_scales():
+    """Scales spanning 100x: without the adapted diagonal mass matrix a
+    shared step size cannot traverse the wide axis while resolving the
+    narrow one, and the wide-axis sample std collapses far below truth."""
+    import jax
+    import jax.numpy as jnp
+
+    scales = jnp.asarray([10.0, 1.0, 0.1])
+
+    def logp(x):
+        return -0.5 * jnp.sum((x / scales) ** 2)
+
+    key = jax.random.PRNGKey(3)
+    q0 = jnp.zeros((64, 3))
+    samples, accept = hmc_sample_batched(
+        logp, q0, key, num_warmup=500, num_samples=500, num_leapfrog=16
+    )
+    s = np.asarray(samples).reshape(-1, 3)
+    assert float(np.asarray(accept).mean()) > 0.5
+    got = s.std(axis=0)
+    np.testing.assert_allclose(got, np.asarray(scales), rtol=0.25)
+
+
 def test_nuts_gaussian():
     def vg(q):
         return -0.5 * float(q @ q), -q

@@ -29,7 +29,14 @@ from ..ops.pallas_pairs import (
     pair_lag_reduce,
 )
 
-__all__ = ["MDState", "MDStateSplit", "md_step", "md_run", "md_step_split"]
+__all__ = [
+    "MDState",
+    "MDStateSplit",
+    "md_step",
+    "md_run",
+    "md_step_split",
+    "md_run_skin",
+]
 
 
 @jax.tree_util.register_dataclass
@@ -196,6 +203,94 @@ def md_run(
         M=M, L=L, term=lj_term, interpret=interpret,
     )
     return state, ok, energy
+
+
+@partial(jax.jit, static_argnames=("steps", "M", "L", "interpret"))
+def md_run_skin(
+    state: MDState,
+    cutoff,
+    dt,
+    *,
+    steps: int,
+    skin: float = 0.5,
+    M: int = 4096,
+    L: int = 256,
+    interpret: bool = False,
+):
+    """Run `steps` MD steps with Verlet-skin grid reuse, fully on device.
+
+    The grid is built with cell edge ``cutoff + skin`` and reused while no
+    particle has drifted more than ``skin / 2`` from its position at the
+    last (re)build; the force kernel keeps filtering by the true ``cutoff``.
+    This is the steady-state analogue of the reference's `rebuild_mut`
+    topology-reuse fast path (zelll src/cellgrid.rs:264-312: reuse the
+    hashmap when no particle changed cells) in the form an MD loop actually
+    wants: most steps run sort-free — just the lag forces kernel on the
+    stale sorted order — and a full re-sort happens only when the drift
+    bound is hit.
+
+    Correctness: any pair within ``cutoff`` now was within
+    ``cutoff + skin`` at build time (each endpoint moved < skin/2), so its
+    endpoints were in adjacent build cells and the pair is inside the lag
+    kernel's key window for the build keys — no pair is ever missed while
+    the drift invariant holds, and the drift check runs *before* each
+    force evaluation. Coverage of L is re-verified at every rebuild and
+    accumulated into the returned flag (never silently drop pairs).
+
+    Returns (state, all_covered, energy, n_rebuilds).
+    """
+    edge = jnp.asarray(cutoff, state.positions.dtype) + jnp.asarray(
+        skin, state.positions.dtype
+    )
+    csq = jnp.asarray(cutoff, state.positions.dtype) ** 2
+    half_skin_sq = (jnp.asarray(skin, state.positions.dtype) / 2) ** 2
+
+    def do_build(pos, vel):
+        stacked = jnp.concatenate([pos, vel], axis=1)
+        bins, cols = bin_and_sort(stacked, edge, max_cells=1, need_perm=False)
+        spos, svel = cols[:, :3], cols[:, 3:]
+        ok = lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
+        return spos, svel, bins.sorted_keys, bins.info.strides, ok
+
+    spos, svel, keys, strides, ok0 = do_build(
+        state.positions, state.velocities
+    )
+
+    def body(carry, _):
+        spos, svel, ref, keys, strides, okacc, nrb = carry
+        drift_sq = jnp.max(jnp.sum((spos - ref) ** 2, axis=-1))
+        need = drift_sq > half_skin_sq
+
+        def rebuilt(_):
+            p, v, k, s, ok = do_build(spos, svel)
+            return p, v, p, k, s, ok, nrb + 1
+
+        def reuse(_):
+            return spos, svel, ref, keys, strides, jnp.asarray(True), nrb
+
+        spos2, svel2, ref2, keys2, strides2, ok, nrb2 = jax.lax.cond(
+            need, rebuilt, reuse, None
+        )
+        f = pair_lag_forces(
+            spos2, keys2, strides2, csq,
+            M=M, L=L, gfn=lj_force_factor, interpret=interpret,
+        )
+        vel_new = svel2 + dt * f
+        pos_new = spos2 + dt * vel_new
+        return (pos_new, vel_new, ref2, keys2, strides2, okacc & ok, nrb2), None
+
+    init = (spos, svel, spos, keys, strides, ok0, jnp.asarray(0, jnp.int32))
+    (spos, svel, _, _, _, ok, nrb), _ = jax.lax.scan(
+        body, init, None, length=steps
+    )
+
+    bins, spos_f = bin_and_sort(spos, cutoff, max_cells=1, need_perm=False)
+    energy = pair_lag_reduce(
+        spos_f, bins.sorted_keys, bins.info.strides, csq,
+        M=M, L=L, term=lj_term, interpret=interpret,
+    )
+    ok = ok & lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
+    return MDState(positions=spos, velocities=svel), ok, energy, nrb
 
 
 @partial(jax.jit, static_argnames=("T", "M", "L", "interpret"))

@@ -46,8 +46,14 @@ def hmc_sample_batched(
 ):
     """Run C independent HMC chains in lockstep; returns (samples, accept).
 
-    samples: (num_samples, C, D). Step size adapts per-chain by dual
-    averaging during warmup, then freezes. Chains whose proposal lands at
+    samples: (num_samples, C, D). Warmup adapts, per chain, (a) the step
+    size by dual averaging and (b) a diagonal mass matrix from the Welford
+    variance of the draws over the middle warmup window (frozen at 3/4 of
+    warmup with Stan-style shrinkage toward unit mass) — the analogue of
+    nuts-rs's step-size + diagonal mass adaptation driven by the reference
+    CLI (surface-sampling/examples/cli.rs:87-111). Trajectory lengths are
+    jittered independently per chain (each chain stops its leapfrog at its
+    own length; lockstep cost is the max). Chains whose proposal lands at
     logp = -inf (outside the grid) reject — the analogue of the reference's
     recoverable SurfaceSdfError (surface.rs:10-14).
     """
@@ -57,32 +63,43 @@ def hmc_sample_batched(
 
     mu = jnp.log(10.0 * init_step_size)
     gamma, t0, kappa = 0.05, 10.0, 0.75
+    t_collect = num_warmup // 4  # Welford window start
+    t_freeze = max(num_warmup * 3 // 4, t_collect + 1)  # mass freeze
 
-    def leapfrog(q, p, eps, n):
-        def body(_, qp):
+    def kinetic(p, minv):
+        return 0.5 * jnp.sum(p * p * minv, axis=-1)
+
+    def leapfrog(q, p, eps, minv, n_steps):
+        """Per-chain trajectory lengths: every chain runs in lockstep for
+        num_leapfrog iterations but chain c's state freezes after its own
+        n_steps[c] — per-chain jitter at lockstep cost."""
+
+        def body(i, qp):
             q, p = qp
+            active = (i < n_steps)[:, None]
             _, g = vgrad(q)
-            p = p + 0.5 * eps[:, None] * g
-            q = q + eps[:, None] * p
-            _, g = vgrad(q)
-            p = p + 0.5 * eps[:, None] * g
-            return q, p
+            p1 = p + 0.5 * eps[:, None] * g
+            q1 = q + eps[:, None] * (minv * p1)
+            _, g = vgrad(q1)
+            p1 = p1 + 0.5 * eps[:, None] * g
+            return jnp.where(active, q1, q), jnp.where(active, p1, p)
 
-        return jax.lax.fori_loop(0, n, body, (q, p))
+        return jax.lax.fori_loop(0, num_leapfrog, body, (q, p))
 
     def step(state, key, adapt: bool, t):
-        q, log_eps, h_bar, log_eps_bar = state
+        q, log_eps, h_bar, log_eps_bar, minv = state
         k1, k2, k3 = jax.random.split(key, 3)
-        p = jax.random.normal(k1, q.shape, q.dtype)
+        # momentum ~ N(0, M) with M = 1/minv (diagonal)
+        p = jax.random.normal(k1, q.shape, q.dtype) / jnp.sqrt(minv)
         lp0, _ = vgrad(q)
-        h0 = lp0 - 0.5 * jnp.sum(p * p, axis=-1)
+        h0 = lp0 - kinetic(p, minv)
 
         eps = jnp.exp(log_eps)
-        # jittered trajectory length: 1..num_leapfrog steps
-        n_steps = jax.random.randint(k3, (), 1, num_leapfrog + 1)
-        q_new, p_new = leapfrog(q, p, eps, n_steps)
+        # per-chain jittered trajectory length: 1..num_leapfrog steps
+        n_steps = jax.random.randint(k3, (C,), 1, num_leapfrog + 1)
+        q_new, p_new = leapfrog(q, p, eps, minv, n_steps)
         lp1, _ = vgrad(q_new)
-        h1 = lp1 - 0.5 * jnp.sum(p_new * p_new, axis=-1)
+        h1 = lp1 - kinetic(p_new, minv)
 
         log_ratio = h1 - h0
         accept_prob = jnp.exp(jnp.minimum(log_ratio, 0.0))
@@ -99,34 +116,61 @@ def hmc_sample_batched(
             log_eps = mu - jnp.sqrt(tt) / gamma * h_bar
             w = tt ** (-kappa)
             log_eps_bar = w * log_eps + (1 - w) * log_eps_bar
-        return (q, log_eps, h_bar, log_eps_bar), (q, accept_prob)
+        return (q, log_eps, h_bar, log_eps_bar, minv), (q, accept_prob)
 
     @jax.jit
     def run(q0, key):
         keys = jax.random.split(key, num_warmup + num_samples)
-        init = (
+        minv0 = jnp.ones((C, D), q0.dtype)
+        hmc0 = (
             q0,
             jnp.full((C,), jnp.log(init_step_size)),
             jnp.zeros((C,)),
             jnp.full((C,), jnp.log(init_step_size)),
+            minv0,
+        )
+        welford0 = (
+            jnp.zeros((C, D), q0.dtype),  # mean
+            jnp.zeros((C, D), q0.dtype),  # m2
+            jnp.zeros((), q0.dtype),  # count
         )
 
         def warm_body(carry, kt):
+            state, (mean, m2, cnt) = carry
             k, t = kt
-            state, _ = step(carry, k, adapt=True, t=t)
-            return state, None
+            state, _ = step(state, k, adapt=True, t=t)
+            q = state[0]
 
-        state, _ = jax.lax.scan(
+            # Welford variance of warmup draws in [t_collect, t_freeze)
+            collect = (t >= t_collect) & (t < t_freeze)
+            cnt1 = cnt + 1.0
+            delta = q - mean
+            mean1 = mean + delta / cnt1
+            m2_1 = m2 + delta * (q - mean1)
+            mean, m2, cnt = (
+                jnp.where(collect, mean1, mean),
+                jnp.where(collect, m2_1, m2),
+                jnp.where(collect, cnt1, cnt),
+            )
+
+            # freeze the diagonal mass at 3/4 warmup: Stan-style shrinkage
+            # var * n/(n+5) + 1e-3 * 5/(n+5), unit mass if nothing collected
+            var = m2 / jnp.maximum(cnt - 1.0, 1.0)
+            reg = var * (cnt / (cnt + 5.0)) + 1e-3 * (5.0 / (cnt + 5.0))
+            minv_new = jnp.where(cnt > 1.0, reg, jnp.ones_like(reg))
+            state = (*state[:4], jnp.where(t == t_freeze, minv_new, state[4]))
+            return (state, (mean, m2, cnt)), None
+
+        (state, _), _ = jax.lax.scan(
             warm_body,
-            init,
+            (hmc0, welford0),
             (keys[:num_warmup], jnp.arange(num_warmup, dtype=jnp.float32)),
         )
         # freeze at averaged step size
-        q, _, h_bar, log_eps_bar = state
-        state = (q, log_eps_bar, h_bar, log_eps_bar)
+        q, _, h_bar, log_eps_bar, minv = state
+        state = (q, log_eps_bar, h_bar, log_eps_bar, minv)
 
         def samp_body(carry, k):
-            state, _ = None, None
             new_state, (qs, ap) = step(carry, k, adapt=False, t=0.0)
             return new_state, (qs, ap)
 

@@ -77,16 +77,22 @@ def partition_by_slab(positions, cutoff, n_devices: int):
     n_pad = n_local * n_devices - n
 
     inf = pts.min(axis=0)
+    sup = pts.max(axis=0)
     # padded-stride keys, same math as GridInfo (host mirror)
-    shape = np.floor((pts.max(axis=0) - inf) / cutoff).astype(np.int64) + 1
+    shape = np.floor((sup - inf) / cutoff).astype(np.int64) + 1
     padded = shape + 4
     strides = np.array([1, padded[0], padded[0] * padded[1]])
     keys = (np.floor((pts - inf) / cutoff).astype(np.int64) * strides).sum(1)
     order = np.argsort(keys, kind="stable")
     out = pts[order]
     if n_pad:
-        spread = 1e12 + 1e5 * np.arange(1, n_pad + 1)[:, None] * np.ones(3)
-        out = np.vstack([out, spread.astype(pts.dtype)])
+        # key-safe padding: just beyond sup along z (the sort-major axis),
+        # one empty cell apart, so pads sort last, land in distinct cells,
+        # and stay > cutoff from everything — including each other.
+        # (Coordinates ~1e12 would overflow the f32 flat-key conversion.)
+        pad = np.tile(inf, (n_pad, 1)).astype(pts.dtype)
+        pad[:, 2] = sup[2] + 2.0 * cutoff * np.arange(2, n_pad + 2)
+        out = np.vstack([out, pad])
     return out, n_local
 
 
@@ -100,24 +106,32 @@ def _global_grid_info(local_pos, cutoff):
 def _halo_exchange(arr, H: int):
     """Send tail H rows right, head H rows left around the ring.
 
-    With a single device the ring would deliver copies of the device's own
-    particles (self-pairs at distance zero), so ghosts degrade to far-away
-    spread dummies instead.
+    A single-device mesh needs no halo at all: the ghosts are empty
+    (H must then be 0 — `_h_eff` enforces it). Far-away dummy coordinates
+    are NOT used here: coordinates ~1e12 overflow the f32 -> int32 flat-key
+    conversion into garbage cells that trip the capacity coverage flags.
     """
     nd = jax.lax.axis_size(AXIS)
     idx = jax.lax.axis_index(AXIS)
     if nd == 1:
-        spread = (
-            jnp.arange(1, H + 1, dtype=arr.dtype)[:, None]
-            * jnp.asarray(1e5, arr.dtype)
-            + jnp.asarray(2e12, arr.dtype)
-        ) * jnp.ones((1, arr.shape[1]), arr.dtype)
-        return spread, spread + jnp.asarray(1e11, arr.dtype), idx, nd
+        z = jnp.zeros((0, arr.shape[1]), arr.dtype)
+        return z, z, idx, nd
     fwd = [(i, (i + 1) % nd) for i in range(nd)]
     bwd = [(i, (i - 1) % nd) for i in range(nd)]
     from_left = jax.lax.ppermute(arr[-H:], AXIS, fwd)
     from_right = jax.lax.ppermute(arr[:H], AXIS, bwd)
     return from_left, from_right, idx, nd
+
+
+def _h_eff(H: int, n_loc: int) -> int:
+    """Effective halo: 0 on a single-device mesh (no exchange), otherwise
+    clamped to the local block (ghosts are head/tail slices of a
+    neighbor's block, so the halo can never exceed the block itself;
+    slicing with a larger H would silently clamp the ghosts while
+    ownership offsets kept using H)."""
+    if jax.lax.axis_size(AXIS) == 1:
+        return 0
+    return min(H, n_loc)
 
 
 def halo_coverage_ok(sorted_keys_loc, strides, H_eff, *, both_sides=True):
@@ -222,10 +236,7 @@ def sharded_md_step(
     """
 
     def local_step(pos, vel):
-        # ghosts are head/tail slices of the local block, so the halo can
-        # never exceed the block itself; slicing with a larger H would
-        # silently clamp the ghosts while ownership offsets kept using H
-        H_eff = min(H, pos.shape[0])
+        H_eff = _h_eff(H, pos.shape[0])
         info = _global_grid_info(pos, cutoff)
         # keep the owned block sorted by key (cheap local sort; the global
         # order across devices is maintained by slab partitioning)
@@ -344,7 +355,7 @@ def sharded_lj_energy(
     """
 
     def local(pos):
-        H_eff = min(H, pos.shape[0])
+        H_eff = _h_eff(H, pos.shape[0])
         info = _global_grid_info(pos, cutoff)
         bins, pos_s = bin_and_sort(pos, cutoff, max_cells=1, info=info)
         gl, gr, *_ = _halo_exchange(pos_s, H_eff)
