@@ -1,0 +1,173 @@
+"""Per-chunk lag-segment bounds for the tile pair kernel.
+
+The lag kernel (`ops.pallas_pairs`) scans one contiguous window of lags,
+which is tight for thin boxes but degenerates for cubic/wide boxes where
+the key window spans a whole z-layer of mostly-irrelevant slots (see
+docs/DESIGN_NOTES.md). The tile kernel (`ops.tile_pairs`) instead visits,
+for every 128-slot chunk of the sorted order, only the few slot ranges
+that can actually hold cutoff partners.
+
+Those ranges come from the half-stencil structure (the same negation
+trick as the reference's `Half::neighbors_as_slice`, zelll
+src/cellgrid/iters.rs:58-63): with ascending strides (x fastest), the key
+difference ``key_i - key_j`` of every half-stencil partner j falls in a
+small set of disjoint *bands*:
+
+    3D:  [0, 1]                        own row      (dz=0, dy=0, dx in {0,-1})
+         [s_y-1, s_y+1]                y-1 row      (dz=0, dy=-1)
+         [s_z-s_y-1, s_z-s_y+1]        z-1, y+1 row
+         [s_z-1, s_z+1]                z-1, y   row
+         [s_z+s_y-1, s_z+s_y+1]        z-1, y-1 row
+    2D:  [0, 1], [s_y-1, s_y+1]
+    1D:  [0, 1]
+
+The +4 stride padding (GridInfo) makes the bands disjoint for every grid
+shape, and their union is exactly the 3^N/2 half-stencil: every cutoff
+pair lands in exactly one band.
+
+For each chunk c (slots [128c, 128c+128)) and band s, the partner slots
+form one contiguous range, located with two searchsorted calls on the
+128-downsampled sorted keys — `jnp.searchsorted(..., method='sort')`, so
+the whole bound computation is a couple of small sorts (no gathers, no
+per-element host work).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+CHUNK = 128
+
+
+def segment_bands(strides, full: bool = False) -> jnp.ndarray:
+    """(S, 2) int32 [lo, hi] key-difference bands of the stencil for
+    ascending `strides` (length = dim).
+
+    Half-space (default): each unordered pair appears once (j behind i);
+    S = 1, 2, 5 for dim = 1, 2, 3. ``full=True`` adds the mirrored bands
+    (partners ahead of i too, [0,1] widening to [-1,1]) for per-particle
+    full-stencil reductions (forces, coordination); S = 1, 3, 9.
+    """
+    strides = jnp.asarray(strides, jnp.int32)
+    dim = strides.shape[0]
+    one = jnp.asarray(1, jnp.int32)
+    zero = jnp.asarray(0, jnp.int32)
+
+    def band(lo, hi):
+        return jnp.stack([jnp.asarray(lo, jnp.int32), jnp.asarray(hi, jnp.int32)])
+
+    if dim == 1:
+        bands = [band(-one if full else zero, one)]
+    elif dim == 2:
+        sy = strides[1]
+        bands = [band(-one if full else zero, one), band(sy - 1, sy + 1)]
+        if full:
+            bands.append(band(-sy - 1, -sy + 1))
+    elif dim == 3:
+        sy, sz = strides[1], strides[2]
+        bands = [
+            band(-one if full else zero, one),
+            band(sy - 1, sy + 1),
+            band(sz - sy - 1, sz - sy + 1),
+            band(sz - 1, sz + 1),
+            band(sz + sy - 1, sz + sy + 1),
+        ]
+        if full:
+            bands += [
+                band(-sy - 1, -sy + 1),
+                band(-sz + sy - 1, -sz + sy + 1),
+                band(-sz - 1, -sz + 1),
+                band(-sz - sy - 1, -sz - sy + 1),
+            ]
+    else:
+        raise NotImplementedError("segment bands support dim <= 3")
+    return jnp.stack(bands)
+
+
+def num_segments(dim: int, full: bool = False) -> int:
+    if full:
+        return {1: 1, 2: 3, 3: 9}[dim]
+    return {1: 1, 2: 2, 3: 5}[dim]
+
+
+def chunk_bounds(sorted_keys: jax.Array, bands: jax.Array, max_j: int,
+                 half: bool = True):
+    """Per-chunk, per-band j-chunk windows.
+
+    sorted_keys: (C,) int32 ascending, C a multiple of CHUNK; padding rows
+    (SENTINEL_KEY or any keys above all real keys) sort last and resolve to
+    empty windows automatically.
+
+    Returns (jlo, toff, jnum, coverage_ok):
+      jlo  (NC, S) int32 — DMA window base chunk, clamped so the static
+           window [jlo, jlo + max_j) is always in array range,
+      toff (NC, S) int32 — offset of the first partner chunk inside the
+           DMA window (toff + jnum <= max_j whenever coverage_ok),
+      jnum (NC, S) int32 — number of j-chunks carrying partners,
+      coverage_ok — False iff some window needs more than max_j chunks
+           (static capacity exceeded: results would drop pairs; the caller
+           must re-jit with a larger max_j — never proceed).
+
+    A pair (i, j<i) with key difference inside band s lands in exactly one
+    (band, j-chunk) with jlo+toff <= c_j < jlo+toff+jnum by construction:
+    window keys are [kmin_i - hi_s, kmax_i - lo_s] and the chunk ranges
+    come from exact searchsorted bounds on the downsampled keys.
+    """
+    C = sorted_keys.shape[0]
+    assert C % CHUNK == 0
+    nc = C // CHUNK
+    k = sorted_keys.reshape(nc, CHUNK)
+    kmin, kmax = k[:, 0], k[:, -1]
+    b = bands.astype(jnp.int32)  # (S, 2)
+    S = b.shape[0]
+
+    # Padding keys (>= _PAD_KEY_BASE, see pallas_pairs._pad_and_desentinel)
+    # sit far above every real key. Window bounds must come from the REAL
+    # keys of each chunk: the one chunk straddling the real->padding
+    # boundary would otherwise inherit a padding kmax and claim a window
+    # spanning the whole real tail (observed: 70+ chunks at n=1e6). All
+    # arithmetic stays int32 (int64 silently truncates on TPU backends).
+    from .pallas_pairs import _PAD_KEY_BASE
+
+    real = k < jnp.int32(_PAD_KEY_BASE)
+    has_real = real[:, 0]  # keys ascend within a chunk
+    kmax_real_chunk = jnp.max(jnp.where(real, k, jnp.int32(-1)), axis=1)
+    kreal_max = jnp.max(kmax_real_chunk)
+    # padding-only chunks keep their padding kmax so the array searched by
+    # searchsorted stays ascending
+    kmax_eff = jnp.where(has_real, kmax_real_chunk, kmax)
+    # clamp query operands into the real-key range: band offsets then
+    # cannot overflow int32, and padding chunks resolve to empty windows
+    kmin_q = jnp.minimum(kmin, kreal_max + 1)
+    kmax_q = jnp.minimum(kmax_eff, kreal_max)
+
+    # queries, shaped (S, NC): window key range per chunk and band
+    qlo = kmin_q[None, :] - b[:, 1][:, None]  # smallest partner key
+    qhi = kmax_q[None, :] - b[:, 0][:, None]  # largest partner key
+
+    # first chunk whose real kmax >= qlo / last chunk whose kmin <= qhi
+    lo = jnp.searchsorted(kmax_eff, qlo.reshape(-1), side="left", method="sort")
+    hi = jnp.searchsorted(kmin, qhi.reshape(-1), side="right", method="sort")
+    lo = lo.reshape(S, nc).T.astype(jnp.int32)  # (NC, S)
+    hi = hi.reshape(S, nc).T.astype(jnp.int32) - 1  # inclusive
+    hi = jnp.where(has_real[:, None], hi, lo - 1)  # padding chunks: empty
+
+    if half:
+        # partners sit at j <= i: never look past the own chunk
+        own = jnp.arange(nc, dtype=jnp.int32)[:, None]
+        hi = jnp.minimum(hi, own)
+
+    jnum = jnp.maximum(hi - lo + 1, 0)
+    # the flag also guards the padding-key headroom: real keys at or above
+    # _PAD_KEY_BASE would interleave with padding keys and corrupt windows
+    coverage_ok = (jnp.max(jnum) <= max_j) & (
+        kreal_max < jnp.int32(_PAD_KEY_BASE)
+    )
+    jnum = jnp.minimum(jnum, max_j)
+    # clamp the DMA window into range: lo is never negative, and when lo
+    # reaches past nc - max_j the window base backs up so [jlo, jlo+max_j)
+    # still covers [lo, hi] (hi <= nc - 1 = jlo + max_j - 1)
+    jlo = jnp.minimum(lo, max(nc - max_j, 0))
+    toff = lo - jlo
+    return jlo, toff, jnum, coverage_ok

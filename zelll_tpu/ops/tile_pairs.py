@@ -1,0 +1,512 @@
+"""Segment-tile pair kernel: box-shape-independent fused pair reductions.
+
+The rolling-lag kernel (`ops.pallas_pairs`) is optimal for thin boxes but
+its contiguous lag window degenerates on cubic/wide boxes (a full z-layer
+of irrelevant slots between the true partner rows). This kernel visits,
+for every 128-slot chunk of the key-sorted order, only the few slot
+ranges that can hold cutoff partners:
+
+* `ops.segments` decomposes the half-stencil into <= 5 disjoint
+  key-difference bands (the negation-symmetry trick of the reference,
+  zelll src/cellgrid/iters.rs:58-117, recast as key arithmetic) and
+  locates, per chunk x band, the one contiguous j-chunk window holding
+  all partners — exact bounds from the sorted keys, no fluctuation slack.
+* The kernel walks own chunks in blocks; per (chunk, band) it DMAs the
+  j-window (coordinate planes + keys, interleaved per chunk) from HBM at
+  a dynamic chunk offset into VMEM, then evaluates 128x128 tiles:
+  broadcast differences (own column (128,1) vs partner row (1,128)) give
+  exact f32 pair separations — the same cancellation-free semantics as
+  the lag kernel, unlike a matmul/norm expansion — masked by the key band
+  (which IS the half-space + cell-adjacency test) and the cutoff.
+* Total work is ~sum of true window populations + one-tile alignment
+  slack per band: for a cubic box this is ~5 bands x ~(128 + band
+  occupancy) evaluations per slot, independent of the box cross-section —
+  the property the column path (`ops.columns`) bought with a 4x data
+  blow-up and a 4x sort.
+
+Every pair is counted exactly once: bands are disjoint and cover exactly
+the half stencil; within the [0, 1] band a strict slot-order triangle
+breaks same-cell/adjacent-cell ties (the "larger sorted slot owns the
+pair" rule used across the repo).
+
+Precision: split (hi, lo) coordinate planes are supported exactly like
+`pair_lag_reduce` (dx = (hi_i - hi_j) + (lo_i - lo_j)); accumulation is
+per-element Kahan within a program and compensated across programs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_pairs import _pad_and_desentinel, combine_count, count_term, lj_term
+from .segments import CHUNK, chunk_bounds, num_segments, segment_bands
+
+__all__ = [
+    "tile_pair_reduce",
+    "tile_lj_energy",
+    "tile_count_pairs",
+    "tile_pair_forces",
+]
+
+
+def _make_tile_kernel(CB: int, S: int, MAXJ: int, D: int, term: Callable,
+                      dtype, out_dtype, split: bool):
+    """Kernel over a (NC/CB,) grid; per program: CB own chunks x S bands,
+    each band one DMA'd j-window of MAXJ chunks, each chunk one 128x128
+    tile. The j-side arrives as two windows per band — coordinate planes
+    (R = D rows per chunk) and int32 keys (1 row per chunk) — kept as
+    separate typed DMAs (a bit-cast key row read back through a sublane
+    slice miscompiles on real Mosaic while passing in interpret mode)."""
+    R = D
+    kahan = jnp.issubdtype(out_dtype, jnp.floating)
+    ncoord = D // 2 if split else D
+
+    def kernel(bands_ref, csq_ref, mislot_ref, bounds_ref, own_ref,
+               okey_ref, jarr_ref, jkey_ref, out_ref, comp_ref, acc_s,
+               comp_s, jbuf, kbuf, sems, ksems):
+        p = pl.program_id(0)
+        num_p = pl.num_programs(0)
+        csq = csq_ref[0]
+        min_islot = mislot_ref[0]
+
+        @pl.when(p == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+            comp_ref[...] = jnp.zeros_like(comp_ref)
+
+        # per-program accumulator lives in scratch: tile bodies run under
+        # data-dependent pl.when, so the accumulation must be a ref store
+        acc_s[...] = jnp.zeros_like(acc_s)
+        if kahan:
+            comp_s[...] = jnp.zeros_like(comp_s)
+
+        def window(oc, s):
+            jlo = bounds_ref[oc, 3 * s]
+            toff = bounds_ref[oc, 3 * s + 1]
+            jnum = bounds_ref[oc, 3 * s + 2]
+            return jlo, toff, jnum
+
+        def copy_obj(oc, s, jlo):
+            w = oc * S + s
+            return pltpu.make_async_copy(
+                jarr_ref.at[pl.ds(jlo * R, MAXJ * R), :],
+                jbuf.at[pl.ds(w * MAXJ * R, MAXJ * R), :],
+                sems.at[w],
+            )
+
+        def kcopy_obj(oc, s, jlo):
+            w = oc * S + s
+            return pltpu.make_async_copy(
+                jkey_ref.at[pl.ds(jlo, MAXJ), :],
+                kbuf.at[pl.ds(w * MAXJ, MAXJ), :],
+                ksems.at[w],
+            )
+
+        # issue every window DMA up front (bounds for the whole block are
+        # in this program's SMEM slice); latency hides behind compute
+        for oc in range(CB):
+            for s in range(S):
+                jlo, _, jnum = window(oc, s)
+
+                @pl.when(jnum > 0)
+                def _(oc=oc, s=s, jlo=jlo):
+                    copy_obj(oc, s, jlo).start()
+                    kcopy_obj(oc, s, jlo).start()
+
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+        lane_j = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+        tri = row_i > lane_j
+
+        for oc in range(CB):
+            o0 = oc * CHUNK
+            own_cols = [own_ref[o0 : o0 + CHUNK, a : a + 1] for a in range(D)]
+            own_k = okey_ref[o0 : o0 + CHUNK, 0:1]
+            # distributed ownership: pairs whose larger-slot endpoint is
+            # below min_islot belong to another device
+            gslot0 = (p * CB + oc) * CHUNK
+            owned = (row_i[:, 0:1] + gslot0) >= min_islot
+
+            for s in range(S):
+                jlo, toff, jnum = window(oc, s)
+                lo_s = bands_ref[s, 0]
+                hi_s = bands_ref[s, 1]
+
+                @pl.when(jnum > 0)
+                def _(oc=oc, s=s, jlo=jlo):
+                    copy_obj(oc, s, jlo).wait()
+                    kcopy_obj(oc, s, jlo).wait()
+
+                for t in range(MAXJ):
+
+                    @pl.when((t >= toff) & (t < toff + jnum))
+                    def _(oc=oc, s=s, t=t, jlo=jlo, own_cols=own_cols,
+                          own_k=own_k, owned=owned):
+                        b0 = (oc * S + s) * MAXJ * R + t * R
+                        j_cols = [jbuf[b0 + a : b0 + a + 1, :] for a in range(D)]
+                        k0 = (oc * S + s) * MAXJ + t
+                        jk = kbuf[k0 : k0 + 1, :]
+
+                        # the key band IS the half-space + cell-adjacency
+                        # test: disjoint bands count each pair once
+                        diff = own_k - jk  # (128, 128) int32
+                        m = (diff >= lo_s) & (diff <= hi_s) & owned
+                        if s == 0:
+                            # the [0,1] band includes same-cell pairs:
+                            # strict slot order keeps each unordered pair
+                            # exactly once (larger slot owns the pair)
+                            jcg = jlo + t
+                            ocg = p * CB + oc
+                            m = m & (tri | (jcg < ocg))
+
+                        dsq = jnp.zeros((CHUNK, CHUNK), dtype)
+                        for a in range(ncoord):
+                            d = own_cols[a] - j_cols[a]
+                            if split:
+                                d = d + (own_cols[a + ncoord] - j_cols[a + ncoord])
+                            dsq = dsq + d * d
+                        m = m & (dsq < csq)
+                        v = jnp.where(m, term(jnp.where(m, dsq, jnp.ones_like(dsq))),
+                                      jnp.zeros((CHUNK, CHUNK), dtype)).astype(out_dtype)
+                        if kahan:
+                            acc, comp = acc_s[...], comp_s[...]
+                            y = v - comp
+                            tt = acc + y
+                            comp_s[...] = (tt - acc) - y
+                            acc_s[...] = tt
+                        else:
+                            acc_s[...] += v
+
+        if kahan:
+            prev = out_ref[...]
+            y = (acc_s[...] - comp_s[...]) - comp_ref[...]
+            tt = prev + y
+            comp_ref[...] = (tt - prev) - y
+            out_ref[...] = tt
+
+            @pl.when(p == num_p - 1)
+            def _():
+                out_ref[...] = out_ref[...] - comp_ref[...]
+
+        else:
+            out_ref[...] += acc_s[...]
+
+    return kernel
+
+
+def _make_tile_forces_kernel(CB: int, S: int, MAXJ: int, D: int,
+                             gfn: Callable, dtype, split: bool):
+    """Full-stencil forces: f_i = sum_j gfn(dsq) * (p_i - p_j) over ALL
+    stencil partners of i (mirrored bands), i-side accumulation only — no
+    cross-program j-writes, so programs stay independent. The per-partner
+    row sums ride the MXU (one (128,128)x(128,1) contraction per coord),
+    and the pair separations stay exact broadcast differences (split-safe,
+    unlike a sum-of-products expansion)."""
+    R = D
+    ncoord = D // 2 if split else D
+
+    def kernel(bands_ref, csq_ref, bounds_ref, own_ref, okey_ref, jarr_ref,
+               jkey_ref, fout_ref, jbuf, kbuf, sems, ksems):
+        p = pl.program_id(0)
+        csq = csq_ref[0]
+        fout_ref[...] = jnp.zeros_like(fout_ref)
+
+        def window(oc, s):
+            return (bounds_ref[oc, 3 * s], bounds_ref[oc, 3 * s + 1],
+                    bounds_ref[oc, 3 * s + 2])
+
+        def copy_obj(oc, s, jlo):
+            w = oc * S + s
+            return pltpu.make_async_copy(
+                jarr_ref.at[pl.ds(jlo * R, MAXJ * R), :],
+                jbuf.at[pl.ds(w * MAXJ * R, MAXJ * R), :],
+                sems.at[w],
+            )
+
+        def kcopy_obj(oc, s, jlo):
+            w = oc * S + s
+            return pltpu.make_async_copy(
+                jkey_ref.at[pl.ds(jlo, MAXJ), :],
+                kbuf.at[pl.ds(w * MAXJ, MAXJ), :],
+                ksems.at[w],
+            )
+
+        for oc in range(CB):
+            for s in range(S):
+                jlo, _, jnum = window(oc, s)
+
+                @pl.when(jnum > 0)
+                def _(oc=oc, s=s, jlo=jlo):
+                    copy_obj(oc, s, jlo).start()
+                    kcopy_obj(oc, s, jlo).start()
+
+        ones_row = jnp.ones((1, CHUNK), dtype)
+
+        for oc in range(CB):
+            o0 = oc * CHUNK
+            own_cols = [own_ref[o0 : o0 + CHUNK, a : a + 1] for a in range(D)]
+            own_k = okey_ref[o0 : o0 + CHUNK, 0:1]
+
+            for s in range(S):
+                jlo, toff, jnum = window(oc, s)
+                lo_s = bands_ref[s, 0]
+                hi_s = bands_ref[s, 1]
+
+                @pl.when(jnum > 0)
+                def _(oc=oc, s=s, jlo=jlo):
+                    copy_obj(oc, s, jlo).wait()
+                    kcopy_obj(oc, s, jlo).wait()
+
+                for t in range(MAXJ):
+
+                    @pl.when((t >= toff) & (t < toff + jnum))
+                    def _(oc=oc, s=s, t=t, own_cols=own_cols, own_k=own_k):
+                        b0 = (oc * S + s) * MAXJ * R + t * R
+                        j_cols = [
+                            jbuf[b0 + a : b0 + a + 1, :] for a in range(D)
+                        ]
+                        k0 = (oc * S + s) * MAXJ + t
+                        jk = kbuf[k0 : k0 + 1, :]
+
+                        diff = own_k - jk
+                        m = (diff >= lo_s) & (diff <= hi_s)
+                        d = []
+                        dsq = jnp.zeros((CHUNK, CHUNK), dtype)
+                        for a in range(ncoord):
+                            da = own_cols[a] - j_cols[a]
+                            if split:
+                                da = da + (
+                                    own_cols[a + ncoord] - j_cols[a + ncoord]
+                                )
+                            d.append(da)
+                            dsq = dsq + da * da
+                        # dsq > 0 excludes self and coincident particles
+                        # (pair_lag_forces semantics; LJ diverges there)
+                        m = m & (dsq < csq) & (dsq > 0)
+                        g = jnp.where(
+                            m,
+                            gfn(jnp.where(m, dsq, jnp.ones_like(dsq))),
+                            jnp.zeros((CHUNK, CHUNK), dtype),
+                        )
+                        for a in range(ncoord):
+                            fa = jax.lax.dot_general(
+                                g * d[a], ones_row,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=dtype,
+                            )  # (128, 1)
+                            fout_ref[o0 : o0 + CHUNK, a : a + 1] += fa
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("CB", "MAXJ", "gfn", "interpret")
+)
+def tile_pair_forces(
+    sorted_pos: jax.Array,
+    sorted_keys: jax.Array,
+    strides: jax.Array,
+    cutoff_sq,
+    sorted_pos_lo: jax.Array | None = None,
+    *,
+    CB: int = 8,
+    MAXJ: int = 6,
+    gfn: Callable = None,
+    interpret: bool = False,
+):
+    """Per-particle pairwise forces in sorted-slot order, any box shape.
+
+    f_i = sum over cutoff partners j of ``gfn(dsq) * (p_i - p_j)``; the
+    full (mirrored) stencil bands give each particle both pair sides
+    directly — ~2x the half-space evaluations of `pair_lag_forces` but no
+    Horner shift machinery and no cross-program writes. Split-precision
+    low planes are supported like the energy kernel.
+
+    Returns ((n, dim) forces, coverage_ok).
+    """
+    if gfn is None:
+        from .lj import lj_force_factor as gfn
+
+    n, dim = sorted_pos.shape
+    split = sorted_pos_lo is not None
+    dtype = sorted_pos.dtype
+    D = 2 * dim if split else dim
+    S = num_segments(dim, full=True)
+    R = D + 1
+
+    nc_pad = max(-(-n // (CHUNK * CB)) * CB, CB)
+    C = nc_pad * CHUNK
+    keys_p = _pad_and_desentinel(sorted_keys, C)
+
+    pos_p = jnp.zeros((C, D), dtype)
+    pos_p = pos_p.at[:n, :dim].set(sorted_pos)
+    if split:
+        pos_p = pos_p.at[:n, dim:].set(sorted_pos_lo)
+
+    bands = segment_bands(strides, full=True)
+    jlo, toff, jnum, cov_ok = chunk_bounds(keys_p, bands, MAXJ, half=False)
+    bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(nc_pad, 3 * S)
+
+    jarr = (
+        pos_p.reshape(nc_pad, CHUNK, D)
+        .transpose(0, 2, 1)
+        .reshape(nc_pad * D, CHUNK)
+    )
+    jkeys = keys_p.reshape(nc_pad, CHUNK)
+
+    kernel = _make_tile_forces_kernel(CB, S, MAXJ, D, gfn, dtype, split)
+    grid = (nc_pad // CB,)
+    fout = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((S, 2), lambda p: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda p: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((CB, 3 * S), lambda p: (p, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((CB * CHUNK, D), lambda p: (p, 0)),
+            pl.BlockSpec((CB * CHUNK, 1), lambda p: (p, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((CB * CHUNK, dim), lambda p: (p, 0)),
+        out_shape=jax.ShapeDtypeStruct((C, dim), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((CB * S * MAXJ * D, CHUNK), dtype),
+            pltpu.VMEM((CB * S * MAXJ, CHUNK), jnp.int32),
+            pltpu.SemaphoreType.DMA((CB * S,)),
+            pltpu.SemaphoreType.DMA((CB * S,)),
+        ],
+        interpret=interpret,
+    )(
+        bands.astype(jnp.int32),
+        jnp.asarray(cutoff_sq, dtype).reshape(1),
+        bounds,
+        pos_p,
+        keys_p[:, None],
+        jarr,
+        jkeys,
+    )
+    return fout[:n], cov_ok
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("CB", "MAXJ", "term", "interpret", "out_dtype"),
+)
+def tile_pair_reduce(
+    sorted_pos: jax.Array,  # (n, dim) cell-key-sorted positions (hi part)
+    sorted_keys: jax.Array,  # (n,) ascending flat cell keys
+    strides: jax.Array,  # (dim,) grid strides (ascending)
+    cutoff_sq,
+    sorted_pos_lo: jax.Array | None = None,  # (n, dim) f32x2 low parts
+    *,
+    CB: int = 8,
+    MAXJ: int = 4,
+    term: Callable = lj_term,
+    interpret: bool = False,
+    out_dtype=None,
+    min_islot=0,
+):
+    """Sum ``term(dsq)`` over all unique cutoff-filtered pairs, any box
+    shape (the shape-robust sibling of `pair_lag_reduce`).
+
+    Returns (total, coverage_ok): coverage_ok is False iff some chunk's
+    partner window needs more than MAXJ j-chunks — re-jit with a larger
+    MAXJ; never trust a result with a false flag (the never-silently-drop
+    invariant). MAXJ=4 covers reference density (~10/cell) with margin;
+    integer outputs return (hi, lo) int32 planes (see `combine_count`).
+    """
+    n, dim = sorted_pos.shape
+    split = sorted_pos_lo is not None
+    dtype = sorted_pos.dtype
+    out_dtype = out_dtype or dtype
+    D = 2 * dim if split else dim
+    S = num_segments(dim)
+    R = D + 1
+
+    nc_pad = max(-(-n // (CHUNK * CB)) * CB, CB)
+    C = nc_pad * CHUNK
+    keys_p = _pad_and_desentinel(sorted_keys, C)
+
+    pos_p = jnp.zeros((C, D), dtype)
+    pos_p = pos_p.at[:n, :dim].set(sorted_pos)
+    if split:
+        pos_p = pos_p.at[:n, dim:].set(sorted_pos_lo)
+
+    bands = segment_bands(strides)
+    jlo, toff, jnum, cov_ok = chunk_bounds(keys_p, bands, MAXJ)
+    bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(nc_pad, 3 * S)
+
+    # j-side arrays: coordinate planes interleaved per chunk (D rows each)
+    # and keys lane-major (one int32 row per chunk) — separate typed DMAs
+    jarr = (
+        pos_p.reshape(nc_pad, CHUNK, D)
+        .transpose(0, 2, 1)
+        .reshape(nc_pad * D, CHUNK)
+    )
+    jkeys = keys_p.reshape(nc_pad, CHUNK)
+
+    kernel = _make_tile_kernel(CB, S, MAXJ, D, term, dtype, out_dtype, split)
+    grid = (nc_pad // CB,)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((S, 2), lambda p: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda p: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda p: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((CB, 3 * S), lambda p: (p, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((CB * CHUNK, D), lambda p: (p, 0)),
+            pl.BlockSpec((CB * CHUNK, 1), lambda p: (p, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((CHUNK, CHUNK), lambda p: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((CHUNK, CHUNK), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK, CHUNK), out_dtype),  # cross-program Kahan
+            pltpu.VMEM((CHUNK, CHUNK), out_dtype),  # per-program acc
+            pltpu.VMEM((CHUNK, CHUNK), out_dtype),  # per-program comp
+            pltpu.VMEM((CB * S * MAXJ * D, CHUNK), dtype),
+            pltpu.VMEM((CB * S * MAXJ, CHUNK), jnp.int32),
+            pltpu.SemaphoreType.DMA((CB * S,)),
+            pltpu.SemaphoreType.DMA((CB * S,)),
+        ],
+        interpret=interpret,
+    )(
+        bands.astype(jnp.int32),
+        jnp.asarray(cutoff_sq, dtype).reshape(1),
+        jnp.asarray(min_islot, jnp.int32).reshape(1),
+        bounds,
+        pos_p,
+        keys_p[:, None],
+        jarr,
+        jkeys,
+    )
+    if jnp.issubdtype(out_dtype, jnp.integer):
+        lo = jnp.sum(out & 0xFFFF)
+        hi = jnp.sum(out >> 16)
+        return jnp.stack([hi, lo]), cov_ok
+    return jnp.sum(out), cov_ok
+
+
+def tile_lj_energy(sorted_pos, sorted_keys, strides, cutoff_sq,
+                   sorted_pos_lo=None, **kw):
+    return tile_pair_reduce(
+        sorted_pos, sorted_keys, strides, cutoff_sq, sorted_pos_lo,
+        term=lj_term, **kw
+    )
+
+
+def tile_count_pairs(sorted_pos, sorted_keys, strides, cutoff_sq, **kw):
+    packed, ok = tile_pair_reduce(
+        sorted_pos, sorted_keys, strides, cutoff_sq,
+        term=count_term, out_dtype=jnp.int32, **kw
+    )
+    return packed, ok
