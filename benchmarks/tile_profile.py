@@ -39,6 +39,8 @@ def main():
     CB = int(os.environ.get("TP_CB", "8"))
     MAXJ = int(os.environ.get("TP_MAXJ", "12"))
     split = os.environ.get("TP_SPLIT") == "1"
+    kahan = os.environ.get("TP_KAHAN", "1") == "1"
+    OH = int(os.environ.get("TP_OH", "128"))
 
     def rtt_measure():
         f = jax.jit(lambda x: x + 1.0)
@@ -52,7 +54,7 @@ def main():
         return float(np.median(ts))
 
     rtt = rtt_measure()
-    print(f"n={n} reps={reps} CB={CB} MAXJ={MAXJ} split={split} rtt={rtt*1e3:.1f}ms",
+    print(f"n={n} reps={reps} CB={CB} MAXJ={MAXJ} split={split} kahan={kahan} OH={OH} rtt={rtt*1e3:.1f}ms",
           flush=True)
     print("shape,stage,ms,extra", flush=True)
 
@@ -74,7 +76,7 @@ def main():
             slo = sp[:, 3:] if lo is not None else None
             e, ok = tile_pair_reduce(
                 hi, bins.sorted_keys, bins.info.strides,
-                jnp.float32(cutoff) ** 2, slo, CB=CB, MAXJ=MAXJ,
+                jnp.float32(cutoff) ** 2, slo, CB=CB, MAXJ=MAXJ, kahan=kahan, OH=OH,
             )
             return e, ok
 
@@ -82,7 +84,7 @@ def main():
             bins, sp = bin_and_sort(p, cutoff, max_cells=1, need_perm=False)
             c, ok = tile_pair_reduce(
                 sp, bins.sorted_keys, bins.info.strides,
-                jnp.float32(cutoff) ** 2, CB=CB, MAXJ=MAXJ,
+                jnp.float32(cutoff) ** 2, CB=CB, MAXJ=MAXJ, OH=OH,
                 term=count_term, out_dtype=jnp.int32,
             )
             return c, ok

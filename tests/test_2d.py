@@ -62,7 +62,7 @@ def test_2d_lag_kernel():
 def test_2d_public_fused_api():
     """The public fused entry points work for N = 2 (VERDICT round-1 item
     8): the rebuild-energy path runs the lag kernel directly (dim-generic),
-    auto_lj_energy dispatches wide 2D boxes to the XLA path."""
+    auto_lj_energy dispatches wide 2D boxes to the tile kernel."""
     from zelll_tpu.ops.fused import auto_lj_energy, fused_lj_rebuild_energy
 
     rng = np.random.default_rng(2)
@@ -88,10 +88,10 @@ def test_2d_public_fused_api():
     assert path.startswith("fused")
     np.testing.assert_allclose(e2, ref(thin), rtol=1e-10)
 
-    # wide 2D box: lag blows past the cap -> XLA fallback
+    # wide 2D box: lag blows past the cap -> segment-tile kernel
     wide = rng.uniform(0, 1, size=(3000, 2)) * 30.0
     e3, path = auto_lj_energy(wide, cutoff, max_thin_lag=128, interpret=True)
-    assert path.startswith("xla")
+    assert path.startswith("tile")
     np.testing.assert_allclose(e3, ref(wide), rtol=1e-10)
 
 

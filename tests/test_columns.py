@@ -126,7 +126,7 @@ def test_auto_dispatch():
     e, path = auto_lj_energy(
         cube, 1.0, max_thin_lag=256, interpret=True
     )
-    assert path.startswith("columns")
+    assert path.startswith("tile")
     np.testing.assert_allclose(e, ref(cube, 1.0), rtol=1e-10)
 
 

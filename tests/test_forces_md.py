@@ -158,3 +158,27 @@ def test_md_step_cubic():
     np.testing.assert_allclose(
         np.asarray(st2.positions), pts + 1e-6 * v_ref, rtol=1e-9
     )
+
+
+def test_md_step_cubic_tile_matches_md_step_cubic():
+    """Tile-kernel cubic MD step conserves the same dynamics as the column
+    path: one step from identical states must agree (orders differ — the
+    tile step returns sorted order; compare as sets via lexsort)."""
+    import numpy as np
+    from zelll_tpu.models.lj_md import MDState, md_step_cubic, md_step_cubic_tile
+
+    rng = np.random.default_rng(17)
+    n, cutoff, dt = 600, 1.0, 1e-4
+    pts = rng.uniform(0, 1, (n, 3)) * 8.0
+    vel = rng.normal(0, 0.1, (n, 3))
+    st = MDState(jnp.asarray(pts, jnp.float32), jnp.asarray(vel, jnp.float32))
+
+    s1, ok1 = md_step_cubic(st, cutoff, dt, interpret=True)
+    s2, ok2 = md_step_cubic_tile(st, cutoff, dt, CB=2, MAXJ=6, interpret=True)
+    assert bool(ok1) and bool(ok2)
+
+    def canon(s):
+        a = np.concatenate([np.asarray(s.positions), np.asarray(s.velocities)], 1)
+        return a[np.lexsort(a.T[::-1])]
+
+    np.testing.assert_allclose(canon(s1), canon(s2), rtol=2e-4, atol=2e-6)

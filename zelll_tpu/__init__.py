@@ -16,6 +16,7 @@ Layers:
 """
 
 from .api import CellGrid
+from .config import ZelllConfig
 from .core import (
     Aabb,
     CellGridData,

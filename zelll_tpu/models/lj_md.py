@@ -36,6 +36,8 @@ __all__ = [
     "md_run",
     "md_step_split",
     "md_run_skin",
+    "md_step_cubic",
+    "md_step_cubic_tile",
 ]
 
 
@@ -315,4 +317,37 @@ def md_step_cubic(
     )
     vel_new = vel + dt * f
     pos_new = pos + dt * vel_new
+    return MDState(positions=pos_new, velocities=vel_new), ok
+
+
+@partial(jax.jit, static_argnames=("CB", "MAXJ", "interpret"))
+def md_step_cubic_tile(
+    state: MDState,
+    cutoff,
+    dt,
+    *,
+    CB: int = 8,
+    MAXJ: int = 8,
+    interpret: bool = False,
+):
+    """MD step for cubic/wide boxes via the segment-tile forces kernel
+    (`ops.tile_pairs.tile_pair_forces`): like the thin-box `md_step`,
+    velocities ride the sort as payload and state stays in sorted order
+    between steps (no duplication, no owner-copy extraction — the tile
+    kernel's full-stencil bands give per-particle forces directly).
+    Returns (new_state, coverage_ok)."""
+    from ..ops.tile_pairs import tile_pair_forces
+
+    pos, vel = state.positions, state.velocities
+    dim = pos.shape[1]
+    csq = jnp.asarray(cutoff, pos.dtype) ** 2
+    stacked = jnp.concatenate([pos, vel], axis=1)
+    bins, cols = bin_and_sort(stacked, cutoff, max_cells=1, need_perm=False)
+    spos, svel = cols[:, :dim], cols[:, dim:]
+    f, ok = tile_pair_forces(
+        spos, bins.sorted_keys, bins.info.strides, csq,
+        CB=CB, MAXJ=MAXJ, interpret=interpret,
+    )
+    vel_new = svel + dt * f
+    pos_new = spos + dt * vel_new
     return MDState(positions=pos_new, velocities=vel_new), ok

@@ -9,6 +9,12 @@ from .fused import (
     fused_pair_sum,
 )
 from .lj import lj, lj_energy, lj_force_factor, lj_forces
+from .tile_pairs import (
+    tile_count_pairs,
+    tile_lj_energy,
+    tile_pair_forces,
+    tile_pair_reduce,
+)
 from .pallas_pairs import (
     count_term,
     lag_coverage_ok,
@@ -22,6 +28,10 @@ from .pallas_pairs import (
 
 __all__ = [
     "auto_lj_energy",
+    "tile_pair_reduce",
+    "tile_lj_energy",
+    "tile_count_pairs",
+    "tile_pair_forces",
     "lj",
     "lj_energy",
     "lj_force_factor",

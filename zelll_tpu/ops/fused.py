@@ -141,7 +141,7 @@ def auto_lj_energy(
 ):
     """Host-orchestrated 'just works' LJ energy: probes the data's lag
     requirement and dispatches to the thin-box fused path (tight sorted
-    window) or the column decomposition (cubic/wide boxes).
+    window) or the segment-tile kernel (cubic/wide boxes).
 
     ``split=True`` splits the (f64) input into hi/lo f32 planes for
     f64-grade pair distances (see `pallas_pairs.split_f64`) — use when the
@@ -154,7 +154,6 @@ def auto_lj_energy(
     import numpy as np
 
     from ..core.binning import bin_and_sort
-    from .columns import column_lj_energy
     from .pallas_pairs import suggest_lag
 
     pos64 = np.asarray(positions, np.float64)
@@ -176,9 +175,10 @@ def auto_lj_energy(
         )
         assert bool(ok)
         return float(e), f"fused(L={L})"
-    if positions.shape[1] != 3:
-        # column decomposition is 3D-only; N != 3 wide boxes fall back to
-        # the XLA bucketed path (reference is generic over N, lib.rs:132)
+    if positions.shape[1] > 3:
+        # segment bands are defined for dim <= 3; higher-N wide boxes fall
+        # back to the XLA bucketed path (reference is generic over N,
+        # lib.rs:132)
         from ..core.grid import build
         from ..core.pairs import pair_sum
         from .lj import lj
@@ -190,8 +190,39 @@ def auto_lj_energy(
             cutoff_sq=cutoff * cutoff,
         )
         return float(e), f"xla(K={K})"
-    e, ok = column_lj_energy(
-        positions, cutoff, pos_lo, T=3, M=16384, L=1024, interpret=interpret
+    # wide/cubic boxes: segment-tile kernel, growing the static window
+    # capacity class until the coverage flag passes (never silently drop)
+    from .tile_pairs import tile_lj_energy
+
+    dim = positions.shape[1]
+    if pos_lo is not None:
+        cols = jnp.concatenate([positions, pos_lo], axis=1)
+        bins2, sc = bin_and_sort(cols, cutoff, max_cells=1, need_perm=False)
+        sp, slo = sc[:, :dim], sc[:, dim:]
+    else:
+        bins2, sp = bin_and_sort(positions, cutoff, max_cells=1,
+                                 need_perm=False)
+        slo = None
+    # probe the required window capacity first (cheap) so the first compile
+    # already covers; the flag + growth loop still guards density drift
+    from ..ops.pallas_pairs import _pad_and_desentinel
+    from .segments import CHUNK, segment_bands, suggest_maxj
+
+    nk = bins2.sorted_keys.shape[0]
+    C = max(-(-nk // (CHUNK * 8)) * 8, 8) * CHUNK
+    maxj = suggest_maxj(
+        _pad_and_desentinel(bins2.sorted_keys, C),
+        segment_bands(bins2.info.strides),
     )
-    assert bool(ok)
-    return float(e), "columns(T=3)"
+    while True:
+        e, ok = tile_lj_energy(
+            sp, bins2.sorted_keys, bins2.info.strides,
+            jnp.asarray(cutoff, sp.dtype) ** 2, slo,
+            MAXJ=maxj, interpret=interpret,
+        )
+        if bool(ok):
+            return float(e), f"tile(MAXJ={maxj})"
+        if maxj > 512:
+            raise RuntimeError("tile window capacity still insufficient "
+                               f"at MAXJ={maxj}")
+        maxj *= 2

@@ -91,8 +91,19 @@ def num_segments(dim: int, full: bool = False) -> int:
     return {1: 1, 2: 2, 3: 5}[dim]
 
 
+def suggest_maxj(sorted_keys_padded: jax.Array, bands: jax.Array,
+                 half: bool = True) -> int:
+    """Smallest MAXJ capacity that covers every chunk's partner window for
+    this data (host-syncing; use before jitting a tile kernel so the first
+    compile already has a sufficient capacity class)."""
+    nc = sorted_keys_padded.shape[0] // CHUNK
+    _, _, jnum, _ = chunk_bounds(sorted_keys_padded, bands, max_j=nc,
+                                 half=half)
+    return max(int(jnp.max(jnum)), 1)
+
+
 def chunk_bounds(sorted_keys: jax.Array, bands: jax.Array, max_j: int,
-                 half: bool = True):
+                 half: bool = True, groups: int = 1):
     """Per-chunk, per-band j-chunk windows.
 
     sorted_keys: (C,) int32 ascending, C a multiple of CHUNK; padding rows
@@ -113,6 +124,17 @@ def chunk_bounds(sorted_keys: jax.Array, bands: jax.Array, max_j: int,
     (band, j-chunk) with jlo+toff <= c_j < jlo+toff+jnum by construction:
     window keys are [kmin_i - hi_s, kmax_i - lo_s] and the chunk ranges
     come from exact searchsorted bounds on the downsampled keys.
+
+    ``groups > 1`` additionally returns sub-chunk windows: each chunk is
+    split into `groups` row groups of CHUNK/groups slots, and per
+    (chunk, group, band) the tighter j-chunk window for just that group's
+    keys is located (group key spans are ~groups x smaller, so their
+    windows quantize to fewer chunks — the tile kernel evaluates
+    proportionally fewer 128-lane columns per own row). Returns
+    (jlo, toff, jnum, gtoff (NC, G, S), gjnum (NC, G, S), coverage_ok);
+    group windows are clamped inside the parent DMA window [jlo,
+    jlo+max_j) (a no-op whenever coverage_ok — group queries are
+    sub-ranges of the chunk query).
     """
     C = sorted_keys.shape[0]
     assert C % CHUNK == 0
@@ -170,4 +192,36 @@ def chunk_bounds(sorted_keys: jax.Array, bands: jax.Array, max_j: int,
     # still covers [lo, hi] (hi <= nc - 1 = jlo + max_j - 1)
     jlo = jnp.minimum(lo, max(nc - max_j, 0))
     toff = lo - jlo
-    return jlo, toff, jnum, coverage_ok
+    if groups == 1:
+        return jlo, toff, jnum, coverage_ok
+
+    assert CHUNK % groups == 0
+    OH = CHUNK // groups
+    kg = k.reshape(nc * groups, OH)
+    gmin, gmax_raw = kg[:, 0], kg[:, -1]
+    greal = kg < jnp.int32(_PAD_KEY_BASE)
+    ghas = greal[:, 0]
+    gmax_real = jnp.max(jnp.where(greal, kg, jnp.int32(-1)), axis=1)
+    gmin_q = jnp.minimum(gmin, kreal_max + 1)
+    gmax_q = jnp.minimum(jnp.where(ghas, gmax_real, gmax_raw), kreal_max)
+
+    qlo_g = gmin_q[None, :] - b[:, 1][:, None]  # (S, NC*G)
+    qhi_g = gmax_q[None, :] - b[:, 0][:, None]
+    glo = jnp.searchsorted(kmax_eff, qlo_g.reshape(-1), side="left",
+                           method="sort")
+    ghi = jnp.searchsorted(kmin, qhi_g.reshape(-1), side="right",
+                           method="sort")
+    glo = glo.reshape(S, nc, groups).transpose(1, 2, 0).astype(jnp.int32)
+    ghi = ghi.reshape(S, nc, groups).transpose(1, 2, 0).astype(jnp.int32) - 1
+
+    if half:
+        own = jnp.arange(nc, dtype=jnp.int32)[:, None, None]
+        ghi = jnp.minimum(ghi, own)
+    ghi = jnp.where(ghas.reshape(nc, groups, 1), ghi, glo - 1)
+
+    parent = jlo[:, None, :]  # (NC, 1, S)
+    glo_c = jnp.clip(glo, parent, parent + max_j)
+    ghi_c = jnp.minimum(ghi, parent + max_j - 1)
+    gtoff = glo_c - parent
+    gjnum = jnp.maximum(ghi_c - glo_c + 1, 0)
+    return jlo, toff, jnum, gtoff, gjnum, coverage_ok

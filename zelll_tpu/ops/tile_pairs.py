@@ -56,18 +56,25 @@ __all__ = [
 
 
 def _make_tile_kernel(CB: int, S: int, MAXJ: int, D: int, term: Callable,
-                      dtype, out_dtype, split: bool):
+                      dtype, out_dtype, split: bool, kahan: bool,
+                      distributed: bool, OH: int = CHUNK):
     """Kernel over a (NC/CB,) grid; per program: CB own chunks x S bands,
-    each band one DMA'd j-window of MAXJ chunks, each chunk one 128x128
-    tile. The j-side arrives as two windows per band — coordinate planes
-    (R = D rows per chunk) and int32 keys (1 row per chunk) — kept as
-    separate typed DMAs (a bit-cast key row read back through a sublane
-    slice miscompiles on real Mosaic while passing in interpret mode)."""
-    R = D
-    kahan = jnp.issubdtype(out_dtype, jnp.floating)
+    each band one DMA'd j-window of MAXJ chunks, each occupied chunk one
+    128x128 tile. Tiles run in a dynamic ``fori_loop`` over the true
+    window [toff, toff+jnum) — compile-time code size is CB*S tile bodies
+    and runtime work is proportional to occupied chunks, not to the
+    static MAXJ capacity (the unrolled pl.when variant ran ~2x slower at
+    MAXJ=12 purely from the dead static tiles). The j-side arrives as two
+    windows per band — coordinate planes (nc, D, 128) and int32 keys
+    (nc, 1, 128), dynamically indexed on the untiled leading dim — kept
+    as separate typed DMAs (a bit-cast key row read back through a
+    sublane slice miscompiles on real Mosaic while passing in interpret
+    mode)."""
+    kahan = kahan and jnp.issubdtype(out_dtype, jnp.floating)
     ncoord = D // 2 if split else D
+    G = CHUNK // OH
 
-    def kernel(bands_ref, csq_ref, mislot_ref, bounds_ref, own_ref,
+    def kernel(bands_ref, csq_ref, mislot_ref, bounds_ref, gb_ref, own_ref,
                okey_ref, jarr_ref, jkey_ref, out_ref, comp_ref, acc_s,
                comp_s, jbuf, kbuf, sems, ksems):
         p = pl.program_id(0)
@@ -81,7 +88,7 @@ def _make_tile_kernel(CB: int, S: int, MAXJ: int, D: int, term: Callable,
             comp_ref[...] = jnp.zeros_like(comp_ref)
 
         # per-program accumulator lives in scratch: tile bodies run under
-        # data-dependent pl.when, so the accumulation must be a ref store
+        # data-dependent control flow, so accumulation must be a ref store
         acc_s[...] = jnp.zeros_like(acc_s)
         if kahan:
             comp_s[...] = jnp.zeros_like(comp_s)
@@ -95,16 +102,16 @@ def _make_tile_kernel(CB: int, S: int, MAXJ: int, D: int, term: Callable,
         def copy_obj(oc, s, jlo):
             w = oc * S + s
             return pltpu.make_async_copy(
-                jarr_ref.at[pl.ds(jlo * R, MAXJ * R), :],
-                jbuf.at[pl.ds(w * MAXJ * R, MAXJ * R), :],
+                jarr_ref.at[pl.ds(jlo, MAXJ)],
+                jbuf.at[pl.ds(w * MAXJ, MAXJ)],
                 sems.at[w],
             )
 
         def kcopy_obj(oc, s, jlo):
             w = oc * S + s
             return pltpu.make_async_copy(
-                jkey_ref.at[pl.ds(jlo, MAXJ), :],
-                kbuf.at[pl.ds(w * MAXJ, MAXJ), :],
+                jkey_ref.at[pl.ds(jlo, MAXJ)],
+                kbuf.at[pl.ds(w * MAXJ, MAXJ)],
                 ksems.at[w],
             )
 
@@ -119,68 +126,83 @@ def _make_tile_kernel(CB: int, S: int, MAXJ: int, D: int, term: Callable,
                     copy_obj(oc, s, jlo).start()
                     kcopy_obj(oc, s, jlo).start()
 
-        row_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-        lane_j = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-        tri = row_i > lane_j
+        row_g = [jax.lax.broadcasted_iota(jnp.int32, (OH, CHUNK), 0) + g * OH
+                 for g in range(G)]
+        lane_j = jax.lax.broadcasted_iota(jnp.int32, (OH, CHUNK), 1)
+        tri_g = [r > lane_j for r in row_g]
 
         for oc in range(CB):
             o0 = oc * CHUNK
-            own_cols = [own_ref[o0 : o0 + CHUNK, a : a + 1] for a in range(D)]
-            own_k = okey_ref[o0 : o0 + CHUNK, 0:1]
-            # distributed ownership: pairs whose larger-slot endpoint is
-            # below min_islot belong to another device
-            gslot0 = (p * CB + oc) * CHUNK
-            owned = (row_i[:, 0:1] + gslot0) >= min_islot
+            if distributed:
+                gslot0 = (p * CB + oc) * CHUNK
+                # distributed ownership: pairs whose larger-slot endpoint
+                # is below min_islot belong to another device (skipped
+                # entirely on the single-device path: static flag)
+                owned_g = [(row_g[g][:, 0:1] + gslot0) >= min_islot
+                           for g in range(G)]
 
             for s in range(S):
-                jlo, toff, jnum = window(oc, s)
+                jlo, _, jnum = window(oc, s)
                 lo_s = bands_ref[s, 0]
                 hi_s = bands_ref[s, 1]
+                w0 = (oc * S + s) * MAXJ
 
                 @pl.when(jnum > 0)
                 def _(oc=oc, s=s, jlo=jlo):
                     copy_obj(oc, s, jlo).wait()
                     kcopy_obj(oc, s, jlo).wait()
 
-                for t in range(MAXJ):
+                for g in range(G):
+                    r0 = o0 + g * OH
+                    own_cols = [own_ref[r0 : r0 + OH, a : a + 1]
+                                for a in range(D)]
+                    own_k = okey_ref[r0 : r0 + OH, 0:1]
+                    gtoff = gb_ref[oc, (g * S + s) * 2]
+                    gjnum = gb_ref[oc, (g * S + s) * 2 + 1]
 
-                    @pl.when((t >= toff) & (t < toff + jnum))
-                    def _(oc=oc, s=s, t=t, jlo=jlo, own_cols=own_cols,
-                          own_k=own_k, owned=owned):
-                        b0 = (oc * S + s) * MAXJ * R + t * R
-                        j_cols = [jbuf[b0 + a : b0 + a + 1, :] for a in range(D)]
-                        k0 = (oc * S + s) * MAXJ + t
-                        jk = kbuf[k0 : k0 + 1, :]
+                    def tile(t, _, s=s, g=g, w0=w0, jlo=jlo, lo_s=lo_s,
+                             hi_s=hi_s, own_cols=own_cols, own_k=own_k,
+                             oc=oc):
+                        jc = jbuf[w0 + t]  # (D, 128)
+                        jk = kbuf[w0 + t]  # (1, 128)
 
                         # the key band IS the half-space + cell-adjacency
                         # test: disjoint bands count each pair once
-                        diff = own_k - jk  # (128, 128) int32
-                        m = (diff >= lo_s) & (diff <= hi_s) & owned
+                        diff = own_k - jk  # (OH, 128) int32
+                        m = (diff >= lo_s) & (diff <= hi_s)
+                        if distributed:
+                            m = m & owned_g[g]
                         if s == 0:
                             # the [0,1] band includes same-cell pairs:
                             # strict slot order keeps each unordered pair
                             # exactly once (larger slot owns the pair)
                             jcg = jlo + t
                             ocg = p * CB + oc
-                            m = m & (tri | (jcg < ocg))
+                            m = m & (tri_g[g] | (jcg < ocg))
 
-                        dsq = jnp.zeros((CHUNK, CHUNK), dtype)
+                        dsq = jnp.zeros((OH, CHUNK), dtype)
                         for a in range(ncoord):
-                            d = own_cols[a] - j_cols[a]
+                            d = own_cols[a] - jc[a : a + 1, :]
                             if split:
-                                d = d + (own_cols[a + ncoord] - j_cols[a + ncoord])
+                                d = d + (own_cols[a + ncoord]
+                                         - jc[a + ncoord : a + ncoord + 1, :])
                             dsq = dsq + d * d
                         m = m & (dsq < csq)
-                        v = jnp.where(m, term(jnp.where(m, dsq, jnp.ones_like(dsq))),
-                                      jnp.zeros((CHUNK, CHUNK), dtype)).astype(out_dtype)
+                        v = jnp.where(m,
+                                      term(jnp.where(m, dsq, jnp.ones_like(dsq))),
+                                      jnp.zeros((OH, CHUNK), dtype)).astype(out_dtype)
+                        ab = acc_s[g * OH : (g + 1) * OH, :]
                         if kahan:
-                            acc, comp = acc_s[...], comp_s[...]
-                            y = v - comp
-                            tt = acc + y
-                            comp_s[...] = (tt - acc) - y
-                            acc_s[...] = tt
+                            cb_ = comp_s[g * OH : (g + 1) * OH, :]
+                            y = v - cb_
+                            tt = ab + y
+                            comp_s[g * OH : (g + 1) * OH, :] = (tt - ab) - y
+                            acc_s[g * OH : (g + 1) * OH, :] = tt
                         else:
-                            acc_s[...] += v
+                            acc_s[g * OH : (g + 1) * OH, :] = ab + v
+                        return 0
+
+                    jax.lax.fori_loop(gtoff, gtoff + gjnum, tile, 0)
 
         if kahan:
             prev = out_ref[...]
@@ -206,13 +228,12 @@ def _make_tile_forces_kernel(CB: int, S: int, MAXJ: int, D: int,
     cross-program j-writes, so programs stay independent. The per-partner
     row sums ride the MXU (one (128,128)x(128,1) contraction per coord),
     and the pair separations stay exact broadcast differences (split-safe,
-    unlike a sum-of-products expansion)."""
-    R = D
+    unlike a sum-of-products expansion). Tiles run in a dynamic
+    ``fori_loop`` over the true window (see `_make_tile_kernel`)."""
     ncoord = D // 2 if split else D
 
     def kernel(bands_ref, csq_ref, bounds_ref, own_ref, okey_ref, jarr_ref,
                jkey_ref, fout_ref, jbuf, kbuf, sems, ksems):
-        p = pl.program_id(0)
         csq = csq_ref[0]
         fout_ref[...] = jnp.zeros_like(fout_ref)
 
@@ -223,16 +244,16 @@ def _make_tile_forces_kernel(CB: int, S: int, MAXJ: int, D: int,
         def copy_obj(oc, s, jlo):
             w = oc * S + s
             return pltpu.make_async_copy(
-                jarr_ref.at[pl.ds(jlo * R, MAXJ * R), :],
-                jbuf.at[pl.ds(w * MAXJ * R, MAXJ * R), :],
+                jarr_ref.at[pl.ds(jlo, MAXJ)],
+                jbuf.at[pl.ds(w * MAXJ, MAXJ)],
                 sems.at[w],
             )
 
         def kcopy_obj(oc, s, jlo):
             w = oc * S + s
             return pltpu.make_async_copy(
-                jkey_ref.at[pl.ds(jlo, MAXJ), :],
-                kbuf.at[pl.ds(w * MAXJ, MAXJ), :],
+                jkey_ref.at[pl.ds(jlo, MAXJ)],
+                kbuf.at[pl.ds(w * MAXJ, MAXJ)],
                 ksems.at[w],
             )
 
@@ -256,50 +277,47 @@ def _make_tile_forces_kernel(CB: int, S: int, MAXJ: int, D: int,
                 jlo, toff, jnum = window(oc, s)
                 lo_s = bands_ref[s, 0]
                 hi_s = bands_ref[s, 1]
+                w0 = (oc * S + s) * MAXJ
 
                 @pl.when(jnum > 0)
                 def _(oc=oc, s=s, jlo=jlo):
                     copy_obj(oc, s, jlo).wait()
                     kcopy_obj(oc, s, jlo).wait()
 
-                for t in range(MAXJ):
+                def tile(t, _, w0=w0, lo_s=lo_s, hi_s=hi_s, o0=o0,
+                         own_cols=own_cols, own_k=own_k):
+                    jc = jbuf[w0 + t]  # (D, 128)
+                    jk = kbuf[w0 + t]  # (1, 128)
 
-                    @pl.when((t >= toff) & (t < toff + jnum))
-                    def _(oc=oc, s=s, t=t, own_cols=own_cols, own_k=own_k):
-                        b0 = (oc * S + s) * MAXJ * R + t * R
-                        j_cols = [
-                            jbuf[b0 + a : b0 + a + 1, :] for a in range(D)
-                        ]
-                        k0 = (oc * S + s) * MAXJ + t
-                        jk = kbuf[k0 : k0 + 1, :]
+                    diff = own_k - jk
+                    m = (diff >= lo_s) & (diff <= hi_s)
+                    d = []
+                    dsq = jnp.zeros((CHUNK, CHUNK), dtype)
+                    for a in range(ncoord):
+                        da = own_cols[a] - jc[a : a + 1, :]
+                        if split:
+                            da = da + (own_cols[a + ncoord]
+                                       - jc[a + ncoord : a + ncoord + 1, :])
+                        d.append(da)
+                        dsq = dsq + da * da
+                    # dsq > 0 excludes self and coincident particles
+                    # (pair_lag_forces semantics; LJ diverges there)
+                    m = m & (dsq < csq) & (dsq > 0)
+                    g = jnp.where(
+                        m,
+                        gfn(jnp.where(m, dsq, jnp.ones_like(dsq))),
+                        jnp.zeros((CHUNK, CHUNK), dtype),
+                    )
+                    for a in range(ncoord):
+                        fa = jax.lax.dot_general(
+                            g * d[a], ones_row,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=dtype,
+                        )  # (128, 1)
+                        fout_ref[o0 : o0 + CHUNK, a : a + 1] += fa
+                    return 0
 
-                        diff = own_k - jk
-                        m = (diff >= lo_s) & (diff <= hi_s)
-                        d = []
-                        dsq = jnp.zeros((CHUNK, CHUNK), dtype)
-                        for a in range(ncoord):
-                            da = own_cols[a] - j_cols[a]
-                            if split:
-                                da = da + (
-                                    own_cols[a + ncoord] - j_cols[a + ncoord]
-                                )
-                            d.append(da)
-                            dsq = dsq + da * da
-                        # dsq > 0 excludes self and coincident particles
-                        # (pair_lag_forces semantics; LJ diverges there)
-                        m = m & (dsq < csq) & (dsq > 0)
-                        g = jnp.where(
-                            m,
-                            gfn(jnp.where(m, dsq, jnp.ones_like(dsq))),
-                            jnp.zeros((CHUNK, CHUNK), dtype),
-                        )
-                        for a in range(ncoord):
-                            fa = jax.lax.dot_general(
-                                g * d[a], ones_row,
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=dtype,
-                            )  # (128, 1)
-                            fout_ref[o0 : o0 + CHUNK, a : a + 1] += fa
+                jax.lax.fori_loop(toff, toff + jnum, tile, 0)
 
     return kernel
 
@@ -337,7 +355,8 @@ def tile_pair_forces(
     dtype = sorted_pos.dtype
     D = 2 * dim if split else dim
     S = num_segments(dim, full=True)
-    R = D + 1
+    if CB % 8 and not interpret:
+        raise ValueError("CB must be a multiple of 8 (SMEM sublane blocking)")
 
     nc_pad = max(-(-n // (CHUNK * CB)) * CB, CB)
     C = nc_pad * CHUNK
@@ -352,12 +371,8 @@ def tile_pair_forces(
     jlo, toff, jnum, cov_ok = chunk_bounds(keys_p, bands, MAXJ, half=False)
     bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(nc_pad, 3 * S)
 
-    jarr = (
-        pos_p.reshape(nc_pad, CHUNK, D)
-        .transpose(0, 2, 1)
-        .reshape(nc_pad * D, CHUNK)
-    )
-    jkeys = keys_p.reshape(nc_pad, CHUNK)
+    jarr = pos_p.reshape(nc_pad, CHUNK, D).transpose(0, 2, 1)
+    jkeys = keys_p.reshape(nc_pad, 1, CHUNK)
 
     kernel = _make_tile_forces_kernel(CB, S, MAXJ, D, gfn, dtype, split)
     grid = (nc_pad // CB,)
@@ -376,8 +391,8 @@ def tile_pair_forces(
         out_specs=pl.BlockSpec((CB * CHUNK, dim), lambda p: (p, 0)),
         out_shape=jax.ShapeDtypeStruct((C, dim), dtype),
         scratch_shapes=[
-            pltpu.VMEM((CB * S * MAXJ * D, CHUNK), dtype),
-            pltpu.VMEM((CB * S * MAXJ, CHUNK), jnp.int32),
+            pltpu.VMEM((CB * S * MAXJ, D, CHUNK), dtype),
+            pltpu.VMEM((CB * S * MAXJ, 1, CHUNK), jnp.int32),
             pltpu.SemaphoreType.DMA((CB * S,)),
             pltpu.SemaphoreType.DMA((CB * S,)),
         ],
@@ -394,11 +409,50 @@ def tile_pair_forces(
     return fout[:n], cov_ok
 
 
+def tile_pair_reduce(
+    sorted_pos: jax.Array,
+    sorted_keys: jax.Array,
+    strides: jax.Array,
+    cutoff_sq,
+    sorted_pos_lo: jax.Array | None = None,
+    *,
+    CB: int = 8,
+    MAXJ: int = 4,
+    term: Callable = lj_term,
+    interpret: bool = False,
+    out_dtype=None,
+    min_islot=0,
+    kahan: bool = True,
+    OH: int = 128,
+):
+    """Sum ``term(dsq)`` over all unique cutoff-filtered pairs, any box
+    shape (the shape-robust sibling of `pair_lag_reduce`).
+
+    Returns (total, coverage_ok): coverage_ok is False iff some chunk's
+    partner window needs more than MAXJ j-chunks — re-jit with a larger
+    MAXJ; never trust a result with a false flag (the never-silently-drop
+    invariant). MAXJ=4 covers reference density (~10/cell) with margin;
+    integer outputs return (hi, lo) int32 planes (see `combine_count`).
+    ``kahan=False`` drops the compensated accumulation (~15% faster; use
+    when f32 rounding of the plain sum is acceptable). ``min_islot``
+    enables distributed pair ownership; a concrete 0 (the default)
+    compiles the mask out entirely.
+    """
+    distributed = not (isinstance(min_islot, (int,)) and min_islot == 0)
+    return _tile_pair_reduce_impl(
+        sorted_pos, sorted_keys, strides, cutoff_sq, sorted_pos_lo,
+        CB=CB, MAXJ=MAXJ, term=term, interpret=interpret,
+        out_dtype=out_dtype, min_islot=jnp.asarray(min_islot, jnp.int32),
+        kahan=kahan, distributed=distributed, OH=OH,
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("CB", "MAXJ", "term", "interpret", "out_dtype"),
+    static_argnames=("CB", "MAXJ", "term", "interpret", "out_dtype",
+                     "kahan", "distributed", "OH"),
 )
-def tile_pair_reduce(
+def _tile_pair_reduce_impl(
     sorted_pos: jax.Array,  # (n, dim) cell-key-sorted positions (hi part)
     sorted_keys: jax.Array,  # (n,) ascending flat cell keys
     strides: jax.Array,  # (dim,) grid strides (ascending)
@@ -411,23 +465,18 @@ def tile_pair_reduce(
     interpret: bool = False,
     out_dtype=None,
     min_islot=0,
+    kahan: bool = True,
+    distributed: bool = False,
+    OH: int = CHUNK,
 ):
-    """Sum ``term(dsq)`` over all unique cutoff-filtered pairs, any box
-    shape (the shape-robust sibling of `pair_lag_reduce`).
-
-    Returns (total, coverage_ok): coverage_ok is False iff some chunk's
-    partner window needs more than MAXJ j-chunks — re-jit with a larger
-    MAXJ; never trust a result with a false flag (the never-silently-drop
-    invariant). MAXJ=4 covers reference density (~10/cell) with margin;
-    integer outputs return (hi, lo) int32 planes (see `combine_count`).
-    """
     n, dim = sorted_pos.shape
     split = sorted_pos_lo is not None
     dtype = sorted_pos.dtype
     out_dtype = out_dtype or dtype
     D = 2 * dim if split else dim
     S = num_segments(dim)
-    R = D + 1
+    if CB % 8 and not interpret:
+        raise ValueError("CB must be a multiple of 8 (SMEM sublane blocking)")
 
     nc_pad = max(-(-n // (CHUNK * CB)) * CB, CB)
     C = nc_pad * CHUNK
@@ -438,20 +487,27 @@ def tile_pair_reduce(
     if split:
         pos_p = pos_p.at[:n, dim:].set(sorted_pos_lo)
 
+    if CHUNK % OH or OH % 8:
+        raise ValueError("OH must divide 128 and be a multiple of 8")
+    G = CHUNK // OH
     bands = segment_bands(strides)
-    jlo, toff, jnum, cov_ok = chunk_bounds(keys_p, bands, MAXJ)
+    if G == 1:
+        jlo, toff, jnum, cov_ok = chunk_bounds(keys_p, bands, MAXJ)
+        gtoff, gjnum = toff[:, None, :], jnum[:, None, :]
+    else:
+        jlo, toff, jnum, gtoff, gjnum, cov_ok = chunk_bounds(
+            keys_p, bands, MAXJ, groups=G
+        )
     bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(nc_pad, 3 * S)
+    gbounds = jnp.stack([gtoff, gjnum], axis=-1).reshape(nc_pad, G * S * 2)
 
-    # j-side arrays: coordinate planes interleaved per chunk (D rows each)
-    # and keys lane-major (one int32 row per chunk) — separate typed DMAs
-    jarr = (
-        pos_p.reshape(nc_pad, CHUNK, D)
-        .transpose(0, 2, 1)
-        .reshape(nc_pad * D, CHUNK)
-    )
-    jkeys = keys_p.reshape(nc_pad, CHUNK)
+    # j-side arrays: coordinate planes (nc, D, 128) and keys (nc, 1, 128),
+    # indexed per chunk on the untiled leading dim — separate typed DMAs
+    jarr = pos_p.reshape(nc_pad, CHUNK, D).transpose(0, 2, 1)
+    jkeys = keys_p.reshape(nc_pad, 1, CHUNK)
 
-    kernel = _make_tile_kernel(CB, S, MAXJ, D, term, dtype, out_dtype, split)
+    kernel = _make_tile_kernel(CB, S, MAXJ, D, term, dtype, out_dtype, split,
+                               kahan, distributed, OH)
     grid = (nc_pad // CB,)
     out = pl.pallas_call(
         kernel,
@@ -461,6 +517,8 @@ def tile_pair_reduce(
             pl.BlockSpec((1,), lambda p: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1,), lambda p: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((CB, 3 * S), lambda p: (p, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((CB, G * S * 2), lambda p: (p, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((CB * CHUNK, D), lambda p: (p, 0)),
             pl.BlockSpec((CB * CHUNK, 1), lambda p: (p, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -473,8 +531,8 @@ def tile_pair_reduce(
             pltpu.VMEM((CHUNK, CHUNK), out_dtype),  # cross-program Kahan
             pltpu.VMEM((CHUNK, CHUNK), out_dtype),  # per-program acc
             pltpu.VMEM((CHUNK, CHUNK), out_dtype),  # per-program comp
-            pltpu.VMEM((CB * S * MAXJ * D, CHUNK), dtype),
-            pltpu.VMEM((CB * S * MAXJ, CHUNK), jnp.int32),
+            pltpu.VMEM((CB * S * MAXJ, D, CHUNK), dtype),
+            pltpu.VMEM((CB * S * MAXJ, 1, CHUNK), jnp.int32),
             pltpu.SemaphoreType.DMA((CB * S,)),
             pltpu.SemaphoreType.DMA((CB * S,)),
         ],
@@ -484,6 +542,7 @@ def tile_pair_reduce(
         jnp.asarray(cutoff_sq, dtype).reshape(1),
         jnp.asarray(min_islot, jnp.int32).reshape(1),
         bounds,
+        gbounds,
         pos_p,
         keys_p[:, None],
         jarr,
