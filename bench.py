@@ -145,6 +145,48 @@ def parity_rel_err(jax, jnp, M, L):
     return abs(float(e) - e_ref) / abs(e_ref), count_err, n_ref
 
 
+def cubic_mode(jax, jnp, rtt):
+    """Cubic-box (100-cells-per-edge geometry class) pairs/s via the
+    segment-tile kernel — the shape where the lag window degenerates.
+    BENCH_CUBIC_N=0 disables; default 1e6 keeps driver runtime low
+    (benchmarks/cubic.py measures the full 1e7 cube)."""
+    nC = int(float(os.environ.get("BENCH_CUBIC_N", "1e6")))
+    if nC <= 0:
+        return None
+    from zelll_tpu.ops.pallas_pairs import combine_count, count_term, lj_term_fast
+    from zelll_tpu.ops.tile_pairs import tile_lj_rebuild_energy
+
+    MAXJ = int(os.environ.get("BENCH_CUBIC_MAXJ", "8"))
+    side = (nC / 0.01) ** (1 / 3)
+    rng = np.random.default_rng(0)
+    pos = jax.device_put(
+        jnp.asarray(rng.uniform(0, side, (nC, 3)), jnp.float32)
+    )
+
+    c, ok = tile_lj_rebuild_energy(
+        pos, CUTOFF, MAXJ=MAXJ, term=count_term, out_dtype=jnp.int32
+    )
+    if not bool(ok):
+        return None
+    npairs = combine_count(np.asarray(c))
+
+    @jax.jit
+    def loop(p0):
+        def body(i, acc):
+            p = p0 + (i % 2).astype(p0.dtype) * 1e-6
+            e, _ = tile_lj_rebuild_energy(p, CUTOFF, MAXJ=MAXJ, kahan=False,
+                                          term=lj_term_fast)
+            return acc + e
+
+        return jax.lax.fori_loop(0, REPS, body, jnp.float32(0))
+
+    float(loop(pos))
+    t0 = time.perf_counter()
+    float(loop(pos))
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / REPS
+    return npairs / dt, nC, dt
+
+
 def main():
     import jax
 
@@ -192,6 +234,11 @@ def main():
         result["count_rel_err_vs_oracle"] = count_err
     if False in per_mode and primary_split:
         result["f32_pairs_per_sec"] = per_mode[False]
+    cub = cubic_mode(jax, jnp, rtt)
+    if cub is not None:
+        cpps, cn, cdt = cub
+        result["cubic_pairs_per_sec"] = cpps
+        result["cubic_n"] = cn
     print(json.dumps(result), flush=True)
 
     detail = {

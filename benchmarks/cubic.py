@@ -1,11 +1,13 @@
 #!/usr/bin/env python
 """Cubic-box benchmark: full rebuild + LJ over a 100^3-cell cube.
 
-The geometry where plain sorted-order windows degenerate (a full z-layer);
-uses the column decomposition (ops/columns.py). Same density as the
-headline protocol (10 particles per cutoff^3).
+The geometry where plain sorted-order windows degenerate (a full z-layer
+between partner rows); runs the segment-tile kernel (ops/tile_pairs.py,
+default) or the column decomposition (ops/columns.py, CUBIC_PATH=columns)
+at the headline density (10 particles per cutoff^3).
 
 Usage: python benchmarks/cubic.py [n=1e7]
+Env: CUBIC_PATH=tile|columns, CUBIC_MAXJ, CUBIC_T/M/L (columns path)
 """
 
 import os
@@ -19,9 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     n = int(float(sys.argv[1])) if len(sys.argv) > 1 else 10_000_000
-    T = int(os.environ.get("CUBIC_T", "3"))
-    M = int(os.environ.get("CUBIC_M", "16384"))
-    L = int(os.environ.get("CUBIC_L", "1024"))
+    path = os.environ.get("CUBIC_PATH", "tile")
     cutoff = 10.0
     side = (n / 0.01) ** (1 / 3)
 
@@ -30,33 +30,65 @@ def main():
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
     import jax.numpy as jnp
 
-    from zelll_tpu.ops.columns import column_pair_sum
     from zelll_tpu.ops.pallas_pairs import combine_count, count_term
     from zelll_tpu.utils.profiling import device_time, measure_rtt
 
     rng = np.random.default_rng(0)
     pts = rng.uniform(0, side, (n, 3))
     pos = jax.device_put(jnp.asarray(pts, jnp.float32))
-
-    c, ok = column_pair_sum(
-        pos, cutoff, T=T, M=M, L=L, term=count_term, out_dtype=jnp.int32
-    )
-    npairs = combine_count(c)
-    assert bool(ok), "column coverage failed"
     rtt = measure_rtt()
 
-    def f(p, i):
-        e, ok = column_pair_sum(
-            p + (i % 2).astype(p.dtype) * 1e-6, cutoff, T=T, M=M, L=L
+    if path == "tile":
+        MAXJ = int(os.environ.get("CUBIC_MAXJ", "12"))
+        CBK = int(os.environ.get("CUBIC_CB", "8"))
+        from zelll_tpu.ops.tile_pairs import tile_lj_rebuild_energy
+
+        c, ok = tile_lj_rebuild_energy(
+            pos, cutoff, MAXJ=MAXJ, CB=CBK,
+            term=count_term, out_dtype=jnp.int32,
         )
-        return e
+        npairs = combine_count(np.asarray(c))
+        assert bool(ok), "tile coverage failed — raise CUBIC_MAXJ"
+
+        from zelll_tpu.ops.pallas_pairs import lj_term, lj_term_fast
+
+        fterm = (lj_term_fast if os.environ.get("CUBIC_FAST_TERM", "1") == "1"
+                 else lj_term)
+
+        def f(p, i):
+            e, _ = tile_lj_rebuild_energy(
+                p + (i % 2).astype(p.dtype) * 1e-6, cutoff,
+                MAXJ=MAXJ, CB=CBK, kahan=False, term=fterm,
+            )
+            return e
+
+        extra = f'"MAXJ": {MAXJ}, "CB": {CBK}'
+    else:
+        T = int(os.environ.get("CUBIC_T", "3"))
+        M = int(os.environ.get("CUBIC_M", "16384"))
+        L = int(os.environ.get("CUBIC_L", "1024"))
+        from zelll_tpu.ops.columns import column_pair_sum
+
+        c, ok = column_pair_sum(
+            pos, cutoff, T=T, M=M, L=L, term=count_term, out_dtype=jnp.int32
+        )
+        npairs = combine_count(c)
+        assert bool(ok), "column coverage failed"
+
+        def f(p, i):
+            e, _ = column_pair_sum(
+                p + (i % 2).astype(p.dtype) * 1e-6, cutoff, T=T, M=M, L=L
+            )
+            return e
+
+        extra = f'"T": {T}, "M": {M}, "L": {L}'
 
     dt = device_time(f, pos, reps=5, rtt=rtt)
     print(
         f'{{"metric": "cubic_lj_pairs_per_sec_full_rebuild_n{n:.0e}", '
         f'"value": {npairs / dt:.6g}, "unit": "pairs/s", '
         f'"step_ms": {dt * 1e3:.1f}, "pairs": {npairs}, '
-        f'"box_cells": {int(side / cutoff)}, "T": {T}, "M": {M}, "L": {L}}}'
+        f'"box_cells": {int(side / cutoff)}, "path": "{path}", {extra}}}'
     )
 
 

@@ -41,6 +41,7 @@ def main():
     split = os.environ.get("TP_SPLIT") == "1"
     kahan = os.environ.get("TP_KAHAN", "1") == "1"
     OH = int(os.environ.get("TP_OH", "128"))
+    PACKED = os.environ.get("TP_PACKED", "0") == "1"
 
     def rtt_measure():
         f = jax.jit(lambda x: x + 1.0)
@@ -54,7 +55,7 @@ def main():
         return float(np.median(ts))
 
     rtt = rtt_measure()
-    print(f"n={n} reps={reps} CB={CB} MAXJ={MAXJ} split={split} kahan={kahan} OH={OH} rtt={rtt*1e3:.1f}ms",
+    print(f"n={n} reps={reps} CB={CB} MAXJ={MAXJ} split={split} kahan={kahan} OH={OH} packed={PACKED} rtt={rtt*1e3:.1f}ms",
           flush=True)
     print("shape,stage,ms,extra", flush=True)
 
@@ -76,7 +77,7 @@ def main():
             slo = sp[:, 3:] if lo is not None else None
             e, ok = tile_pair_reduce(
                 hi, bins.sorted_keys, bins.info.strides,
-                jnp.float32(cutoff) ** 2, slo, CB=CB, MAXJ=MAXJ, kahan=kahan, OH=OH,
+                jnp.float32(cutoff) ** 2, slo, CB=CB, MAXJ=MAXJ, kahan=kahan, OH=OH, packed=PACKED,
             )
             return e, ok
 
@@ -84,7 +85,7 @@ def main():
             bins, sp = bin_and_sort(p, cutoff, max_cells=1, need_perm=False)
             c, ok = tile_pair_reduce(
                 sp, bins.sorted_keys, bins.info.strides,
-                jnp.float32(cutoff) ** 2, CB=CB, MAXJ=MAXJ, OH=OH,
+                jnp.float32(cutoff) ** 2, CB=CB, MAXJ=MAXJ, OH=OH, packed=PACKED,
                 term=count_term, out_dtype=jnp.int32,
             )
             return c, ok
@@ -106,11 +107,13 @@ def main():
             return (time.perf_counter() - t0 - rtt) / reps, out
 
         t_sort, _ = timeit(sort_only)
+        t_count, _ = timeit(count)
         t_full, (e, ok) = timeit(full)
         assert bool(ok), "tile coverage failed — raise TP_MAXJ"
         packed, ok2 = jax.jit(count)(pos)
         npairs = combine_count(np.asarray(packed))
         print(f"{name},sort,{t_sort*1e3:.1f},", flush=True)
+        print(f"{name},count,{t_count*1e3:.1f},", flush=True)
         print(f"{name},kernel,{(t_full-t_sort)*1e3:.1f},", flush=True)
         print(
             f"{name},full,{t_full*1e3:.1f},pairs={npairs} "

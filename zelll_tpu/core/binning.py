@@ -115,6 +115,7 @@ def bin_and_sort(
     valid: jax.Array | None = None,
     info: GridInfo | None = None,
     need_perm: bool = True,
+    stacked: bool = True,
 ) -> tuple[Bins, jax.Array]:
     """Bin (n, N) positions into occupied cells; also return positions in
     sorted (cell-grouped) order.
@@ -133,6 +134,11 @@ def bin_and_sort(
     dimension, from ``info`` or 3 by default) drive the binning; the rest
     are per-particle payload carried through the sort (e.g. split-precision
     low coordinate parts).
+
+    ``stacked=False`` returns the sorted coordinates as a tuple of (n,)
+    planes instead of one (n, dim) matrix — the sort's native form; the
+    tile kernel's packed block builder consumes planes directly, skipping
+    a 17-ms-at-1e7 stack+transpose round trip.
     """
     n, dim = positions.shape
     if max_cells is None:
@@ -157,6 +163,8 @@ def bin_and_sort(
             num_valid=jnp.zeros((), jnp.int32),
             overflow=jnp.zeros((), jnp.bool_),
         )
+        if not stacked:
+            return bins, tuple(positions[:, a] for a in range(dim))
         return bins, positions
 
     # Stable sort keeps per-cell particle order == input order, matching the
@@ -171,7 +179,9 @@ def bin_and_sort(
     else:
         out = jax.lax.sort((keys, *cols), num_keys=1, is_stable=True)
         sorted_keys, sorted_cols, perm = out[0], out[1:], iota0
-    sorted_pos = jnp.stack(sorted_cols, axis=-1)
+    sorted_pos = (
+        jnp.stack(sorted_cols, axis=-1) if stacked else tuple(sorted_cols)
+    )
 
     iota = jnp.arange(n, dtype=jnp.int32)
     valid_sorted = sorted_keys != SENTINEL_KEY

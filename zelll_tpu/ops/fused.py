@@ -190,35 +190,23 @@ def auto_lj_energy(
             cutoff_sq=cutoff * cutoff,
         )
         return float(e), f"xla(K={K})"
-    # wide/cubic boxes: segment-tile kernel, growing the static window
-    # capacity class until the coverage flag passes (never silently drop)
-    from .tile_pairs import tile_lj_energy
-
-    dim = positions.shape[1]
-    if pos_lo is not None:
-        cols = jnp.concatenate([positions, pos_lo], axis=1)
-        bins2, sc = bin_and_sort(cols, cutoff, max_cells=1, need_perm=False)
-        sp, slo = sc[:, :dim], sc[:, dim:]
-    else:
-        bins2, sp = bin_and_sort(positions, cutoff, max_cells=1,
-                                 need_perm=False)
-        slo = None
-    # probe the required window capacity first (cheap) so the first compile
-    # already covers; the flag + growth loop still guards density drift
+    # wide/cubic boxes: segment-tile kernel. Probe the required window
+    # capacity first (cheap host-side bounds pass on the keys already
+    # computed above) so the first compile covers; the flag + growth loop
+    # still guards density drift (never silently drop pairs).
     from ..ops.pallas_pairs import _pad_and_desentinel
     from .segments import CHUNK, segment_bands, suggest_maxj
+    from .tile_pairs import tile_lj_rebuild_energy
 
-    nk = bins2.sorted_keys.shape[0]
+    nk = bins.sorted_keys.shape[0]
     C = max(-(-nk // (CHUNK * 8)) * 8, 8) * CHUNK
     maxj = suggest_maxj(
-        _pad_and_desentinel(bins2.sorted_keys, C),
-        segment_bands(bins2.info.strides),
+        _pad_and_desentinel(bins.sorted_keys, C),
+        segment_bands(bins.info.strides),
     )
     while True:
-        e, ok = tile_lj_energy(
-            sp, bins2.sorted_keys, bins2.info.strides,
-            jnp.asarray(cutoff, sp.dtype) ** 2, slo,
-            MAXJ=maxj, interpret=interpret,
+        e, ok = tile_lj_rebuild_energy(
+            positions, cutoff, pos_lo, MAXJ=maxj, interpret=interpret
         )
         if bool(ok):
             return float(e), f"tile(MAXJ={maxj})"

@@ -81,6 +81,17 @@ def lj_term(dsq):
     return 4.0 * t3 * (t3 - 1.0)
 
 
+def lj_term_fast(dsq):
+    """LJ via rsqrt (hardware-fast on the VPU) instead of a true divide:
+    ~2-3 ulp on the reciprocal vs 0.5 — fine for the f32 headline mode
+    (dominated by f32 coordinate rounding anyway); parity modes keep
+    `lj_term`."""
+    r = jax.lax.rsqrt(dsq)
+    t = r * r
+    t3 = t * t * t
+    return 4.0 * t3 * (t3 - 1.0)
+
+
 def count_term(dsq):
     return jnp.ones_like(dsq)
 

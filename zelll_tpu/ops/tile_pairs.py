@@ -44,11 +44,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_pairs import _pad_and_desentinel, combine_count, count_term, lj_term
+from .pallas_pairs import (
+    _PAD_KEY_BASE,
+    _pad_and_desentinel,
+    combine_count,
+    count_term,
+    lj_term,
+)
+from ..core.binning import bin_and_sort
 from .segments import CHUNK, chunk_bounds, num_segments, segment_bands
 
 __all__ = [
     "tile_pair_reduce",
+    "tile_lj_rebuild_energy",
     "tile_lj_energy",
     "tile_count_pairs",
     "tile_pair_forces",
@@ -154,9 +162,15 @@ def _make_tile_kernel(CB: int, S: int, MAXJ: int, D: int, term: Callable,
 
                 for g in range(G):
                     r0 = o0 + g * OH
-                    own_cols = [own_ref[r0 : r0 + OH, a : a + 1]
-                                for a in range(D)]
-                    own_k = okey_ref[r0 : r0 + OH, 0:1]
+                    # hoisted column broadcasts (lane broadcasts are
+                    # expensive; pay once per own group, not per tile)
+                    own_cols = [
+                        jnp.broadcast_to(own_ref[r0 : r0 + OH, a : a + 1],
+                                         (OH, CHUNK))
+                        for a in range(D)
+                    ]
+                    own_k = jnp.broadcast_to(okey_ref[r0 : r0 + OH, 0:1],
+                                             (OH, CHUNK))
                     gtoff = gb_ref[oc, (g * S + s) * 2]
                     gjnum = gb_ref[oc, (g * S + s) * 2 + 1]
 
@@ -203,6 +217,151 @@ def _make_tile_kernel(CB: int, S: int, MAXJ: int, D: int, term: Callable,
                         return 0
 
                     jax.lax.fori_loop(gtoff, gtoff + gjnum, tile, 0)
+
+        if kahan:
+            prev = out_ref[...]
+            y = (acc_s[...] - comp_s[...]) - comp_ref[...]
+            tt = prev + y
+            comp_ref[...] = (tt - prev) - y
+            out_ref[...] = tt
+
+            @pl.when(p == num_p - 1)
+            def _():
+                out_ref[...] = out_ref[...] - comp_ref[...]
+
+        else:
+            out_ref[...] += acc_s[...]
+
+    return kernel
+
+
+RB = 8  # rows per chunk in the packed block layout (sublane tile height)
+
+
+def _make_tile_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
+                             term: Callable, dtype, out_dtype, split: bool,
+                             kahan: bool, distributed: bool):
+    """Packed-layout variant of `_make_tile_kernel`: each j chunk is ONE
+    8-row f32 block [coords (D rows), key-as-f32, zero padding] in a flat
+    (nc*8, 128) array, so a tile is one aligned dynamic sublane slice
+    ``jbuf[pl.ds((w0+t)*8, 8)]`` and one DMA per window moves coordinates
+    and keys together. Motivation (measured): the (nc, D, 128) dynamic
+    leading-dim load costs ~200 extra cycles per tile — about 40% of
+    kernel time at OH=128. Keys are exact in f32 below 2^24 (the wrapper's
+    coverage flag enforces the bound); padding coordinate rows carry huge
+    spread values so any padding pair fails the cutoff regardless of its
+    (rounded) f32 key."""
+    kahan = kahan and jnp.issubdtype(out_dtype, jnp.floating)
+    ncoord = D // 2 if split else D
+
+    def kernel(bands_ref, csq_ref, mislot_ref, bounds_ref, own_ref,
+               okey_ref, jarr_ref, out_ref, comp_ref, acc_s, comp_s, jbuf,
+               sems):
+        p = pl.program_id(0)
+        num_p = pl.num_programs(0)
+        csq = csq_ref[0]
+        min_islot = mislot_ref[0]
+
+        @pl.when(p == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+            comp_ref[...] = jnp.zeros_like(comp_ref)
+
+        acc_s[...] = jnp.zeros_like(acc_s)
+        if kahan:
+            comp_s[...] = jnp.zeros_like(comp_s)
+
+        def window(oc, s):
+            return (bounds_ref[oc, 3 * s], bounds_ref[oc, 3 * s + 1],
+                    bounds_ref[oc, 3 * s + 2])
+
+        def copy_obj(oc, s, jlo):
+            w = oc * S + s
+            return pltpu.make_async_copy(
+                jarr_ref.at[pl.ds(jlo * RB, MAXJ * RB), :],
+                jbuf.at[pl.ds(w * MAXJ * RB, MAXJ * RB), :],
+                sems.at[w],
+            )
+
+        for oc in range(CB):
+            for s in range(S):
+                jlo, _, jnum = window(oc, s)
+
+                @pl.when(jnum > 0)
+                def _(oc=oc, s=s, jlo=jlo):
+                    copy_obj(oc, s, jlo).start()
+
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+        lane_j = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+        tri = row_i > lane_j
+
+        for oc in range(CB):
+            o0 = oc * CHUNK
+            # hoist the own-side column broadcasts: a (128,1)->(128,128)
+            # lane broadcast is expensive on the VPU, so pay it once per
+            # own chunk (the ~11 tiles sharing it read cheap row ops)
+            own_cols = [
+                jnp.broadcast_to(own_ref[o0 : o0 + CHUNK, a : a + 1],
+                                 (CHUNK, CHUNK))
+                for a in range(D)
+            ]
+            own_k = jnp.broadcast_to(okey_ref[o0 : o0 + CHUNK, 0:1],
+                                     (CHUNK, CHUNK))  # f32 keys
+            if distributed:
+                gslot0 = (p * CB + oc) * CHUNK
+                owned = (row_i[:, 0:1] + gslot0) >= min_islot
+
+            for s in range(S):
+                jlo, _, jnum = window(oc, s)
+                lo_s = bands_ref[s, 0]  # f32 band bounds
+                hi_s = bands_ref[s, 1]
+                w0 = (oc * S + s) * MAXJ
+
+                @pl.when(jnum > 0)
+                def _(oc=oc, s=s, jlo=jlo):
+                    copy_obj(oc, s, jlo).wait()
+
+                gtoff = bounds_ref[oc, 3 * s + 1]
+                gjnum = bounds_ref[oc, 3 * s + 2]
+
+                def tile(t, _, s=s, w0=w0, jlo=jlo, lo_s=lo_s, hi_s=hi_s,
+                         own_cols=own_cols, own_k=own_k, oc=oc):
+                    blk = jbuf[pl.ds((w0 + t) * RB, RB), :]  # (8, 128)
+                    jk = blk[D : D + 1, :]
+
+                    # the key band IS the half-space + cell-adjacency
+                    # test (f32 diffs of <2^24 integer keys are exact)
+                    diff = own_k - jk  # (128, 128) f32
+                    m = (diff >= lo_s) & (diff <= hi_s)
+                    if distributed:
+                        m = m & owned
+                    if s == 0:
+                        jcg = jlo + t
+                        ocg = p * CB + oc
+                        m = m & (tri | (jcg < ocg))
+
+                    dsq = jnp.zeros((CHUNK, CHUNK), dtype)
+                    for a in range(ncoord):
+                        d = own_cols[a] - blk[a : a + 1, :]
+                        if split:
+                            d = d + (own_cols[a + ncoord]
+                                     - blk[a + ncoord : a + ncoord + 1, :])
+                        dsq = dsq + d * d
+                    m = m & (dsq < csq)
+                    v = jnp.where(m,
+                                  term(jnp.where(m, dsq, jnp.ones_like(dsq))),
+                                  jnp.zeros((CHUNK, CHUNK), dtype)).astype(out_dtype)
+                    if kahan:
+                        acc, comp = acc_s[...], comp_s[...]
+                        y = v - comp
+                        tt = acc + y
+                        comp_s[...] = (tt - acc) - y
+                        acc_s[...] = tt
+                    else:
+                        acc_s[...] += v
+                    return 0
+
+                jax.lax.fori_loop(gtoff, gtoff + gjnum, tile, 0)
 
         if kahan:
             prev = out_ref[...]
@@ -270,8 +429,14 @@ def _make_tile_forces_kernel(CB: int, S: int, MAXJ: int, D: int,
 
         for oc in range(CB):
             o0 = oc * CHUNK
-            own_cols = [own_ref[o0 : o0 + CHUNK, a : a + 1] for a in range(D)]
-            own_k = okey_ref[o0 : o0 + CHUNK, 0:1]
+            # hoisted column broadcasts (see _make_tile_kernel_packed)
+            own_cols = [
+                jnp.broadcast_to(own_ref[o0 : o0 + CHUNK, a : a + 1],
+                                 (CHUNK, CHUNK))
+                for a in range(D)
+            ]
+            own_k = jnp.broadcast_to(okey_ref[o0 : o0 + CHUNK, 0:1],
+                                     (CHUNK, CHUNK))
 
             for s in range(S):
                 jlo, toff, jnum = window(oc, s)
@@ -320,6 +485,141 @@ def _make_tile_forces_kernel(CB: int, S: int, MAXJ: int, D: int,
                 jax.lax.fori_loop(toff, toff + jnum, tile, 0)
 
     return kernel
+
+
+def _packed_core(planes, sorted_keys, strides, cutoff_sq, *, CB, MAXJ, term,
+                 interpret, out_dtype, min_islot, kahan, distributed, split):
+    """Shared packed-layout pipeline: pad planes -> window bounds -> 8-row
+    blocks -> kernel. ``planes`` is a list of D sorted (n,) coordinate
+    planes (hi planes then lo planes when split) — the sort's native form,
+    so no (n, D) stack/transpose round-trips through HBM."""
+    n = planes[0].shape[0]
+    dtype = planes[0].dtype
+    D = len(planes)
+    dim = D // 2 if split else D
+    S = num_segments(dim)
+    out_dtype = out_dtype or dtype
+    if CB % 8 and not interpret:
+        raise ValueError("CB must be a multiple of 8 (SMEM sublane blocking)")
+
+    nc_pad = max(-(-n // (CHUNK * CB)) * CB, CB)
+    C = nc_pad * CHUNK
+    npad = C - n
+    keys_p = _pad_and_desentinel(sorted_keys, C)
+
+    bands = segment_bands(strides)
+    jlo, toff, jnum, cov_ok = chunk_bounds(keys_p, bands, MAXJ)
+    bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(nc_pad, 3 * S)
+
+    # spread padding coordinates so every pair touching a padding row
+    # fails the cutoff (packed keys are f32 and rounded for padding rows,
+    # so key windows alone cannot exclude padding-padding pairs); spacing
+    # > cutoff, base 1e6 keeps the f32 ulp far below the spacing
+    zpad = jnp.zeros((npad,), dtype)
+    spacing = jnp.maximum(
+        jnp.asarray(1e5, dtype), 4 * jnp.sqrt(jnp.asarray(cutoff_sq, dtype))
+    )
+    spread = jnp.asarray(1e6, dtype) + jnp.arange(npad, dtype=dtype) * spacing
+    planes_p = [
+        jnp.concatenate([pa, spread if a == 0 else zpad])
+        for a, pa in enumerate(planes)
+    ]
+
+    keyf = keys_p.astype(dtype)
+    blocks = jnp.zeros((nc_pad, RB, CHUNK), dtype)
+    for a, pa in enumerate(planes_p):
+        blocks = blocks.at[:, a].set(pa.reshape(nc_pad, CHUNK))
+    blocks = blocks.at[:, D].set(keyf.reshape(nc_pad, CHUNK))
+    jarr8 = blocks.reshape(nc_pad * RB, CHUNK)
+    own2d = jnp.stack(planes_p, axis=-1)  # (C, D) own-side columns
+    if dtype == jnp.float32:
+        # f32 keys are exact only below 2^24
+        kreal_max = jnp.max(
+            jnp.where(keys_p < jnp.int32(_PAD_KEY_BASE), keys_p, -1)
+        )
+        cov_ok = cov_ok & (kreal_max < (1 << 24))
+
+    kernel = _make_tile_kernel_packed(
+        CB, S, MAXJ, D, term, dtype, out_dtype, split, kahan, distributed
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nc_pad // CB,),
+        in_specs=[
+            pl.BlockSpec((S, 2), lambda p: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda p: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda p: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((CB, 3 * S), lambda p: (p, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((CB * CHUNK, D), lambda p: (p, 0)),
+            pl.BlockSpec((CB * CHUNK, 1), lambda p: (p, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((CHUNK, CHUNK), lambda p: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((CHUNK, CHUNK), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK, CHUNK), out_dtype),
+            pltpu.VMEM((CHUNK, CHUNK), out_dtype),
+            pltpu.VMEM((CHUNK, CHUNK), out_dtype),
+            pltpu.VMEM((CB * S * MAXJ * RB, CHUNK), dtype),
+            pltpu.SemaphoreType.DMA((CB * S,)),
+        ],
+        interpret=interpret,
+    )(
+        bands.astype(dtype),
+        jnp.asarray(cutoff_sq, dtype).reshape(1),
+        jnp.asarray(min_islot, jnp.int32).reshape(1),
+        bounds,
+        own2d,
+        keyf[:, None],
+        jarr8,
+    )
+    if jnp.issubdtype(out_dtype, jnp.integer):
+        lo = jnp.sum(out & 0xFFFF)
+        hi = jnp.sum(out >> 16)
+        return jnp.stack([hi, lo]), cov_ok
+    return jnp.sum(out), cov_ok
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("CB", "MAXJ", "term", "kahan", "interpret", "out_dtype"),
+)
+def tile_lj_rebuild_energy(
+    positions: jax.Array,
+    cutoff,
+    positions_lo: jax.Array | None = None,
+    *,
+    CB: int = 8,
+    MAXJ: int = 8,
+    term: Callable = lj_term,
+    kahan: bool = True,
+    interpret: bool = False,
+    out_dtype=None,
+):
+    """Full pipeline in one jittable step for cubic/wide boxes (the tile
+    sibling of `fused_lj_rebuild_energy`): cell keys -> multi-operand sort
+    (planes kept separate) -> packed tile reduction. ``positions_lo``
+    enables split-precision pair distances. Returns (total, coverage_ok).
+    """
+    dim = positions.shape[1]
+    split = positions_lo is not None
+    cols = (
+        jnp.concatenate([positions, positions_lo], axis=1)
+        if split else positions
+    )
+    bins, planes = bin_and_sort(
+        cols, cutoff, max_cells=1, need_perm=False, stacked=False
+    )
+    return _packed_core(
+        list(planes), bins.sorted_keys, bins.info.strides,
+        jnp.asarray(cutoff, positions.dtype) ** 2,
+        CB=CB, MAXJ=MAXJ, term=term, interpret=interpret,
+        out_dtype=out_dtype, min_islot=jnp.asarray(0, jnp.int32),
+        kahan=kahan, distributed=False, split=split,
+    )
+
 
 
 @functools.partial(
@@ -424,6 +724,7 @@ def tile_pair_reduce(
     min_islot=0,
     kahan: bool = True,
     OH: int = 128,
+    packed: bool = True,
 ):
     """Sum ``term(dsq)`` over all unique cutoff-filtered pairs, any box
     shape (the shape-robust sibling of `pair_lag_reduce`).
@@ -436,21 +737,27 @@ def tile_pair_reduce(
     ``kahan=False`` drops the compensated accumulation (~15% faster; use
     when f32 rounding of the plain sum is acceptable). ``min_islot``
     enables distributed pair ownership; a concrete 0 (the default)
-    compiles the mask out entirely.
+    compiles the mask out entirely. ``packed=True`` (default) uses an
+    8-row block layout (coords + f32 key per chunk, one DMA per window)
+    — measured 294 -> 233 ms at n=1e7 cubic vs the split-planes layout —
+    and is capped at 2^24 flat keys by f32 key exactness (reflected in
+    coverage_ok); ``packed=False`` keeps int32 keys for larger grids.
+    ``OH`` (own-tile row-group height, non-packed path only) measured
+    best at 128.
     """
     distributed = not (isinstance(min_islot, (int,)) and min_islot == 0)
     return _tile_pair_reduce_impl(
         sorted_pos, sorted_keys, strides, cutoff_sq, sorted_pos_lo,
         CB=CB, MAXJ=MAXJ, term=term, interpret=interpret,
         out_dtype=out_dtype, min_islot=jnp.asarray(min_islot, jnp.int32),
-        kahan=kahan, distributed=distributed, OH=OH,
+        kahan=kahan, distributed=distributed, OH=OH, packed=packed,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("CB", "MAXJ", "term", "interpret", "out_dtype",
-                     "kahan", "distributed", "OH"),
+                     "kahan", "distributed", "OH", "packed"),
 )
 def _tile_pair_reduce_impl(
     sorted_pos: jax.Array,  # (n, dim) cell-key-sorted positions (hi part)
@@ -468,6 +775,7 @@ def _tile_pair_reduce_impl(
     kahan: bool = True,
     distributed: bool = False,
     OH: int = CHUNK,
+    packed: bool = False,
 ):
     n, dim = sorted_pos.shape
     split = sorted_pos_lo is not None
@@ -500,6 +808,17 @@ def _tile_pair_reduce_impl(
         )
     bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(nc_pad, 3 * S)
     gbounds = jnp.stack([gtoff, gjnum], axis=-1).reshape(nc_pad, G * S * 2)
+
+    if packed:
+        planes = [sorted_pos[:, a] for a in range(dim)]
+        if split:
+            planes += [sorted_pos_lo[:, a] for a in range(dim)]
+        return _packed_core(
+            planes, sorted_keys, strides, cutoff_sq,
+            CB=CB, MAXJ=MAXJ, term=term, interpret=interpret,
+            out_dtype=out_dtype, min_islot=min_islot, kahan=kahan,
+            distributed=distributed, split=split,
+        )
 
     # j-side arrays: coordinate planes (nc, D, 128) and keys (nc, 1, 128),
     # indexed per chunk on the untiled leading dim — separate typed DMAs
