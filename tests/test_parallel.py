@@ -238,3 +238,65 @@ def test_pallas_H_exceeds_n_local():
     )
     _, _, e2, cov = step(positions, velocities)
     np.testing.assert_allclose(float(e2), _ref_energy(pts, cutoff), rtol=1e-9)
+
+
+def test_repartition_exchange_matches_allgather_repartition():
+    """The distributed (splitter-selection + adjacent ppermute) repartition
+    must reproduce the all_gather repartition exactly — same global
+    (key, device, slot) order — whenever drift stays within one slab."""
+    from zelll_tpu.parallel import repartition, repartition_exchange
+
+    pts = _cloud(n=320, seed=21)
+    cutoff = 1.0
+    mesh = make_mesh(8)
+    parts, n_local = partition_by_slab(pts, cutoff, 8)
+    sharding = NamedSharding(mesh, P("z", None))
+
+    # small drift: keys move by at most a cell or two -> adjacent slabs
+    rng = np.random.default_rng(7)
+    drift = parts + rng.normal(0, 0.3, parts.shape)
+    vel = np.arange(parts.size, dtype=np.float64).reshape(parts.shape)
+    pos = jax.device_put(jnp.asarray(drift), sharding)
+    v = jax.device_put(jnp.asarray(vel), sharding)
+
+    p_ref, v_ref = repartition(mesh, cutoff=cutoff)(pos, v)
+    rx = repartition_exchange(mesh, cutoff=cutoff)
+    p_new, v_new, ok = rx(pos, v)
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(p_new), np.asarray(p_ref))
+    np.testing.assert_array_equal(np.asarray(v_new), np.asarray(v_ref))
+
+
+def test_repartition_exchange_flags_long_jumps():
+    """A global scramble moves particles across many slabs: the adjacent
+    exchange cannot restore the invariant and must say so, not return
+    silently wrong slabs (the coverage-flag invariant)."""
+    from zelll_tpu.parallel import repartition_exchange
+
+    pts = _cloud(n=320, seed=22)
+    cutoff = 1.0
+    mesh = make_mesh(8)
+    parts, _ = partition_by_slab(pts, cutoff, 8)
+    sharding = NamedSharding(mesh, P("z", None))
+    rng = np.random.default_rng(3)
+    scrambled = parts[rng.permutation(len(parts))]
+    pos = jax.device_put(jnp.asarray(scrambled), sharding)
+    v = jax.device_put(jnp.asarray(np.zeros_like(parts)), sharding)
+    *_, ok = repartition_exchange(mesh, cutoff=cutoff)(pos, v)
+    assert not bool(ok)
+
+
+def test_repartition_exchange_flags_small_capacity():
+    from zelll_tpu.parallel import repartition_exchange
+
+    pts = _cloud(n=320, seed=23)
+    cutoff = 1.0
+    mesh = make_mesh(8)
+    parts, _ = partition_by_slab(pts, cutoff, 8)
+    sharding = NamedSharding(mesh, P("z", None))
+    rng = np.random.default_rng(9)
+    drift = parts + rng.normal(0, 0.6, parts.shape)
+    pos = jax.device_put(jnp.asarray(drift), sharding)
+    v = jax.device_put(jnp.asarray(np.zeros_like(parts)), sharding)
+    *_, ok = repartition_exchange(mesh, cutoff=cutoff, A=1)(pos, v)
+    assert not bool(ok)

@@ -4,6 +4,7 @@ from .domain import (
     make_mesh,
     partition_by_slab,
     repartition,
+    repartition_exchange,
     sharded_lj_energy,
     sharded_md_step,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "make_mesh",
     "partition_by_slab",
     "repartition",
+    "repartition_exchange",
     "sharded_md_step",
     "sharded_lj_energy",
 ]

@@ -51,6 +51,8 @@ __all__ = [
     "partition_by_slab",
     "sharded_md_step",
     "sharded_lj_energy",
+    "repartition",
+    "repartition_exchange",
     "halo_coverage_ok",
 ]
 
@@ -330,6 +332,132 @@ def repartition(mesh: Mesh, *, cutoff: float):
             mesh=mesh,
             in_specs=(P(AXIS, None), P(AXIS, None)),
             out_specs=(P(AXIS, None), P(AXIS, None)),
+            check_vma=False,
+        )
+    )
+
+
+def repartition_exchange(mesh: Mesh, *, cutoff: float, A: int | None = None):
+    """Distributed repartition: restore the slab invariant (globally
+    key-sorted order, exactly n_local per device) WITHOUT replicating the
+    particle array — the sample-sort-class replacement for `repartition`
+    promised in round 1.
+
+    Algorithm (all static shapes, ICI-neighbor traffic only):
+
+    1. Local sort by cell key (velocities ride as sort payload).
+    2. Exact splitter selection: the global order statistic at every rank
+       d*n_local is found by a ~31-step distributed binary search over the
+       augmented key ``k2 = key*nd + device`` (each step: one local
+       searchsorted + one psum). Ties of k2 are same-key same-device, so
+       the residual tie split ``t_d`` is resolved by local position —
+       the resulting global order is exactly `repartition`'s
+       (key, device, local slot) order.
+    3. Each particle's destination slab follows from the splitters;
+       destinations are monotone in sorted order, so the outgoing
+       particles form a head run (to the left neighbor) and a tail run
+       (to the right neighbor), exchanged as fixed-capacity (A, 7)
+       buffers via two `ppermute`s (7th column = validity).
+    4. [received-left | kept | received-right] is locally re-sorted
+       (invalid rows get sentinel keys and sort last); the first n_local
+       rows are the new owned block.
+
+    Static-capacity contract (the coverage-flag invariant): the returned
+    ``ok`` is False iff a particle drifted beyond an adjacent slab, a run
+    exceeded A, or keys overflow the k2 encoding — fall back to the exact
+    all_gather `repartition` for that event; never trust outputs with a
+    False flag. Returns step(positions, velocities) ->
+    (positions, velocities, ok) with slab shardings.
+    """
+
+    def local(pos, vel):
+        nd = jax.lax.axis_size(AXIS)
+        idx = jax.lax.axis_index(AXIS)
+        n_loc = pos.shape[0]
+        cap = A if A is not None else max(n_loc // 4, 1)
+        cap = min(cap, n_loc)
+        info = _global_grid_info(pos, cutoff)
+        stacked = jnp.concatenate([pos, vel], axis=1)
+        bins, cols = bin_and_sort(
+            stacked, cutoff, max_cells=1, info=info, need_perm=False
+        )
+        keys = bins.sorted_keys  # (n_loc,) ascending
+        k2 = keys * nd + idx
+        ok_enc = jnp.max(keys) <= (jnp.iinfo(jnp.int32).max - nd) // nd
+
+        # --- exact splitter order statistics (distributed binary search)
+        r = jnp.arange(1, nd, dtype=jnp.int32) * jnp.int32(n_loc)
+
+        def bs_body(_, carry):
+            lo, hi = carry
+            mid = lo + (hi - lo) // 2
+            c_le = jax.lax.psum(
+                jnp.searchsorted(k2, mid, side="right").astype(jnp.int32),
+                AXIS,
+            )
+            found = c_le >= r + 1
+            return jnp.where(found, lo, mid + 1), jnp.where(found, mid, hi)
+
+        lo0 = jnp.zeros((nd - 1,), jnp.int32)
+        hi0 = jnp.full((nd - 1,), jnp.iinfo(jnp.int32).max, jnp.int32)
+        v, _ = jax.lax.fori_loop(0, 32, bs_body, (lo0, hi0))
+        cnt_lt = jax.lax.psum(
+            jnp.searchsorted(k2, v, side="left").astype(jnp.int32), AXIS
+        )
+        t = r - cnt_lt  # tie-run elements going to the left side
+
+        # --- destination slab per particle (monotone in sorted order)
+        iota = jnp.arange(n_loc, dtype=jnp.int32)
+        tie_pos = iota - jnp.searchsorted(k2, k2, side="left").astype(
+            jnp.int32
+        )
+        past_cut = (k2[:, None] > v[None, :]) | (
+            (k2[:, None] == v[None, :]) & (tie_pos[:, None] >= t[None, :])
+        )
+        dest = jnp.sum(past_cut.astype(jnp.int32), axis=1)
+        jump = dest - idx
+        ok_jump = jnp.all((jump >= -1) & (jump <= 1))
+        cl = jnp.sum((dest < idx).astype(jnp.int32))
+        cr = jnp.sum((dest > idx).astype(jnp.int32))
+        ok_cap = (cl <= cap) & (cr <= cap)
+
+        # --- fixed-capacity adjacent exchange (7th column: validity)
+        data7 = jnp.concatenate(
+            [cols, jnp.ones((n_loc, 1), cols.dtype)], axis=1
+        )
+        ia = jnp.arange(cap, dtype=jnp.int32)
+        lbuf = jnp.where((ia < cl)[:, None], data7[:cap], 0.0)
+        rbuf = jnp.where((ia >= cap - cr)[:, None], data7[-cap:], 0.0)
+        recv_r = jax.lax.ppermute(
+            lbuf, AXIS, [(d, d - 1) for d in range(1, nd)]
+        )
+        recv_l = jax.lax.ppermute(
+            rbuf, AXIS, [(d, d + 1) for d in range(nd - 1)]
+        )
+        vkeep = (iota >= cl) & (iota < n_loc - cr)
+        kept = jnp.where(vkeep[:, None], data7, 0.0)
+
+        ext = jnp.concatenate([recv_l, kept, recv_r], axis=0)
+        valid_ext = ext[:, 6] > 0.5
+        keys_ext = compute_keys(ext[:, :3], info, valid_ext)
+        out = jax.lax.sort(
+            (keys_ext, *(ext[:, a] for a in range(6))),
+            num_keys=1,
+            is_stable=True,
+        )
+        new_pos = jnp.stack(out[1:4], axis=-1)[:n_loc]
+        new_vel = jnp.stack(out[4:7], axis=-1)[:n_loc]
+        ok = jax.lax.pmin(
+            (ok_enc & ok_jump & ok_cap).astype(jnp.int32), AXIS
+        )
+        return new_pos, new_vel, ok > 0
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS, None)),
+            out_specs=(P(AXIS, None), P(AXIS, None), P()),
             check_vma=False,
         )
     )
