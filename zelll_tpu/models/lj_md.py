@@ -336,18 +336,30 @@ def md_step_cubic_tile(
     between steps (no duplication, no owner-copy extraction — the tile
     kernel's full-stencil bands give per-particle forces directly).
     Returns (new_state, coverage_ok)."""
-    from ..ops.tile_pairs import tile_pair_forces
+    from ..ops.lj import lj_force_factor
+    from ..ops.tile_pairs import _packed_forces_core
 
     pos, vel = state.positions, state.velocities
     dim = pos.shape[1]
     csq = jnp.asarray(cutoff, pos.dtype) ** 2
     stacked = jnp.concatenate([pos, vel], axis=1)
-    bins, cols = bin_and_sort(stacked, cutoff, max_cells=1, need_perm=False)
-    spos, svel = cols[:, :dim], cols[:, dim:]
-    f, ok = tile_pair_forces(
-        spos, bins.sorted_keys, bins.info.strides, csq,
-        CB=CB, MAXJ=MAXJ, interpret=interpret,
+    # planes stay separate through the sort: the packed forces kernel
+    # consumes them directly (no stack/transpose round trip, see
+    # bin_and_sort(stacked=False))
+    bins, planes = bin_and_sort(
+        stacked, cutoff, max_cells=1, need_perm=False, stacked=False
     )
-    vel_new = svel + dt * f
-    pos_new = spos + dt * vel_new
-    return MDState(positions=pos_new, velocities=vel_new), ok
+    fplanes, ok = _packed_forces_core(
+        list(planes[:dim]), bins.sorted_keys, bins.info.strides, csq,
+        CB=CB, MAXJ=MAXJ, gfn=lj_force_factor, interpret=interpret,
+        split=False,
+    )
+    vel_new = [planes[dim + a] + dt * fplanes[a] for a in range(dim)]
+    pos_new = [planes[a] + dt * vel_new[a] for a in range(dim)]
+    return (
+        MDState(
+            positions=jnp.stack(pos_new, axis=-1),
+            velocities=jnp.stack(vel_new, axis=-1),
+        ),
+        ok,
+    )

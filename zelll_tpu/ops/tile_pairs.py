@@ -254,8 +254,8 @@ def _make_tile_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
     kahan = kahan and jnp.issubdtype(out_dtype, jnp.floating)
     ncoord = D // 2 if split else D
 
-    def kernel(bands_ref, csq_ref, mislot_ref, bounds_ref, own_ref,
-               okey_ref, jarr_ref, out_ref, comp_ref, acc_s, comp_s, jbuf,
+    def kernel(bands_ref, csq_ref, mislot_ref, bounds_ref, own8_ref,
+               jarr_ref, out_ref, comp_ref, acc_s, comp_s, jbuf,
                sems):
         p = pl.program_id(0)
         num_p = pl.num_programs(0)
@@ -297,15 +297,18 @@ def _make_tile_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
 
         for oc in range(CB):
             o0 = oc * CHUNK
-            # hoist the own-side column broadcasts: a (128,1)->(128,128)
-            # lane broadcast is expensive on the VPU, so pay it once per
-            # own chunk (the ~11 tiles sharing it read cheap row ops)
+            # own side comes from the same packed blocks as the j side:
+            # one (8,128)->(128,8) transpose per chunk (a (C, D) pallas
+            # operand would be lane-padded 3->128, 42x HBM). The column
+            # broadcasts are hoisted here: a (128,1)->(128,128) lane
+            # broadcast costs ~200 cycles, so pay it once per own chunk
+            # (the ~11 tiles sharing it read cheap row ops)
+            blkT = jnp.transpose(own8_ref[oc * RB : (oc + 1) * RB, :])
             own_cols = [
-                jnp.broadcast_to(own_ref[o0 : o0 + CHUNK, a : a + 1],
-                                 (CHUNK, CHUNK))
+                jnp.broadcast_to(blkT[:, a : a + 1], (CHUNK, CHUNK))
                 for a in range(D)
             ]
-            own_k = jnp.broadcast_to(okey_ref[o0 : o0 + CHUNK, 0:1],
+            own_k = jnp.broadcast_to(blkT[:, D : D + 1],
                                      (CHUNK, CHUNK))  # f32 keys
             if distributed:
                 gslot0 = (p * CB + oc) * CHUNK
@@ -378,6 +381,188 @@ def _make_tile_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
             out_ref[...] += acc_s[...]
 
     return kernel
+
+
+def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
+                                    gfn: Callable, dtype, split: bool):
+    """Packed-layout forces kernel: full (mirrored) bands, i-side
+    accumulation, own-side broadcasts hoisted per chunk, 8-row j blocks
+    (see `_make_tile_kernel_packed`). Per-partner row sums ride the MXU
+    (one (128,128)x(128,1) contraction per coordinate per tile)."""
+    ncoord = D // 2 if split else D
+
+    def kernel(bands_ref, csq_ref, bounds_ref, own8_ref, jarr_ref,
+               fout_ref, facc, jbuf, sems):
+        csq = csq_ref[0]
+        facc[...] = jnp.zeros_like(facc)
+
+        def window(oc, s):
+            return (bounds_ref[oc, 3 * s], bounds_ref[oc, 3 * s + 1],
+                    bounds_ref[oc, 3 * s + 2])
+
+        def copy_obj(oc, s, jlo):
+            w = oc * S + s
+            return pltpu.make_async_copy(
+                jarr_ref.at[pl.ds(jlo * RB, MAXJ * RB), :],
+                jbuf.at[pl.ds(w * MAXJ * RB, MAXJ * RB), :],
+                sems.at[w],
+            )
+
+        for oc in range(CB):
+            for s in range(S):
+                jlo, _, jnum = window(oc, s)
+
+                @pl.when(jnum > 0)
+                def _(oc=oc, s=s, jlo=jlo):
+                    copy_obj(oc, s, jlo).start()
+
+        ones_row = jnp.ones((1, CHUNK), dtype)
+
+        for oc in range(CB):
+            o0 = oc * CHUNK
+            # own side from the packed blocks: one transpose per chunk
+            # (see _make_tile_kernel_packed), broadcasts hoisted
+            blkT = jnp.transpose(own8_ref[oc * RB : (oc + 1) * RB, :])
+            own_cols = [
+                jnp.broadcast_to(blkT[:, a : a + 1], (CHUNK, CHUNK))
+                for a in range(D)
+            ]
+            own_k = jnp.broadcast_to(blkT[:, D : D + 1], (CHUNK, CHUNK))
+
+            for s in range(S):
+                jlo, _, jnum = window(oc, s)
+                lo_s = bands_ref[s, 0]
+                hi_s = bands_ref[s, 1]
+                w0 = (oc * S + s) * MAXJ
+
+                @pl.when(jnum > 0)
+                def _(oc=oc, s=s, jlo=jlo):
+                    copy_obj(oc, s, jlo).wait()
+
+                gtoff = bounds_ref[oc, 3 * s + 1]
+                gjnum = bounds_ref[oc, 3 * s + 2]
+
+                def tile(t, _, w0=w0, lo_s=lo_s, hi_s=hi_s, o0=o0,
+                         own_cols=own_cols, own_k=own_k):
+                    blk = jbuf[pl.ds((w0 + t) * RB, RB), :]  # (8, 128)
+                    jk = blk[D : D + 1, :]
+
+                    diff = own_k - jk
+                    m = (diff >= lo_s) & (diff <= hi_s)
+                    d = []
+                    dsq = jnp.zeros((CHUNK, CHUNK), dtype)
+                    for a in range(ncoord):
+                        da = own_cols[a] - blk[a : a + 1, :]
+                        if split:
+                            da = da + (own_cols[a + ncoord]
+                                       - blk[a + ncoord : a + ncoord + 1, :])
+                        d.append(da)
+                        dsq = dsq + da * da
+                    # dsq > 0 excludes self and coincident particles
+                    # (pair_lag_forces semantics; LJ diverges there)
+                    m = m & (dsq < csq) & (dsq > 0)
+                    g = jnp.where(
+                        m,
+                        gfn(jnp.where(m, dsq, jnp.ones_like(dsq))),
+                        jnp.zeros((CHUNK, CHUNK), dtype),
+                    )
+                    for a in range(ncoord):
+                        fa = jax.lax.dot_general(
+                            g * d[a], ones_row,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=dtype,
+                        )  # (128, 1)
+                        facc[o0 : o0 + CHUNK, a : a + 1] += fa
+                    return 0
+
+                jax.lax.fori_loop(gtoff, gtoff + gjnum, tile, 0)
+
+        # emit per-plane rows: the (C, dim) layout a 2D output would need
+        # is lane-padded 3->128 by the pallas operand contract (42x HBM);
+        # (nc, 8, 128) blocks are exactly tiled. One transpose per chunk.
+        for oc in range(CB):
+            o0 = oc * CHUNK
+            fT = jnp.transpose(facc[o0 : o0 + CHUNK, :])  # (8, 128)
+            fout_ref[oc] = fT
+
+    return kernel
+
+
+def _packed_forces_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
+                        MAXJ, gfn, interpret, split):
+    """Packed forces pipeline over per-coordinate planes; returns
+    ([dim (n,) force planes], coverage_ok) — planes, so large-n callers
+    never materialize a lane-padded (n, dim) pallas operand."""
+    n = planes[0].shape[0]
+    dtype = planes[0].dtype
+    D = len(planes)
+    dim = D // 2 if split else D
+    S = num_segments(dim, full=True)
+    if CB % 8 and not interpret:
+        raise ValueError("CB must be a multiple of 8 (SMEM sublane blocking)")
+
+    nc_pad = max(-(-n // (CHUNK * CB)) * CB, CB)
+    C = nc_pad * CHUNK
+    npad = C - n
+    keys_p = _pad_and_desentinel(sorted_keys, C)
+
+    bands = segment_bands(strides, full=True)
+    jlo, toff, jnum, cov_ok = chunk_bounds(keys_p, bands, MAXJ, half=False)
+    bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(nc_pad, 3 * S)
+
+    zpad = jnp.zeros((npad,), dtype)
+    spacing = jnp.maximum(
+        jnp.asarray(1e5, dtype), 4 * jnp.sqrt(jnp.asarray(cutoff_sq, dtype))
+    )
+    spread = jnp.asarray(1e6, dtype) + jnp.arange(npad, dtype=dtype) * spacing
+    planes_p = [
+        jnp.concatenate([pa, spread if a == 0 else zpad])
+        for a, pa in enumerate(planes)
+    ]
+
+    keyf = keys_p.astype(dtype)
+    blocks = jnp.zeros((nc_pad, RB, CHUNK), dtype)
+    for a, pa in enumerate(planes_p):
+        blocks = blocks.at[:, a].set(pa.reshape(nc_pad, CHUNK))
+    blocks = blocks.at[:, D].set(keyf.reshape(nc_pad, CHUNK))
+    jarr8 = blocks.reshape(nc_pad * RB, CHUNK)
+    if dtype == jnp.float32:
+        kreal_max = jnp.max(
+            jnp.where(keys_p < jnp.int32(_PAD_KEY_BASE), keys_p, -1)
+        )
+        cov_ok = cov_ok & (kreal_max < (1 << 24))
+
+    kernel = _make_tile_forces_kernel_packed(CB, S, MAXJ, D, gfn, dtype,
+                                             split)
+    fout = pl.pallas_call(
+        kernel,
+        grid=(nc_pad // CB,),
+        in_specs=[
+            pl.BlockSpec((S, 2), lambda p: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda p: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((CB, 3 * S), lambda p: (p, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((CB * RB, CHUNK), lambda p: (p, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((CB, RB, CHUNK), lambda p: (p, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nc_pad, RB, CHUNK), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((CB * CHUNK, RB), dtype),
+            pltpu.VMEM((CB * S * MAXJ * RB, CHUNK), dtype),
+            pltpu.SemaphoreType.DMA((CB * S,)),
+        ],
+        interpret=interpret,
+    )(
+        bands.astype(dtype),
+        jnp.asarray(cutoff_sq, dtype).reshape(1),
+        bounds,
+        jarr8,
+        jarr8,
+    )
+    fplanes = [fout[:, a, :].reshape(C)[:n] for a in range(dim)]
+    return fplanes, cov_ok
+
 
 
 def _make_tile_forces_kernel(CB: int, S: int, MAXJ: int, D: int,
@@ -531,7 +716,6 @@ def _packed_core(planes, sorted_keys, strides, cutoff_sq, *, CB, MAXJ, term,
         blocks = blocks.at[:, a].set(pa.reshape(nc_pad, CHUNK))
     blocks = blocks.at[:, D].set(keyf.reshape(nc_pad, CHUNK))
     jarr8 = blocks.reshape(nc_pad * RB, CHUNK)
-    own2d = jnp.stack(planes_p, axis=-1)  # (C, D) own-side columns
     if dtype == jnp.float32:
         # f32 keys are exact only below 2^24
         kreal_max = jnp.max(
@@ -551,8 +735,7 @@ def _packed_core(planes, sorted_keys, strides, cutoff_sq, *, CB, MAXJ, term,
             pl.BlockSpec((1,), lambda p: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((CB, 3 * S), lambda p: (p, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((CB * CHUNK, D), lambda p: (p, 0)),
-            pl.BlockSpec((CB * CHUNK, 1), lambda p: (p, 0)),
+            pl.BlockSpec((CB * RB, CHUNK), lambda p: (p, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((CHUNK, CHUNK), lambda p: (0, 0),
@@ -571,8 +754,7 @@ def _packed_core(planes, sorted_keys, strides, cutoff_sq, *, CB, MAXJ, term,
         jnp.asarray(cutoff_sq, dtype).reshape(1),
         jnp.asarray(min_islot, jnp.int32).reshape(1),
         bounds,
-        own2d,
-        keyf[:, None],
+        jarr8,
         jarr8,
     )
     if jnp.issubdtype(out_dtype, jnp.integer):
@@ -623,7 +805,7 @@ def tile_lj_rebuild_energy(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("CB", "MAXJ", "gfn", "interpret")
+    jax.jit, static_argnames=("CB", "MAXJ", "gfn", "interpret", "packed")
 )
 def tile_pair_forces(
     sorted_pos: jax.Array,
@@ -636,6 +818,7 @@ def tile_pair_forces(
     MAXJ: int = 6,
     gfn: Callable = None,
     interpret: bool = False,
+    packed: bool = True,
 ):
     """Per-particle pairwise forces in sorted-slot order, any box shape.
 
@@ -652,6 +835,15 @@ def tile_pair_forces(
 
     n, dim = sorted_pos.shape
     split = sorted_pos_lo is not None
+    if packed:
+        planes = [sorted_pos[:, a] for a in range(dim)]
+        if split:
+            planes += [sorted_pos_lo[:, a] for a in range(dim)]
+        fplanes, ok = _packed_forces_core(
+            planes, sorted_keys, strides, cutoff_sq,
+            CB=CB, MAXJ=MAXJ, gfn=gfn, interpret=interpret, split=split,
+        )
+        return jnp.stack(fplanes, axis=-1), ok
     dtype = sorted_pos.dtype
     D = 2 * dim if split else dim
     S = num_segments(dim, full=True)
