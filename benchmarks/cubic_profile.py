@@ -39,18 +39,9 @@ def main():
     pts = rng.uniform(0, side, (n, 3))
     pos = jax.device_put(jnp.asarray(pts, jnp.float32))
 
-    def rtt_measure():
-        f = jax.jit(lambda x: x + 1.0)
-        x = jnp.zeros((8,), jnp.float32)
-        float(f(x)[0])
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            float(f(x)[0])
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+    from zelll_tpu.utils.profiling import measure_rtt
 
-    rtt = rtt_measure()
+    rtt = measure_rtt()
 
     def timeit(fn, *args):
         """fn must return a scalar-reducible pytree; jitted loop timing."""

@@ -43,18 +43,9 @@ def main():
     OH = int(os.environ.get("TP_OH", "128"))
     PACKED = os.environ.get("TP_PACKED", "0") == "1"
 
-    def rtt_measure():
-        f = jax.jit(lambda x: x + 1.0)
-        x = jnp.zeros((8,), jnp.float32)
-        float(f(x)[0])
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            float(f(x)[0])
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+    from zelll_tpu.utils.profiling import measure_rtt
 
-    rtt = rtt_measure()
+    rtt = measure_rtt()
     print(f"n={n} reps={reps} CB={CB} MAXJ={MAXJ} split={split} kahan={kahan} OH={OH} packed={PACKED} rtt={rtt*1e3:.1f}ms",
           flush=True)
     print("shape,stage,ms,extra", flush=True)

@@ -169,3 +169,54 @@ def test_tile_min_islot_splits_ownership():
     m = ((d * d).sum(-1) < 1.0) & np.tri(len(spos), k=-1, dtype=bool)
     n_low = int(m[:500].sum())
     assert n_own == n_all - n_low
+
+
+def test_rebuild_entry_small_n_large_maxj():
+    """MAXJ larger than the chunk count must clamp, not DMA out of bounds
+    (review finding: 600 points, MAXJ=12 > nc_pad=8)."""
+    from zelll_tpu.ops.tile_pairs import tile_lj_rebuild_energy
+
+    rng = np.random.default_rng(4)
+    pts = rng.uniform(0, 1, (600, 3)) * 8.0
+    e, ok = tile_lj_rebuild_energy(
+        jnp.asarray(pts, jnp.float32), 1.0, MAXJ=12, CB=2, interpret=True
+    )
+    assert bool(ok)
+    _, e_ref = _brute(pts, 1.0)
+    np.testing.assert_allclose(float(e), e_ref, rtol=1e-4)
+
+
+def test_rebuild_entry_2d_split_bins_on_spatial_columns():
+    """2D positions with split lo planes: binning must use the two spatial
+    columns, not treat lo_x as a z coordinate (review finding)."""
+    from zelll_tpu.ops.pallas_pairs import split_f64
+    from zelll_tpu.ops.tile_pairs import tile_lj_rebuild_energy
+
+    rng = np.random.default_rng(12)
+    n, cutoff = 700, 1.0
+    pts = rng.uniform(0, 1, (n, 2)) * 14.0
+    hi, lo = split_f64(jnp.asarray(pts))
+    e, ok = tile_lj_rebuild_energy(hi, cutoff, lo, MAXJ=6, CB=2,
+                                   interpret=True)
+    assert bool(ok)
+    d = pts[:, None] - pts[None, :]
+    dsq = (d * d).sum(-1)
+    m = (dsq < cutoff**2) & np.tri(n, k=-1, dtype=bool)
+    inv = np.where(m, 1.0 / np.where(m, dsq, 1.0), 0.0)
+    t = inv**3
+    e_ref = float((4 * t * (t - 1)).sum())
+    np.testing.assert_allclose(float(e), e_ref, rtol=1e-6)
+
+
+def test_md_step_cubic_tile_2d():
+    """2D MD state: velocity payload columns must not leak into binning."""
+    from zelll_tpu.models.lj_md import MDState, md_step_cubic_tile
+
+    rng = np.random.default_rng(13)
+    n = 400
+    pts = rng.uniform(0, 1, (n, 2)) * 10.0
+    vel = rng.normal(0, 0.1, (n, 2))
+    st = MDState(jnp.asarray(pts, jnp.float32), jnp.asarray(vel, jnp.float32))
+    s2, ok = md_step_cubic_tile(st, 1.0, 1e-4, CB=2, MAXJ=6, interpret=True)
+    assert bool(ok)
+    assert s2.positions.shape == (n, 2)

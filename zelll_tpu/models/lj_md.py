@@ -345,9 +345,14 @@ def md_step_cubic_tile(
     stacked = jnp.concatenate([pos, vel], axis=1)
     # planes stay separate through the sort: the packed forces kernel
     # consumes them directly (no stack/transpose round trip, see
-    # bin_and_sort(stacked=False))
+    # bin_and_sort(stacked=False)). Explicit info so the velocity payload
+    # columns are never mistaken for spatial coordinates (dim < 3).
+    from ..core.geometry import GridInfo, aabb_from_positions
+
+    info = GridInfo.create(aabb_from_positions(pos), cutoff)
     bins, planes = bin_and_sort(
-        stacked, cutoff, max_cells=1, need_perm=False, stacked=False
+        stacked, cutoff, max_cells=1, need_perm=False, stacked=False,
+        info=info,
     )
     fplanes, ok = _packed_forces_core(
         list(planes[:dim]), bins.sorted_keys, bins.info.strides, csq,

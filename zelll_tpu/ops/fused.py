@@ -105,9 +105,15 @@ def fused_lj_rebuild_energy(
     """
     dim = positions.shape[1]
     if positions_lo is not None:
+        # bin on the true spatial columns: without an explicit info,
+        # bin_and_sort treats min(total_cols, 3) leading columns as
+        # spatial and would mis-bin 2D inputs on their lo payload plane
+        from ..core.geometry import GridInfo, aabb_from_positions
+
+        info = GridInfo.create(aabb_from_positions(positions), cutoff)
         stacked = jnp.concatenate([positions, positions_lo], axis=1)
         bins, sorted_cols = bin_and_sort(
-            stacked, cutoff, max_cells=1, need_perm=False
+            stacked, cutoff, max_cells=1, need_perm=False, info=info
         )
         sorted_pos, sorted_lo = sorted_cols[:, :dim], sorted_cols[:, dim:]
     else:
@@ -156,8 +162,9 @@ def auto_lj_energy(
     from ..core.binning import bin_and_sort
     from .pallas_pairs import suggest_lag
 
-    pos64 = np.asarray(positions, np.float64)
     if split:
+        # the f64 host copy is only needed to derive the (hi, lo) planes
+        pos64 = np.asarray(positions, np.float64)
         hi = pos64.astype(np.float32)
         positions = jnp.asarray(hi)
         pos_lo = jnp.asarray((pos64 - hi.astype(np.float64)).astype(np.float32))
@@ -200,6 +207,15 @@ def auto_lj_energy(
 
     nk = bins.sorted_keys.shape[0]
     C = max(-(-nk // (CHUNK * 8)) * 8, 8) * CHUNK
+    # key headroom is MAXJ-independent: growing the window cannot fix it,
+    # so check it host-side first instead of burning recompiles
+    max_key = int(np.max(np.asarray(bins.sorted_keys)))
+    if max_key >= (1 << 24):
+        raise ValueError(
+            f"grid has flat keys up to {max_key} >= 2^24: beyond the "
+            "packed tile kernel's f32-exact key range — shrink the grid "
+            "or use ops.tile_pairs with packed=False"
+        )
     maxj = suggest_maxj(
         _pad_and_desentinel(bins.sorted_keys, C),
         segment_bands(bins.info.strides),

@@ -502,6 +502,8 @@ def _packed_forces_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
         raise ValueError("CB must be a multiple of 8 (SMEM sublane blocking)")
 
     nc_pad = max(-(-n // (CHUNK * CB)) * CB, CB)
+    # a window wider than the whole array would DMA past the j buffer
+    MAXJ = min(MAXJ, nc_pad)
     C = nc_pad * CHUNK
     npad = C - n
     keys_p = _pad_and_desentinel(sorted_keys, C)
@@ -688,6 +690,8 @@ def _packed_core(planes, sorted_keys, strides, cutoff_sq, *, CB, MAXJ, term,
         raise ValueError("CB must be a multiple of 8 (SMEM sublane blocking)")
 
     nc_pad = max(-(-n // (CHUNK * CB)) * CB, CB)
+    # a window wider than the whole array would DMA past the j buffer
+    MAXJ = min(MAXJ, nc_pad)
     C = nc_pad * CHUNK
     npad = C - n
     keys_p = _pad_and_desentinel(sorted_keys, C)
@@ -791,8 +795,14 @@ def tile_lj_rebuild_energy(
         jnp.concatenate([positions, positions_lo], axis=1)
         if split else positions
     )
+    # bin on the true spatial columns: without an explicit info,
+    # bin_and_sort treats min(total_cols, 3) leading columns as spatial,
+    # which mis-bins 2D inputs carrying payload columns (lo planes)
+    from ..core.geometry import GridInfo, aabb_from_positions
+
+    info = GridInfo.create(aabb_from_positions(positions), cutoff)
     bins, planes = bin_and_sort(
-        cols, cutoff, max_cells=1, need_perm=False, stacked=False
+        cols, cutoff, max_cells=1, need_perm=False, stacked=False, info=info
     )
     return _packed_core(
         list(planes), bins.sorted_keys, bins.info.strides,
@@ -851,6 +861,7 @@ def tile_pair_forces(
         raise ValueError("CB must be a multiple of 8 (SMEM sublane blocking)")
 
     nc_pad = max(-(-n // (CHUNK * CB)) * CB, CB)
+    MAXJ = min(MAXJ, nc_pad)
     C = nc_pad * CHUNK
     keys_p = _pad_and_desentinel(sorted_keys, C)
 
@@ -977,8 +988,26 @@ def _tile_pair_reduce_impl(
     S = num_segments(dim)
     if CB % 8 and not interpret:
         raise ValueError("CB must be a multiple of 8 (SMEM sublane blocking)")
+    if CHUNK % OH or OH % 8:
+        raise ValueError("OH must divide 128 and be a multiple of 8")
+    G = CHUNK // OH
+
+    if packed:
+        if G != 1:
+            raise ValueError("OH row groups apply to the non-packed layout "
+                             "only; pass packed=False with OH != 128")
+        planes = [sorted_pos[:, a] for a in range(dim)]
+        if split:
+            planes += [sorted_pos_lo[:, a] for a in range(dim)]
+        return _packed_core(
+            planes, sorted_keys, strides, cutoff_sq,
+            CB=CB, MAXJ=MAXJ, term=term, interpret=interpret,
+            out_dtype=out_dtype, min_islot=min_islot, kahan=kahan,
+            distributed=distributed, split=split,
+        )
 
     nc_pad = max(-(-n // (CHUNK * CB)) * CB, CB)
+    MAXJ = min(MAXJ, nc_pad)
     C = nc_pad * CHUNK
     keys_p = _pad_and_desentinel(sorted_keys, C)
 
@@ -987,9 +1016,6 @@ def _tile_pair_reduce_impl(
     if split:
         pos_p = pos_p.at[:n, dim:].set(sorted_pos_lo)
 
-    if CHUNK % OH or OH % 8:
-        raise ValueError("OH must divide 128 and be a multiple of 8")
-    G = CHUNK // OH
     bands = segment_bands(strides)
     if G == 1:
         jlo, toff, jnum, cov_ok = chunk_bounds(keys_p, bands, MAXJ)
@@ -1000,17 +1026,6 @@ def _tile_pair_reduce_impl(
         )
     bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(nc_pad, 3 * S)
     gbounds = jnp.stack([gtoff, gjnum], axis=-1).reshape(nc_pad, G * S * 2)
-
-    if packed:
-        planes = [sorted_pos[:, a] for a in range(dim)]
-        if split:
-            planes += [sorted_pos_lo[:, a] for a in range(dim)]
-        return _packed_core(
-            planes, sorted_keys, strides, cutoff_sq,
-            CB=CB, MAXJ=MAXJ, term=term, interpret=interpret,
-            out_dtype=out_dtype, min_islot=min_islot, kahan=kahan,
-            distributed=distributed, split=split,
-        )
 
     # j-side arrays: coordinate planes (nc, D, 128) and keys (nc, 1, 128),
     # indexed per chunk on the untiled leading dim — separate typed DMAs
