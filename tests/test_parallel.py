@@ -300,3 +300,40 @@ def test_repartition_exchange_flags_small_capacity():
     v = jax.device_put(jnp.asarray(np.zeros_like(parts)), sharding)
     *_, ok = repartition_exchange(mesh, cutoff=cutoff, A=1)(pos, v)
     assert not bool(ok)
+
+
+def test_sharded_tile_backend_matches_xla():
+    """The segment-tile backend of the sharded energy/MD paths must agree
+    with the XLA bucketed backend on the 8-device mesh (cubic-ish box)."""
+    from zelll_tpu.parallel import sharded_lj_energy, sharded_md_step
+
+    pts = _cloud(n=320, seed=31)
+    cutoff = 1.0
+    mesh = make_mesh(8)
+    parts, _ = partition_by_slab(pts, cutoff, 8)
+    sharding = NamedSharding(mesh, P("z", None))
+    pos = jax.device_put(jnp.asarray(parts), sharding)
+
+    e_x, ok_x = sharded_lj_energy(mesh, cutoff=cutoff, H=64, K=16, chunk=16)(pos)
+    e_t, ok_t = sharded_lj_energy(
+        mesh, cutoff=cutoff, H=64, use_tile=True, MAXJ=8, interpret=True
+    )(pos)
+    assert bool(ok_x) and bool(ok_t)
+    np.testing.assert_allclose(float(e_t), float(e_x), rtol=1e-6)
+    # absolute parity (catches e.g. ring-wraparound ghosts breaking the
+    # tile kernel's ascending-key window bounds on device 0)
+    np.testing.assert_allclose(float(e_t), _ref_energy(pts, cutoff), rtol=1e-10)
+
+    vel = jax.device_put(jnp.zeros_like(pos), sharding)
+    step_x = sharded_md_step(mesh, cutoff=cutoff, H=64, K=16, chunk=16,
+                             dt=1e-4)
+    step_t = sharded_md_step(mesh, cutoff=cutoff, H=64, use_tile=True,
+                             MAXJ=8, dt=1e-4, interpret=True)
+    px, vx, ex, okx = step_x(pos, vel)
+    pt, vt, et, okt = step_t(pos, vel)
+    assert bool(okx) and bool(okt)
+    np.testing.assert_allclose(float(et), float(ex), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pt), np.asarray(px),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(vt), np.asarray(vx),
+                               rtol=1e-4, atol=1e-7)

@@ -97,7 +97,9 @@ class CellGrid:
     orchestration: capacity classes, padding, and iterator materialization.
     """
 
-    def __init__(self, particles=None, /, cutoff: float = 1.0):
+    def __init__(self, particles=None, /, cutoff: float = 1.0,
+                 dense: bool = False):
+        self._use_dense = bool(dense)
         self._build(_coerce_particles(particles), float(cutoff))
 
     # -- construction ------------------------------------------------------
@@ -117,11 +119,32 @@ class CellGrid:
         if n == 0:
             self._grid = None
             self._K = 0
+            self._dense = None
             return
         self._grid = build(
             jnp.asarray(padded), cutoff, valid=jnp.asarray(valid)
         )
         self._K = int(self._grid.bins.max_cell_count())
+        self._refresh_dense()
+
+    # dense key->cell lookup table: the wired sparse-vs-dense GridStorage
+    # axis (reference storage.rs:172-302 sketches it but never wires it).
+    # Opt-in, compact boxes only: O(prod(padded_shape)) memory.
+    _DENSE_MAX = 1 << 22
+
+    def _refresh_dense(self):
+        self._dense = None
+        if not getattr(self, "_use_dense", False) or self._grid is None:
+            return
+        from .core import build_dense_table
+
+        padded = np.asarray(self._grid.info.shape) + 4
+        cap = int(np.prod(padded))
+        if cap > self._DENSE_MAX:
+            return  # fall back to binary search; sparse boxes stay O(n)
+        t = build_dense_table(self._grid.bins, cap)
+        if bool(t.fits):
+            self._dense = t
 
     def rebuild(self, particles, /, cutoff: float | None = None) -> None:
         """Rebuild from new data (reference lib.rs:155-166). Reuses device
@@ -144,6 +167,7 @@ class CellGrid:
             self._pts = pts
             self._cutoff = cut
             self._K = int(self._grid.bins.max_cell_count())
+            self._refresh_dense()
         else:
             self._build(pts, cut)
 
@@ -175,12 +199,14 @@ class CellGrid:
         from .core import count_pairs, materialize_pairs
 
         g = self._grid
-        total = int(count_pairs(g, K=self._K, chunk=min(256, g.bins.max_cells)))
+        total = int(count_pairs(g, K=self._K, chunk=min(256, g.bins.max_cells),
+                                dense=self._dense))
         if total == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
         cap = _round_capacity(total)
         i, j, cnt, overflow = materialize_pairs(
-            g, K=self._K, max_pairs=cap, chunk=min(256, g.bins.max_cells)
+            g, K=self._K, max_pairs=cap, chunk=min(256, g.bins.max_cells),
+            dense=self._dense,
         )
         cnt = int(cnt)
         assert not bool(overflow) and cnt == total
@@ -234,7 +260,9 @@ class CellGrid:
             )
         from .core import query_neighbors
 
-        res = query_neighbors(self._grid, jnp.asarray(points), K=self._K)
+        res = query_neighbors(
+            self._grid, jnp.asarray(points), K=self._K, dense=self._dense
+        )
         ids, mask, ok = np.asarray(res.ids), np.asarray(res.mask), np.asarray(res.valid)
         n = len(self._pts)
         out = []
@@ -258,12 +286,13 @@ class CellGrid:
         g = self._grid
         csq = self._cutoff * self._cutoff
         chunk = min(256, g.bins.max_cells)
-        total = int(count_pairs(g, K=self._K, chunk=chunk, cutoff_sq=csq))
+        total = int(count_pairs(g, K=self._K, chunk=chunk, cutoff_sq=csq,
+                                dense=self._dense))
         if total == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
         i, j, cnt, overflow = materialize_pairs(
             g, K=self._K, max_pairs=_round_capacity(total), chunk=chunk,
-            cutoff_sq=csq,
+            cutoff_sq=csq, dense=self._dense,
         )
         assert not bool(overflow)
         return np.asarray(i)[: int(cnt)], np.asarray(j)[: int(cnt)]
@@ -320,9 +349,14 @@ class CellGrid:
     # -- pickle --------------------------------------------------------------
 
     def __getstate__(self):
-        return {"positions": self._pts, "cutoff": self._cutoff}
+        return {
+            "positions": self._pts,
+            "cutoff": self._cutoff,
+            "dense": self._use_dense,
+        }
 
     def __setstate__(self, state):
+        self._use_dense = bool(state.get("dense", False))
         self._build(np.asarray(state["positions"], np.float64), state["cutoff"])
 
     def __repr__(self):

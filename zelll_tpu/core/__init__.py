@@ -10,6 +10,7 @@ from .geometry import (
     rel_offsets,
 )
 from .binning import Bins, build_bins, compute_keys
+from .dense import DenseTable, build_dense_table, dense_rows_for_keys
 from .grid import CellGridData, build, rebuild
 from .pairs import (
     PairBlock,
@@ -32,6 +33,9 @@ __all__ = [
     "Bins",
     "build_bins",
     "compute_keys",
+    "DenseTable",
+    "build_dense_table",
+    "dense_rows_for_keys",
     "CellGridData",
     "build",
     "rebuild",

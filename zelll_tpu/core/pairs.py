@@ -147,12 +147,18 @@ def scan_cell_chunks(
     K: int,
     chunk: int = 256,
     half: bool = True,
+    dense: "DenseTable | None" = None,
 ):
     """Scan ``body(carry, PairBlock) -> carry`` over occupied-cell chunks.
 
     This is the blockwise streaming skeleton: VMEM-sized chunks of the pair
     structure are produced and consumed without materializing the whole
     candidate set (the long-context analogue noted in SURVEY §5).
+
+    ``dense`` switches neighbor-cell lookup from binary search to the
+    dense key-indexed table (`core.dense.DenseTable`) — the wired form of
+    the reference's sparse-vs-dense `GridStorage` axis (storage.rs:172-302).
+    Check ``dense.fits`` alongside the usual capacity flags.
     """
     b = grid.bins
     mc = b.max_cells
@@ -169,7 +175,13 @@ def scan_cell_chunks(
         own_counts = jnp.where(row_valid, b.cell_counts[rows], 0)
         own_pos, own_slots, own_mask = _gather_window(grid, own_starts, own_counts, K)
 
-        nrows = _neighbor_rows(grid, rows, stencil)  # (B, S)
+        if dense is not None:
+            from .dense import dense_rows_for_keys
+
+            qkeys = b.cell_keys[rows][..., None] + stencil
+            nrows = dense_rows_for_keys(dense, qkeys, mc)  # (B, S)
+        else:
+            nrows = _neighbor_rows(grid, rows, stencil)  # (B, S)
         nb_found = nrows < mc
         gn = jnp.where(nb_found, nrows, 0)
         nb_starts = b.cell_starts[gn]
@@ -199,6 +211,7 @@ def pair_sum(
     chunk: int = 256,
     cutoff_sq=None,
     accum_dtype=None,
+    dense=None,
 ):
     """Sum ``fn(dsq)`` over all unique candidate pairs (optionally distance
     filtered) without materializing a pair list.
@@ -221,7 +234,8 @@ def pair_sum(
         return acc + term(dsq_a, m_a) + term(dsq_e, m_e)
 
     return scan_cell_chunks(
-        grid, body, jnp.zeros((), dtype), K=K, chunk=chunk, half=True
+        grid, body, jnp.zeros((), dtype), K=K, chunk=chunk, half=True,
+        dense=dense,
     )
 
 
@@ -232,6 +246,7 @@ def pair_forces(
     K: int,
     chunk: int = 256,
     cutoff_sq=None,
+    dense=None,
 ):
     """Per-particle pairwise forces, input particle order.
 
@@ -285,7 +300,9 @@ def pair_forces(
 
     # one extra dump row at index n swallows masked scatters
     forces = jnp.zeros((n + 1, dim), dtype)
-    forces = scan_cell_chunks(grid, body, forces, K=K, chunk=chunk, half=True)
+    forces = scan_cell_chunks(
+        grid, body, forces, K=K, chunk=chunk, half=True, dense=dense
+    )
     return grid.unsort(forces[:n])
 
 
@@ -296,6 +313,7 @@ def pair_energy_per_particle(
     K: int,
     chunk: int = 256,
     cutoff_sq=None,
+    dense=None,
 ):
     """Per-particle half-energies e_i = 1/2 sum_j fn(dsq_ij), input order.
 
@@ -325,11 +343,14 @@ def pair_energy_per_particle(
         return acc
 
     acc = jnp.zeros((n + 1,), dtype)
-    acc = scan_cell_chunks(grid, body, acc, K=K, chunk=chunk, half=True)
+    acc = scan_cell_chunks(
+        grid, body, acc, K=K, chunk=chunk, half=True, dense=dense
+    )
     return grid.unsort(acc[:n])
 
 
-def count_pairs(grid: CellGridData, *, K: int, chunk: int = 256, cutoff_sq=None):
+def count_pairs(grid: CellGridData, *, K: int, chunk: int = 256, cutoff_sq=None,
+                dense=None):
     """Number of unique candidate (or distance-filtered) pairs."""
     return pair_sum(
         grid,
@@ -340,6 +361,7 @@ def count_pairs(grid: CellGridData, *, K: int, chunk: int = 256, cutoff_sq=None)
         chunk=chunk,
         cutoff_sq=cutoff_sq,
         accum_dtype=jnp.int64 if jax.config.jax_enable_x64 else jnp.int32,
+        dense=dense,
     )
 
 
@@ -350,6 +372,7 @@ def materialize_pairs(
     max_pairs: int,
     chunk: int = 256,
     cutoff_sq=None,
+    dense=None,
 ):
     """Materialize unique candidate pairs as original-particle-id arrays.
 
@@ -394,6 +417,7 @@ def materialize_pairs(
         K=K,
         chunk=chunk,
         half=True,
+        dense=dense,
     )
     # map sorted slots -> original particle ids (padding slot n -> n)
     sid = jnp.concatenate([grid.sorted_ids, jnp.full((1,), n, jnp.int32)])
@@ -417,7 +441,9 @@ class QueryResult(NamedTuple):
     valid: jax.Array
 
 
-def query_neighbors(grid: CellGridData, points: jax.Array, *, K: int) -> QueryResult:
+def query_neighbors(
+    grid: CellGridData, points: jax.Array, *, K: int, dense=None
+) -> QueryResult:
     """Batched point queries: full-space neighborhood of each query point.
 
     Vmapped analogue of `CellGrid::query_neighbors` (cellgrid.rs:391-401):
@@ -433,10 +459,17 @@ def query_neighbors(grid: CellGridData, points: jax.Array, *, K: int) -> QueryRe
         [jnp.zeros((1,), jnp.int32), full_stencil(grid.info)]
     )  # own cell first, then neighbors in stencil order
     qkeys = keys[:, None] + stencil
-    pos = jnp.searchsorted(b.cell_keys, qkeys).astype(jnp.int32)
-    cpos = jnp.clip(pos, 0, mc - 1)
-    found = (b.cell_keys[cpos] == qkeys) & ok[:, None]
-    rows = jnp.where(found, cpos, 0)
+    if dense is not None:
+        from .dense import dense_rows_for_keys
+
+        drows = dense_rows_for_keys(dense, qkeys, mc)
+        found = (drows < mc) & ok[:, None]
+        rows = jnp.where(found, drows, 0)
+    else:
+        pos = jnp.searchsorted(b.cell_keys, qkeys).astype(jnp.int32)
+        cpos = jnp.clip(pos, 0, mc - 1)
+        found = (b.cell_keys[cpos] == qkeys) & ok[:, None]
+        rows = jnp.where(found, cpos, 0)
     starts = b.cell_starts[rows]
     counts = jnp.where(found, b.cell_counts[rows], 0)
 

@@ -182,9 +182,14 @@ def chunk_bounds(sorted_keys: jax.Array, bands: jax.Array, max_j: int,
 
     jnum = jnp.maximum(hi - lo + 1, 0)
     # the flag also guards the padding-key headroom: real keys at or above
-    # _PAD_KEY_BASE would interleave with padding keys and corrupt windows
-    coverage_ok = (jnp.max(jnum) <= max_j) & (
-        kreal_max < jnp.int32(_PAD_KEY_BASE)
+    # _PAD_KEY_BASE would interleave with padding keys and corrupt windows,
+    # and the ascending-key precondition itself (searchsorted windows are
+    # meaningless on unsorted keys — e.g. ring-wraparound halo ghosts
+    # prepended with the largest keys; flag, never silently drop)
+    coverage_ok = (
+        (jnp.max(jnum) <= max_j)
+        & (kreal_max < jnp.int32(_PAD_KEY_BASE))
+        & jnp.all(sorted_keys[1:] >= sorted_keys[:-1])
     )
     jnum = jnp.minimum(jnum, max_j)
     # clamp the DMA window into range: lo is never negative, and when lo

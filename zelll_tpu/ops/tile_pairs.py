@@ -532,7 +532,10 @@ def _packed_forces_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
         kreal_max = jnp.max(
             jnp.where(keys_p < jnp.int32(_PAD_KEY_BASE), keys_p, -1)
         )
-        cov_ok = cov_ok & (kreal_max < (1 << 24))
+        # negative keys (out-of-box halo ghost rows) must also stay exact
+        cov_ok = cov_ok & (kreal_max < (1 << 24)) & (
+            jnp.min(keys_p) > -(1 << 24)
+        )
 
     kernel = _make_tile_forces_kernel_packed(CB, S, MAXJ, D, gfn, dtype,
                                              split)
@@ -725,7 +728,10 @@ def _packed_core(planes, sorted_keys, strides, cutoff_sq, *, CB, MAXJ, term,
         kreal_max = jnp.max(
             jnp.where(keys_p < jnp.int32(_PAD_KEY_BASE), keys_p, -1)
         )
-        cov_ok = cov_ok & (kreal_max < (1 << 24))
+        # negative keys (out-of-box halo ghost rows) must also stay exact
+        cov_ok = cov_ok & (kreal_max < (1 << 24)) & (
+            jnp.min(keys_p) > -(1 << 24)
+        )
 
     kernel = _make_tile_kernel_packed(
         CB, S, MAXJ, D, term, dtype, out_dtype, split, kahan, distributed

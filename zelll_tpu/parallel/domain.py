@@ -203,6 +203,50 @@ def _lag_ok_ext(keys_ext, strides, L, H_eff, n_loc):
     return jnp.all(diff_ok | ~genuine)
 
 
+def _wrap_safe_ghosts(gl, gr, info, cutoff, H_eff):
+    """Replace ring-wraparound ghosts with key-safe out-of-box rows.
+
+    Device 0's left ghosts come from device D-1 (and D-1's right ghosts
+    from device 0): spatially distant rows whose keys break the
+    ascending-key precondition of the tile kernel's searchsorted window
+    bounds (`segments.chunk_bounds`). The lag kernel tolerates them (its
+    key-difference filter excludes them); the tile kernel must not see
+    them. Substitute rows stacked along -z below the box (left) / +z
+    above it (right), ascending in slot, mutually >= 2*cutoff apart and
+    >= 4*cutoff from the box — so keys stay ascending and no pair within
+    the cutoff can involve them.
+    """
+    nd = jax.lax.axis_size(AXIS)
+    idx = jax.lax.axis_index(AXIS)
+    if nd == 1 or gl.shape[0] == 0:
+        return gl, gr
+    dt = gl.dtype
+    c = jnp.asarray(cutoff, dt)
+    r = jnp.arange(H_eff, dtype=dt)
+    inf, sup = info.aabb.inf.astype(dt), info.aabb.sup.astype(dt)
+    xy = jnp.broadcast_to(inf[:2], (H_eff, 2))
+    z_lo = inf[2] - 2.0 * c * (jnp.asarray(H_eff, dt) - r + 1.0)
+    z_hi = sup[2] + 2.0 * c * (r + 2.0)
+    below = jnp.concatenate([xy, z_lo[:, None]], axis=1)
+    above = jnp.concatenate([xy, z_hi[:, None]], axis=1)
+    gl = jnp.where(idx == 0, below, gl)
+    gr = jnp.where(idx == nd - 1, above, gr)
+    return gl, gr
+
+
+def _tile_energy_ext(gl, pos_s, info, csq, H_eff, MAXJ, interpret):
+    """Owned-pair LJ energy over [left ghosts | own] via the tile kernel
+    (larger-slot ownership through min_islot)."""
+    from ..ops.tile_pairs import tile_pair_reduce
+
+    ext = jnp.concatenate([gl, pos_s], axis=0)
+    keys_ext = compute_keys(ext, info)
+    return tile_pair_reduce(
+        ext, keys_ext, info.strides, csq, MAXJ=MAXJ, interpret=interpret,
+        min_islot=H_eff,
+    )
+
+
 def sharded_md_step(
     mesh: Mesh,
     *,
@@ -212,6 +256,8 @@ def sharded_md_step(
     dt: float = 1e-4,
     chunk: int = 64,
     use_pallas: bool = False,
+    use_tile: bool = False,
+    MAXJ: int = 8,
     M: int = 4096,
     L: int = 256,
     interpret: bool = False,
@@ -253,6 +299,25 @@ def sharded_md_step(
             bins.sorted_keys, info.strides, H_eff, both_sides=True
         )
 
+        if use_tile:
+            from ..ops.tile_pairs import tile_pair_forces
+
+            gl_s, gr_s = _wrap_safe_ghosts(gl, gr, info, cutoff, H_eff)
+            ext_t = jnp.concatenate([gl_s, pos_s, gr_s], axis=0)
+            keys_ext = compute_keys(ext_t, info)
+            f, cap_ok_t = tile_pair_forces(
+                ext_t, keys_ext, info.strides, csq, MAXJ=MAXJ,
+                gfn=lj_force_factor, interpret=interpret,
+            )
+            f_own = f[H_eff : H_eff + n_loc]
+            e_loc, cap_ok_e = _tile_energy_ext(
+                gl_s, pos_s, info, csq, H_eff, MAXJ, interpret
+            )
+            energy = jax.lax.psum(e_loc, AXIS)
+            coverage_ok = _all_ok(halo_ok & cap_ok_t & cap_ok_e)
+            vel_new = vel_s + dt * f_own
+            pos_new = pos_s + dt * vel_new
+            return pos_new, vel_new, energy, coverage_ok
         if use_pallas:
             keys_ext = compute_keys(ext, info)
             f = pair_lag_forces(
@@ -471,6 +536,8 @@ def sharded_lj_energy(
     K: int = 32,
     chunk: int = 64,
     use_pallas: bool = False,
+    use_tile: bool = False,
+    MAXJ: int = 8,
     M: int = 4096,
     L: int = 256,
     interpret: bool = False,
@@ -478,8 +545,10 @@ def sharded_lj_energy(
     """Jitted global LJ energy over slab-sharded positions (exact).
 
     Returns (energy, coverage_ok); see `sharded_md_step` for the flag's
-    contract. The Pallas path consumes left ghosts only (larger-slot
-    ownership), so its halo check is one-sided.
+    contract. The Pallas lag path (``use_pallas``) and the segment-tile
+    path (``use_tile``, the cubic/wide-box kernel with MAXJ as its window
+    capacity) consume left ghosts only (larger-slot ownership), so their
+    halo check is one-sided.
     """
 
     def local(pos):
@@ -490,8 +559,15 @@ def sharded_lj_energy(
         csq = jnp.asarray(cutoff, pos.dtype) ** 2
         n_loc = pos_s.shape[0]
         halo_ok = halo_coverage_ok(
-            bins.sorted_keys, info.strides, H_eff, both_sides=not use_pallas
+            bins.sorted_keys, info.strides, H_eff,
+            both_sides=not (use_pallas or use_tile),
         )
+        if use_tile:
+            gl_s, _ = _wrap_safe_ghosts(gl, gr, info, cutoff, H_eff)
+            e_loc, cap_ok = _tile_energy_ext(
+                gl_s, pos_s, info, csq, H_eff, MAXJ, interpret
+            )
+            return jax.lax.psum(e_loc, AXIS), _all_ok(halo_ok & cap_ok)
         if use_pallas:
             ext = jnp.concatenate([gl, pos_s], axis=0)
             keys_ext = compute_keys(ext, info)
