@@ -182,3 +182,44 @@ def test_md_step_cubic_tile_matches_md_step_cubic():
         return a[np.lexsort(a.T[::-1])]
 
     np.testing.assert_allclose(canon(s1), canon(s2), rtol=2e-4, atol=2e-6)
+
+
+def test_md_run_skin_tile_matches_skin_lag():
+    """The cubic steady-state loop (tile forces + skin reuse) must track
+    the lag-kernel skin loop: same trajectory (up to slot permutation),
+    same energy, and the drift bound actually trips with a tiny skin.
+    (A perturbed lattice, not uniform random: overlapping pairs make the
+    trajectory explode and the key space overflow — which the coverage
+    flag correctly refuses.)"""
+    from zelll_tpu.models.lj_md import md_run_skin, md_run_skin_tile
+
+    rng = np.random.default_rng(23)
+    cutoff, dt, steps = 1.0, 2e-3, 8
+    g = np.stack(
+        np.meshgrid(*(np.arange(7),) * 3, indexing="ij"), -1
+    ).reshape(-1, 3) * 1.15  # cubic lattice, no overlaps
+    pts = g + rng.uniform(-0.03, 0.03, g.shape)
+    vel = rng.normal(0, 0.3, pts.shape)
+    st0 = MDState(positions=jnp.asarray(pts), velocities=jnp.asarray(vel))
+
+    st_ref, ok_ref, e_ref, nrb_ref = md_run_skin(
+        st0, cutoff, dt, steps=steps, skin=0.3, M=512, L=512, interpret=True
+    )
+    st_t, ok_t, e_t, nrb_t = md_run_skin_tile(
+        st0, cutoff, dt, steps=steps, skin=0.3, CB=2, MAXJ=8, interpret=True
+    )
+    assert bool(ok_ref) and bool(ok_t)
+    np.testing.assert_allclose(float(e_t), float(e_ref), rtol=1e-9)
+    order = lambda x: x[np.lexsort((x[:, 2], x[:, 1], x[:, 0]))]
+    np.testing.assert_allclose(
+        order(np.asarray(st_t.positions)),
+        order(np.asarray(st_ref.positions)),
+        rtol=1e-8, atol=1e-11,
+    )
+
+    # tiny skin: rebuilds must actually fire and results must still agree
+    st_t2, ok2, e2, nrb2 = md_run_skin_tile(
+        st0, cutoff, dt, steps=steps, skin=0.02, CB=2, MAXJ=8, interpret=True
+    )
+    assert bool(ok2) and int(nrb2) >= 1
+    np.testing.assert_allclose(float(e2), float(e_ref), rtol=1e-9)

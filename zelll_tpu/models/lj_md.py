@@ -36,6 +36,7 @@ __all__ = [
     "md_run",
     "md_step_split",
     "md_run_skin",
+    "md_run_skin_tile",
     "md_step_cubic",
     "md_step_cubic_tile",
 ]
@@ -293,6 +294,101 @@ def md_run_skin(
     )
     ok = ok & lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
     return MDState(positions=spos, velocities=svel), ok, energy, nrb
+
+
+@partial(jax.jit, static_argnames=("steps", "CB", "MAXJ", "interpret"))
+def md_run_skin_tile(
+    state: MDState,
+    cutoff,
+    dt,
+    *,
+    steps: int,
+    skin: float = 0.5,
+    CB: int = 8,
+    MAXJ: int = 8,
+    interpret: bool = False,
+):
+    """Steady-state MD for cubic/wide boxes: Verlet-skin grid reuse over
+    the segment-tile forces kernel (the box-shape-robust sibling of
+    `md_run_skin`; same drift invariant and rebuild-on-demand contract).
+
+    Steps between rebuilds run sort-free — the packed forces kernel on the
+    stale sorted planes with the stale keys/bands; a pair within ``cutoff``
+    now was within ``cutoff + skin`` at build time, so it is inside the
+    skin grid's cell-adjacency bands. State is carried as per-coordinate
+    planes so steady steps never pay the (n, 3) stack/transpose.
+
+    Returns (state, all_covered, energy, n_rebuilds).
+    """
+    from ..core.geometry import GridInfo, aabb_from_positions
+    from ..ops.tile_pairs import _packed_forces_core, tile_pair_reduce
+
+    dim = state.positions.shape[1]
+    dtype = state.positions.dtype
+    edge = jnp.asarray(cutoff, dtype) + jnp.asarray(skin, dtype)
+    csq = jnp.asarray(cutoff, dtype) ** 2
+    half_skin_sq = (jnp.asarray(skin, dtype) / 2) ** 2
+
+    def do_build(pos_pl, vel_pl):
+        pos = jnp.stack(pos_pl, axis=-1)
+        stacked = jnp.concatenate([pos, jnp.stack(vel_pl, axis=-1)], axis=1)
+        info = GridInfo.create(aabb_from_positions(pos), edge)
+        bins, planes = bin_and_sort(
+            stacked, edge, max_cells=1, need_perm=False, stacked=False,
+            info=info,
+        )
+        return (
+            tuple(planes[:dim]),
+            tuple(planes[dim:]),
+            bins.sorted_keys,
+            bins.info.strides,
+        )
+
+    pos0 = tuple(state.positions[:, a] for a in range(dim))
+    vel0 = tuple(state.velocities[:, a] for a in range(dim))
+    spos, svel, keys, strides = do_build(pos0, vel0)
+
+    def body(carry, _):
+        spos, svel, ref, keys, strides, okacc, nrb = carry
+        drift_sq = sum((spos[a] - ref[a]) ** 2 for a in range(dim))
+        need = jnp.max(drift_sq) > half_skin_sq
+
+        def rebuilt(_):
+            p, v, k, s = do_build(spos, svel)
+            return p, v, p, k, s, nrb + 1
+
+        def reuse(_):
+            return spos, svel, ref, keys, strides, nrb
+
+        spos2, svel2, ref2, keys2, strides2, nrb2 = jax.lax.cond(
+            need, rebuilt, reuse, None
+        )
+        f_pl, ok = _packed_forces_core(
+            list(spos2), keys2, strides2, csq,
+            CB=CB, MAXJ=MAXJ, gfn=lj_force_factor, interpret=interpret,
+            split=False,
+        )
+        vel_new = tuple(svel2[a] + dt * f_pl[a] for a in range(dim))
+        pos_new = tuple(spos2[a] + dt * vel_new[a] for a in range(dim))
+        return (pos_new, vel_new, ref2, keys2, strides2, okacc & ok, nrb2), None
+
+    init = (spos, svel, spos, keys, strides, jnp.asarray(True), jnp.asarray(0, jnp.int32))
+    (spos, svel, _, _, _, ok, nrb), _ = jax.lax.scan(
+        body, init, None, length=steps
+    )
+
+    pos_f = jnp.stack(spos, axis=-1)
+    bins, spos_f = bin_and_sort(pos_f, cutoff, max_cells=1, need_perm=False)
+    energy, ok_e = tile_pair_reduce(
+        spos_f, bins.sorted_keys, bins.info.strides, csq,
+        MAXJ=MAXJ, interpret=interpret,
+    )
+    return (
+        MDState(positions=pos_f, velocities=jnp.stack(svel, axis=-1)),
+        ok & ok_e,
+        energy,
+        nrb,
+    )
 
 
 @partial(jax.jit, static_argnames=("T", "M", "L", "interpret"))
