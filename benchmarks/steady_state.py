@@ -18,6 +18,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 
 def lattice_cloud(n, box, rng):
     """Perturbed lattice filling `box` with ~n points (no overlaps)."""
@@ -65,6 +67,7 @@ def main():
     n = int(float(sys.argv[1])) if len(sys.argv) > 1 else int(1e7)
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     skin = float(os.environ.get("SS_SKIN", "0.5"))
+    maxj = int(os.environ.get("SS_MAXJ", "12"))
     dt = float(os.environ.get("SS_DT", "1e-4"))
     cutoff = 10.0
     rng = np.random.default_rng(0)
@@ -90,7 +93,7 @@ def main():
         else:
             full = None  # full-rebuild cubic baseline is md_step_cubic_tile x steps
             skinf = lambda s: md_run_skin_tile(
-                s, cutoff, dt, steps=steps, skin=skin, MAXJ=8
+                s, cutoff, dt, steps=steps, skin=skin, MAXJ=maxj
             )
         t_skin, out = time_loop(skinf, st)
         st2, ok, e, nrb = out

@@ -296,7 +296,7 @@ def md_run_skin(
     return MDState(positions=spos, velocities=svel), ok, energy, nrb
 
 
-@partial(jax.jit, static_argnames=("steps", "CB", "MAXJ", "interpret"))
+@partial(jax.jit, static_argnames=("steps", "CB", "MAXJ", "interpret", "fast"))
 def md_run_skin_tile(
     state: MDState,
     cutoff,
@@ -307,6 +307,7 @@ def md_run_skin_tile(
     CB: int = 8,
     MAXJ: int = 8,
     interpret: bool = False,
+    fast: bool = False,
 ):
     """Steady-state MD for cubic/wide boxes: Verlet-skin grid reuse over
     the segment-tile forces kernel (the box-shape-robust sibling of
@@ -321,8 +322,10 @@ def md_run_skin_tile(
     Returns (state, all_covered, energy, n_rebuilds).
     """
     from ..core.geometry import GridInfo, aabb_from_positions
+    from ..ops.lj import lj_force_factor_fast
     from ..ops.tile_pairs import _packed_forces_core, tile_pair_reduce
 
+    gfn = lj_force_factor_fast if fast else lj_force_factor
     dim = state.positions.shape[1]
     dtype = state.positions.dtype
     edge = jnp.asarray(cutoff, dtype) + jnp.asarray(skin, dtype)
@@ -365,7 +368,7 @@ def md_run_skin_tile(
         )
         f_pl, ok = _packed_forces_core(
             list(spos2), keys2, strides2, csq,
-            CB=CB, MAXJ=MAXJ, gfn=lj_force_factor, interpret=interpret,
+            CB=CB, MAXJ=MAXJ, gfn=gfn, interpret=interpret,
             split=False,
         )
         vel_new = tuple(svel2[a] + dt * f_pl[a] for a in range(dim))
@@ -416,7 +419,7 @@ def md_step_cubic(
     return MDState(positions=pos_new, velocities=vel_new), ok
 
 
-@partial(jax.jit, static_argnames=("CB", "MAXJ", "interpret"))
+@partial(jax.jit, static_argnames=("CB", "MAXJ", "interpret", "fast"))
 def md_step_cubic_tile(
     state: MDState,
     cutoff,
@@ -425,6 +428,7 @@ def md_step_cubic_tile(
     CB: int = 8,
     MAXJ: int = 8,
     interpret: bool = False,
+    fast: bool = False,
 ):
     """MD step for cubic/wide boxes via the segment-tile forces kernel
     (`ops.tile_pairs.tile_pair_forces`): like the thin-box `md_step`,
@@ -432,9 +436,10 @@ def md_step_cubic_tile(
     between steps (no duplication, no owner-copy extraction — the tile
     kernel's full-stencil bands give per-particle forces directly).
     Returns (new_state, coverage_ok)."""
-    from ..ops.lj import lj_force_factor
+    from ..ops.lj import lj_force_factor, lj_force_factor_fast
     from ..ops.tile_pairs import _packed_forces_core
 
+    gfn = lj_force_factor_fast if fast else lj_force_factor
     pos, vel = state.positions, state.velocities
     dim = pos.shape[1]
     csq = jnp.asarray(cutoff, pos.dtype) ** 2
@@ -452,7 +457,7 @@ def md_step_cubic_tile(
     )
     fplanes, ok = _packed_forces_core(
         list(planes[:dim]), bins.sorted_keys, bins.info.strides, csq,
-        CB=CB, MAXJ=MAXJ, gfn=lj_force_factor, interpret=interpret,
+        CB=CB, MAXJ=MAXJ, gfn=gfn, interpret=interpret,
         split=False,
     )
     vel_new = [planes[dim + a] + dt * fplanes[a] for a in range(dim)]

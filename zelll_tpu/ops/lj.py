@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..core.grid import CellGridData
 from ..core.pairs import pair_forces, pair_sum
 
-__all__ = ["lj", "lj_force_factor", "lj_energy", "lj_forces"]
+__all__ = ["lj", "lj_force_factor", "lj_force_factor_fast", "lj_energy", "lj_forces"]
 
 
 def lj(dsq):
@@ -33,6 +33,18 @@ def lj_force_factor(dsq):
     """
     inv = 1.0 / dsq
     t = inv**3
+    return 24.0 * t * (2.0 * t - 1.0) * inv
+
+
+def lj_force_factor_fast(dsq):
+    """`lj_force_factor` with the divide replaced by rsqrt (hardware-fast
+    on the VPU, ~2-3 ulp) — the forces sibling of
+    `pallas_pairs.lj_term_fast`; for the f32 headline mode only."""
+    import jax
+
+    r = jax.lax.rsqrt(dsq)
+    inv = r * r
+    t = inv * inv * inv
     return 24.0 * t * (2.0 * t - 1.0) * inv
 
 
