@@ -67,7 +67,7 @@ def main():
     n = int(float(sys.argv[1])) if len(sys.argv) > 1 else int(1e7)
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     skin = float(os.environ.get("SS_SKIN", "0.5"))
-    maxj = int(os.environ.get("SS_MAXJ", "12"))
+    maxj = int(os.environ.get("SS_MAXJ", "20"))
     dt = float(os.environ.get("SS_DT", "1e-4"))
     cutoff = 10.0
     rng = np.random.default_rng(0)
@@ -91,7 +91,22 @@ def main():
                 s, cutoff, dt, steps=steps, skin=skin, M=16384, L=256
             )
         else:
-            full = None  # full-rebuild cubic baseline is md_step_cubic_tile x steps
+            import jax.lax as lax
+
+            from zelll_tpu.models.lj_md import md_step_cubic_tile
+
+            def full(s0):
+                def body(carry, _):
+                    st, okacc = carry
+                    st, ok = md_step_cubic_tile(st, cutoff, dt, MAXJ=maxj)
+                    return (st, okacc & ok), None
+
+                (st, ok), _ = lax.scan(
+                    body, (s0, jnp.asarray(True)), None, length=steps
+                )
+                return st, ok, jnp.sum(st.positions[0])  # scalar for sync
+
+            full = jax.jit(full)
             skinf = lambda s: md_run_skin_tile(
                 s, cutoff, dt, steps=steps, skin=skin, MAXJ=maxj
             )

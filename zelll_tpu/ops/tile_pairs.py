@@ -384,11 +384,22 @@ def _make_tile_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
 
 
 def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
-                                    gfn: Callable, dtype, split: bool):
+                                    gfn: Callable, dtype, split: bool,
+                                    fast_form: bool = False):
     """Packed-layout forces kernel: full (mirrored) bands, i-side
     accumulation, own-side broadcasts hoisted per chunk, 8-row j blocks
     (see `_make_tile_kernel_packed`). Per-partner row sums ride the MXU
-    (one (128,128)x(128,1) contraction per coordinate per tile)."""
+    (one (128,128)x(128,1) contraction per coordinate per tile).
+
+    ``fast_form`` uses the refactored sum
+    ``f_i^a = own_a_i * sum_j g_ij - sum_j g_ij j_a_j``: ONE
+    (128,128)x(ncoord+1,128) lane-contraction per tile replaces the three
+    elementwise g*d products and three skinny matmuls. The two terms are
+    O(|coord|) each while their difference is O(cutoff), so it reintroduces
+    the coordinate-magnitude cancellation (~|coord|/cutoff * 2^-24 rel) —
+    the same class as plain-f32 coordinate rounding; for the f32 fast mode
+    only, never with split precision."""
+    assert not (fast_form and split)
     ncoord = D // 2 if split else D
 
     def kernel(bands_ref, csq_ref, bounds_ref, own8_ref, jarr_ref,
@@ -456,7 +467,8 @@ def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
                         if split:
                             da = da + (own_cols[a + ncoord]
                                        - blk[a + ncoord : a + ncoord + 1, :])
-                        d.append(da)
+                        if not fast_form:
+                            d.append(da)
                         dsq = dsq + da * da
                     # dsq > 0 excludes self and coincident particles
                     # (pair_lag_forces semantics; LJ diverges there)
@@ -466,6 +478,23 @@ def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
                         gfn(jnp.where(m, dsq, jnp.ones_like(dsq))),
                         jnp.zeros((CHUNK, CHUNK), dtype),
                     )
+                    if fast_form:
+                        # [rowsum | sum_j g*j_a]: one lane-contraction
+                        c4 = jnp.concatenate(
+                            [ones_row] + [blk[a : a + 1, :]
+                                          for a in range(ncoord)],
+                            axis=0,
+                        )  # (ncoord+1, 128)
+                        res = jax.lax.dot_general(
+                            g, c4, (((1,), (1,)), ((), ())),
+                            preferred_element_type=dtype,
+                        )  # (128, ncoord+1)
+                        rowsum = res[:, 0:1]
+                        for a in range(ncoord):
+                            fa = (own_cols[a][:, 0:1] * rowsum
+                                  - res[:, a + 1 : a + 2])
+                            facc[o0 : o0 + CHUNK, a : a + 1] += fa
+                        return 0
                     for a in range(ncoord):
                         fa = jax.lax.dot_general(
                             g * d[a], ones_row,
@@ -489,7 +518,7 @@ def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
 
 
 def _packed_forces_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
-                        MAXJ, gfn, interpret, split):
+                        MAXJ, gfn, interpret, split, fast_form=False):
     """Packed forces pipeline over per-coordinate planes; returns
     ([dim (n,) force planes], coverage_ok) — planes, so large-n callers
     never materialize a lane-padded (n, dim) pallas operand."""
@@ -538,7 +567,7 @@ def _packed_forces_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
         )
 
     kernel = _make_tile_forces_kernel_packed(CB, S, MAXJ, D, gfn, dtype,
-                                             split)
+                                             split, fast_form=fast_form)
     fout = pl.pallas_call(
         kernel,
         grid=(nc_pad // CB,),
