@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Real-hardware parity sweep: every kernel path vs the exact-f64 C++
+oracle, ON THE REAL TPU BACKEND (no interpret mode).
+
+Motivation: interpret mode computes full f32 on the CPU and cannot see
+hardware-only behavior — Mosaic's default one-bf16-pass matmul silently
+destroyed a forces-kernel variant (~0.5 rel err) while every
+interpret-mode test passed (see CLAUDE.md "Mosaic f32 matmul" rule).
+This sweep is the regression net for that class of bug: run it after
+touching any kernel.
+
+Prints one line per (path, box) with the relative error vs the oracle
+and a PASS/FAIL verdict; exits nonzero on any FAIL. Writes a CSV when
+OUT is set. Sizes are small (PARITY_N=2500 default) so every path
+compiles quickly and the sweep stays under ~10 min cold / ~1 min warm
+(compilation cache).
+
+Thresholds: plain-f32 paths inherit the coordinate-cancellation bound
+(~|coord| * 2^-24 per separation, amplified by LJ stiffness), split
+(f32x2) paths must reach ~1e-6, pair counts must be integer-exact.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from zelll_tpu import oracle
+from zelll_tpu.core import build
+from zelll_tpu.core.binning import bin_and_sort
+from zelll_tpu.core.pairs import pair_sum
+from zelll_tpu.ops.fused import fused_lj_rebuild_energy
+from zelll_tpu.ops.lj import lj
+from zelll_tpu.ops.pallas_pairs import (
+    combine_count,
+    count_term,
+    lag_coverage_ok,
+    pair_lag_forces,
+)
+from zelll_tpu.ops.tile_pairs import (
+    tile_count_pairs,
+    tile_lj_rebuild_energy,
+    tile_pair_forces,
+)
+
+N = int(os.environ.get("PARITY_N", "2500"))
+CUTOFF = 10.0
+BOXES = {
+    # thin: the lag kernel's home turf
+    "thin": (30.0, 30.0, N / 0.01 / 900.0),
+    # cubic: the tile kernel's home turf
+    "cubic": ((N / 0.01) ** (1 / 3),) * 3,
+}
+
+results = []
+
+
+def check(name, rel_err, tol, extra=""):
+    ok = rel_err <= tol
+    results.append((name, rel_err, tol, ok))
+    print(f"{'PASS' if ok else 'FAIL'}  {name:28s} rel_err={rel_err:.3e} "
+          f"(tol {tol:.0e}) {extra}", flush=True)
+
+
+def brute_ref(pts64, cutoff):
+    d = pts64[:, None] - pts64[None, :]
+    dsq = (d * d).sum(-1)
+    m = (dsq < cutoff**2) & np.tri(len(pts64), k=-1, dtype=bool)
+    inv = np.where(m, 1.0 / np.where(m, dsq, 1.0), 0.0)
+    t = inv**3
+    return float((4 * t * (t - 1)).sum()), int(m.sum())
+
+
+def ref_forces(spos64, cutoff):
+    if oracle.available():
+        return oracle.forces(np.ascontiguousarray(spos64), cutoff)
+    d = spos64[:, None] - spos64[None, :]
+    dsq = (d * d).sum(-1)
+    m = (dsq < cutoff**2) & ~np.eye(len(spos64), dtype=bool)
+    inv = np.where(m, 1.0 / np.where(m, dsq, 1.0), 0.0)
+    t = inv**3
+    gf = np.where(m, 24 * t * (2 * t - 1) * inv, 0.0)
+    return (d * gf[..., None]).sum(axis=1)
+
+
+def main():
+    print(f"backend={jax.default_backend()} n={N} cutoff={CUTOFF}",
+          flush=True)
+    rng = np.random.default_rng(42)
+    for boxname, box in BOXES.items():
+        pts64 = rng.uniform(0, 1, (N, 3)) * np.asarray(box)
+        if oracle.available():
+            e_ref, n_ref = oracle.lj_energy(pts64, CUTOFF)
+        else:
+            e_ref, n_ref = brute_ref(pts64, CUTOFF)
+
+        hi = jnp.asarray(pts64, jnp.float32)
+        lo = jnp.asarray(pts64 - np.asarray(hi, np.float64), jnp.float32)
+
+        # sorted planes: hi keys drive the binning, lo rides as payload
+        bins, cols = bin_and_sort(
+            jnp.concatenate([hi, lo], axis=1), CUTOFF, max_cells=1,
+            need_perm=False,
+        )
+        shi, slo = cols[:, :3], cols[:, 3:6]
+        skeys, strides = bins.sorted_keys, bins.info.strides
+        spos64 = np.asarray(shi, np.float64) + np.asarray(slo, np.float64)
+        f_ref = ref_forces(spos64, CUTOFF)
+        fscale = np.abs(f_ref).max() + 1e-30
+        f_ref32 = ref_forces(np.asarray(shi, np.float64), CUTOFF)
+
+        # |coord|-cancellation bound for plain-f32 paths in this box
+        f32_tol = max(np.max(box) * 2**-24 / CUTOFF * 300, 3e-5)
+        csq = CUTOFF**2
+
+        e, ok = fused_lj_rebuild_energy(hi, CUTOFF, M=4096, L=1024)
+        assert bool(ok)
+        check(f"lag_energy_f32[{boxname}]",
+              abs(float(e) - e_ref) / abs(e_ref), f32_tol)
+
+        e, ok = fused_lj_rebuild_energy(hi, CUTOFF, lo, M=4096, L=1024)
+        assert bool(ok)
+        check(f"lag_energy_split[{boxname}]",
+              abs(float(e) - e_ref) / abs(e_ref), 2e-6)
+
+        packed, ok = fused_lj_rebuild_energy(
+            hi, CUTOFF, lo, M=4096, L=1024, term=count_term,
+            out_dtype=jnp.int32)
+        assert bool(ok)
+        check(f"lag_count_split[{boxname}]",
+              abs(combine_count(packed) - n_ref) / n_ref, 1e-6)
+
+        assert bool(lag_coverage_ok(skeys, strides, 1024))
+        f = pair_lag_forces(shi, skeys, strides, csq, slo, M=4096, L=1024)
+        check(f"lag_forces_split[{boxname}]",
+              np.abs(np.asarray(f, np.float64) - f_ref).max() / fscale,
+              2e-6)
+
+        f = pair_lag_forces(shi, skeys, strides, csq, M=4096, L=1024)
+        check(f"lag_forces_f32[{boxname}]",
+              np.abs(np.asarray(f, np.float64) - f_ref32).max() / fscale,
+              f32_tol)
+
+        packed, ok = tile_count_pairs(shi, skeys, strides, csq, MAXJ=24)
+        assert bool(ok)
+        check(f"tile_count[{boxname}]",
+              abs(combine_count(np.asarray(packed)) - n_ref) / n_ref, 0.0,
+              extra="(integer-exact)")
+
+        e, ok = tile_lj_rebuild_energy(hi, CUTOFF, MAXJ=24)
+        assert bool(ok)
+        check(f"tile_energy_f32[{boxname}]",
+              abs(float(e) - e_ref) / abs(e_ref), f32_tol)
+
+        e, ok = tile_lj_rebuild_energy(hi, CUTOFF, lo, MAXJ=24)
+        assert bool(ok)
+        check(f"tile_energy_split[{boxname}]",
+              abs(float(e) - e_ref) / abs(e_ref), 2e-6)
+
+        f, ok = tile_pair_forces(shi, skeys, strides, csq, MAXJ=24)
+        assert bool(ok)
+        check(f"tile_forces_f32[{boxname}]",
+              np.abs(np.asarray(f, np.float64) - f_ref32).max() / fscale,
+              f32_tol)
+
+        f, ok = tile_pair_forces(shi, skeys, strides, csq, slo, MAXJ=24)
+        assert bool(ok)
+        check(f"tile_forces_split[{boxname}]",
+              np.abs(np.asarray(f, np.float64) - f_ref).max() / fscale,
+              2e-6)
+
+        grid = build(hi, CUTOFF)
+        e = pair_sum(grid, lj, K=64, cutoff_sq=csq)
+        check(f"xla_pair_sum[{boxname}]",
+              abs(float(e) - e_ref) / abs(e_ref), f32_tol)
+
+    n_fail = sum(1 for *_, ok in results if not ok)
+    print(f"{len(results) - n_fail}/{len(results)} PASS", flush=True)
+    out = os.environ.get("OUT")
+    if out:
+        with open(out, "w") as fh:
+            fh.write("path,rel_err,tol,pass\n")
+            for name, err, tol, ok in results:
+                fh.write(f"{name},{err:.6e},{tol:.1e},{int(ok)}\n")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

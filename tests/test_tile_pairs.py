@@ -146,6 +146,27 @@ def test_tile_forces_split_precision():
                                atol=1e-6 * scale)
 
 
+def test_tile_forces_fast_gfn():
+    # the `fast` MD mode swaps the exact force factor for the
+    # rsqrt-polynomial one; forces must stay within ~1e-6 of exact
+    from zelll_tpu.ops.lj import lj_force_factor_fast
+    from zelll_tpu.ops.tile_pairs import tile_pair_forces
+
+    n, box, cutoff = CASES[0]
+    rng = np.random.default_rng(n + 1)
+    pts = rng.uniform(0, 1, (n, 3)) * np.asarray(box)
+    grid = build(jnp.asarray(pts, jnp.float32), cutoff)
+    f_fast, ok = tile_pair_forces(
+        grid.sorted_pos, grid.bins.sorted_keys, grid.info.strides,
+        cutoff**2, gfn=lj_force_factor_fast, CB=2, MAXJ=6, interpret=True,
+    )
+    assert bool(ok)
+    f_ref = _brute_lj_forces(np.asarray(grid.sorted_pos, np.float64), cutoff)
+    scale = np.abs(f_ref).max() + 1e-30
+    np.testing.assert_allclose(np.asarray(f_fast), f_ref, rtol=1e-4,
+                               atol=1e-4 * scale)
+
+
 def test_tile_min_islot_splits_ownership():
     # pairs owned by the larger-slot endpoint: counts with min_islot=k and
     # the complement (ghost region) must add up to the total

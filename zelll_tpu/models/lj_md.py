@@ -369,7 +369,7 @@ def md_run_skin_tile(
         f_pl, ok = _packed_forces_core(
             list(spos2), keys2, strides2, csq,
             CB=CB, MAXJ=MAXJ, gfn=gfn, interpret=interpret,
-            split=False, fast_form=fast,
+            split=False,
         )
         vel_new = tuple(svel2[a] + dt * f_pl[a] for a in range(dim))
         pos_new = tuple(spos2[a] + dt * vel_new[a] for a in range(dim))
@@ -458,7 +458,7 @@ def md_step_cubic_tile(
     fplanes, ok = _packed_forces_core(
         list(planes[:dim]), bins.sorted_keys, bins.info.strides, csq,
         CB=CB, MAXJ=MAXJ, gfn=gfn, interpret=interpret,
-        split=False, fast_form=fast,
+        split=False,
     )
     vel_new = [planes[dim + a] + dt * fplanes[a] for a in range(dim)]
     pos_new = [planes[a] + dt * vel_new[a] for a in range(dim)]

@@ -384,22 +384,24 @@ def _make_tile_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
 
 
 def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
-                                    gfn: Callable, dtype, split: bool,
-                                    fast_form: bool = False):
+                                    gfn: Callable, dtype, split: bool):
     """Packed-layout forces kernel: full (mirrored) bands, i-side
     accumulation, own-side broadcasts hoisted per chunk, 8-row j blocks
     (see `_make_tile_kernel_packed`). Per-partner row sums ride the MXU
     (one (128,128)x(128,1) contraction per coordinate per tile).
 
-    ``fast_form`` uses the refactored sum
-    ``f_i^a = own_a_i * sum_j g_ij - sum_j g_ij j_a_j``: ONE
-    (128,128)x(ncoord+1,128) lane-contraction per tile replaces the three
-    elementwise g*d products and three skinny matmuls. The two terms are
-    O(|coord|) each while their difference is O(cutoff), so it reintroduces
-    the coordinate-magnitude cancellation (~|coord|/cutoff * 2^-24 rel) —
-    the same class as plain-f32 coordinate rounding; for the f32 fast mode
-    only, never with split precision."""
-    assert not (fast_form and split)
+    A "fast_form" variant — refactoring ``f_i = sum_j g*(own-j)`` into
+    ``own * sum_j g - sum_j g*j`` so ONE ``g @ jblock`` contraction per
+    tile replaces the three elementwise g*d products and skinny matmuls —
+    was tried and REMOVED: Mosaic's default f32 matmul runs one bf16
+    pass, which rounds the coordinate operand and amplifies through the
+    O(|coord|)-term cancellation to ~0.5 relative force error (measured
+    on hardware; interpret mode computes full f32 and cannot see it).
+    ``Precision.HIGH`` is unimplemented in Mosaic, and ``HIGHEST``
+    (6 bf16 passes, ~46 ms each at n=1e7) costs more than the elementwise
+    work it saves (679 ms vs 575 ms per cubic MD step). Contractions with
+    a ones vector (as used below) are precision-safe: the products are
+    formed on the VPU in f32 and the MXU only sums."""
     ncoord = D // 2 if split else D
 
     def kernel(bands_ref, csq_ref, bounds_ref, own8_ref, jarr_ref,
@@ -467,8 +469,7 @@ def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
                         if split:
                             da = da + (own_cols[a + ncoord]
                                        - blk[a + ncoord : a + ncoord + 1, :])
-                        if not fast_form:
-                            d.append(da)
+                        d.append(da)
                         dsq = dsq + da * da
                     # dsq > 0 excludes self and coincident particles
                     # (pair_lag_forces semantics; LJ diverges there)
@@ -478,23 +479,6 @@ def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
                         gfn(jnp.where(m, dsq, jnp.ones_like(dsq))),
                         jnp.zeros((CHUNK, CHUNK), dtype),
                     )
-                    if fast_form:
-                        # [rowsum | sum_j g*j_a]: one lane-contraction
-                        c4 = jnp.concatenate(
-                            [ones_row] + [blk[a : a + 1, :]
-                                          for a in range(ncoord)],
-                            axis=0,
-                        )  # (ncoord+1, 128)
-                        res = jax.lax.dot_general(
-                            g, c4, (((1,), (1,)), ((), ())),
-                            preferred_element_type=dtype,
-                        )  # (128, ncoord+1)
-                        rowsum = res[:, 0:1]
-                        for a in range(ncoord):
-                            fa = (own_cols[a][:, 0:1] * rowsum
-                                  - res[:, a + 1 : a + 2])
-                            facc[o0 : o0 + CHUNK, a : a + 1] += fa
-                        return 0
                     for a in range(ncoord):
                         fa = jax.lax.dot_general(
                             g * d[a], ones_row,
@@ -511,14 +495,13 @@ def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
         # (nc, 8, 128) blocks are exactly tiled. One transpose per chunk.
         for oc in range(CB):
             o0 = oc * CHUNK
-            fT = jnp.transpose(facc[o0 : o0 + CHUNK, :])  # (8, 128)
-            fout_ref[oc] = fT
+            fout_ref[oc] = jnp.transpose(facc[o0 : o0 + CHUNK, :])  # (8, 128)
 
     return kernel
 
 
 def _packed_forces_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
-                        MAXJ, gfn, interpret, split, fast_form=False):
+                        MAXJ, gfn, interpret, split):
     """Packed forces pipeline over per-coordinate planes; returns
     ([dim (n,) force planes], coverage_ok) — planes, so large-n callers
     never materialize a lane-padded (n, dim) pallas operand."""
@@ -567,7 +550,7 @@ def _packed_forces_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
         )
 
     kernel = _make_tile_forces_kernel_packed(CB, S, MAXJ, D, gfn, dtype,
-                                             split, fast_form=fast_form)
+                                             split)
     fout = pl.pallas_call(
         kernel,
         grid=(nc_pad // CB,),
