@@ -442,6 +442,12 @@ def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
             ]
             own_k = jnp.broadcast_to(blkT[:, D : D + 1], (CHUNK, CHUNK))
 
+            # i-side force sums ride the tile loop as register carries
+            # ((128,1) each) and hit VMEM once per chunk — a per-tile
+            # lane-masked (128,1) += into the 8-wide facc scratch costs
+            # ~a full vreg RMW sweep and dominated the tile body
+            chunk_acc = [jnp.zeros((CHUNK, 1), dtype) for _ in range(ncoord)]
+
             for s in range(S):
                 jlo, _, jnum = window(oc, s)
                 lo_s = bands_ref[s, 0]
@@ -455,7 +461,7 @@ def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
                 gtoff = bounds_ref[oc, 3 * s + 1]
                 gjnum = bounds_ref[oc, 3 * s + 2]
 
-                def tile(t, _, w0=w0, lo_s=lo_s, hi_s=hi_s, o0=o0,
+                def tile(t, carry, w0=w0, lo_s=lo_s, hi_s=hi_s,
                          own_cols=own_cols, own_k=own_k):
                     blk = jbuf[pl.ds((w0 + t) * RB, RB), :]  # (8, 128)
                     jk = blk[D : D + 1, :]
@@ -479,16 +485,21 @@ def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
                         gfn(jnp.where(m, dsq, jnp.ones_like(dsq))),
                         jnp.zeros((CHUNK, CHUNK), dtype),
                     )
-                    for a in range(ncoord):
-                        fa = jax.lax.dot_general(
+                    return tuple(
+                        c + jax.lax.dot_general(
                             g * d[a], ones_row,
                             (((1,), (1,)), ((), ())),
                             preferred_element_type=dtype,
                         )  # (128, 1)
-                        facc[o0 : o0 + CHUNK, a : a + 1] += fa
-                    return 0
+                        for a, c in enumerate(carry)
+                    )
 
-                jax.lax.fori_loop(gtoff, gtoff + gjnum, tile, 0)
+                chunk_acc = list(jax.lax.fori_loop(
+                    gtoff, gtoff + gjnum, tile, tuple(chunk_acc)
+                ))
+
+            for a in range(ncoord):
+                facc[o0 : o0 + CHUNK, a : a + 1] += chunk_acc[a]
 
         # emit per-plane rows: the (C, dim) layout a 2D output would need
         # is lane-padded 3->128 by the pallas operand contract (42x HBM);
