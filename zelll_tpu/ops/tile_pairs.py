@@ -387,8 +387,10 @@ def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
                                     gfn: Callable, dtype, split: bool):
     """Packed-layout forces kernel: full (mirrored) bands, i-side
     accumulation, own-side broadcasts hoisted per chunk, 8-row j blocks
-    (see `_make_tile_kernel_packed`). Per-partner row sums ride the MXU
-    (one (128,128)x(128,1) contraction per coordinate per tile).
+    (see `_make_tile_kernel_packed`). Tiles accumulate g*d into full
+    (128,128) per-coordinate matrices; the per-partner row sums ride the
+    MXU once per chunk ((128,128)x(128,1) ones-contraction per
+    coordinate), not per tile.
 
     A "fast_form" variant — refactoring ``f_i = sum_j g*(own-j)`` into
     ``own * sum_j g - sum_j g*j`` so ONE ``g @ jblock`` contraction per
@@ -405,7 +407,7 @@ def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
     ncoord = D // 2 if split else D
 
     def kernel(bands_ref, csq_ref, bounds_ref, own8_ref, jarr_ref,
-               fout_ref, facc, jbuf, sems):
+               fout_ref, facc, macc, jbuf, sems):
         csq = csq_ref[0]
         facc[...] = jnp.zeros_like(facc)
 
@@ -442,11 +444,12 @@ def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
             ]
             own_k = jnp.broadcast_to(blkT[:, D : D + 1], (CHUNK, CHUNK))
 
-            # i-side force sums ride the tile loop as register carries
-            # ((128,1) each) and hit VMEM once per chunk — a per-tile
-            # lane-masked (128,1) += into the 8-wide facc scratch costs
-            # ~a full vreg RMW sweep and dominated the tile body
-            chunk_acc = [jnp.zeros((CHUNK, 1), dtype) for _ in range(ncoord)]
+            # per-tile row reductions are DEFERRED: tiles accumulate the
+            # full (128,128) g*d matrices elementwise (cheap full-width
+            # VMEM RMW) and the lane contraction runs ONCE per chunk —
+            # three (128,128)x(128,1) MXU dots per tile were ~half the
+            # tile body (measured: 485 -> ~330 ms forces at n=1e7)
+            macc[...] = jnp.zeros_like(macc)
 
             for s in range(S):
                 jlo, _, jnum = window(oc, s)
@@ -461,7 +464,7 @@ def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
                 gtoff = bounds_ref[oc, 3 * s + 1]
                 gjnum = bounds_ref[oc, 3 * s + 2]
 
-                def tile(t, carry, w0=w0, lo_s=lo_s, hi_s=hi_s,
+                def tile(t, _, w0=w0, lo_s=lo_s, hi_s=hi_s,
                          own_cols=own_cols, own_k=own_k):
                     blk = jbuf[pl.ds((w0 + t) * RB, RB), :]  # (8, 128)
                     jk = blk[D : D + 1, :]
@@ -485,21 +488,18 @@ def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
                         gfn(jnp.where(m, dsq, jnp.ones_like(dsq))),
                         jnp.zeros((CHUNK, CHUNK), dtype),
                     )
-                    return tuple(
-                        c + jax.lax.dot_general(
-                            g * d[a], ones_row,
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=dtype,
-                        )  # (128, 1)
-                        for a, c in enumerate(carry)
-                    )
+                    for a in range(ncoord):
+                        macc[:, a * CHUNK : (a + 1) * CHUNK] += g * d[a]
+                    return 0
 
-                chunk_acc = list(jax.lax.fori_loop(
-                    gtoff, gtoff + gjnum, tile, tuple(chunk_acc)
-                ))
+                jax.lax.fori_loop(gtoff, gtoff + gjnum, tile, 0)
 
             for a in range(ncoord):
-                facc[o0 : o0 + CHUNK, a : a + 1] += chunk_acc[a]
+                facc[o0 : o0 + CHUNK, a : a + 1] += jax.lax.dot_general(
+                    macc[:, a * CHUNK : (a + 1) * CHUNK], ones_row,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=dtype,
+                )  # (128, 1)
 
         # emit per-plane rows: the (C, dim) layout a 2D output would need
         # is lane-padded 3->128 by the pallas operand contract (42x HBM);
@@ -577,6 +577,7 @@ def _packed_forces_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
         out_shape=jax.ShapeDtypeStruct((nc_pad, RB, CHUNK), dtype),
         scratch_shapes=[
             pltpu.VMEM((CB * CHUNK, RB), dtype),
+            pltpu.VMEM((CHUNK, dim * CHUNK), dtype),
             pltpu.VMEM((CB * S * MAXJ * RB, CHUNK), dtype),
             pltpu.SemaphoreType.DMA((CB * S,)),
         ],
