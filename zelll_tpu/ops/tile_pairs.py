@@ -511,6 +511,42 @@ def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
     return kernel
 
 
+def _pack_blocks(planes, keys_p, cutoff_sq, n, C, dtype):
+    """Pad the coordinate planes and interleave them with the f32 keys
+    into 8-row blocks: (nc, RB, CHUNK) flattened to (nc*RB, CHUNK).
+
+    Padding coordinates carry a spread so every pair touching a padding
+    row fails the cutoff (packed keys are f32 and rounded for padding
+    rows, so key windows alone cannot exclude padding-padding pairs);
+    spacing > cutoff, base 1e6 keeps the f32 ulp far below the spacing."""
+    D = len(planes)
+    nc = C // CHUNK
+    npad = C - n
+    zpad = jnp.zeros((npad,), dtype)
+    spacing = jnp.maximum(
+        jnp.asarray(1e5, dtype), 4 * jnp.sqrt(jnp.asarray(cutoff_sq, dtype))
+    )
+    spread = jnp.asarray(1e6, dtype) + jnp.arange(npad, dtype=dtype) * spacing
+    planes_p = [
+        jnp.concatenate([pa, spread if a == 0 else zpad])
+        for a, pa in enumerate(planes)
+    ]
+    blocks = jnp.zeros((nc, RB, CHUNK), dtype)
+    for a, pa in enumerate(planes_p):
+        blocks = blocks.at[:, a].set(pa.reshape(nc, CHUNK))
+    blocks = blocks.at[:, D].set(keys_p.astype(dtype).reshape(nc, CHUNK))
+    return blocks.reshape(nc * RB, CHUNK)
+
+
+def _key_exact_f32(keys_p, cov_ok):
+    """f32 keys are exact only below 2^24; negative keys (out-of-box halo
+    ghost rows) must also stay exact."""
+    kreal_max = jnp.max(
+        jnp.where(keys_p < jnp.int32(_PAD_KEY_BASE), keys_p, -1)
+    )
+    return cov_ok & (kreal_max < (1 << 24)) & (jnp.min(keys_p) > -(1 << 24))
+
+
 def _packed_forces_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
                         MAXJ, gfn, interpret, split):
     """Packed forces pipeline over per-coordinate planes; returns
@@ -528,37 +564,15 @@ def _packed_forces_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
     # a window wider than the whole array would DMA past the j buffer
     MAXJ = min(MAXJ, nc_pad)
     C = nc_pad * CHUNK
-    npad = C - n
     keys_p = _pad_and_desentinel(sorted_keys, C)
 
     bands = segment_bands(strides, full=True)
     jlo, toff, jnum, cov_ok = chunk_bounds(keys_p, bands, MAXJ, half=False)
     bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(nc_pad, 3 * S)
 
-    zpad = jnp.zeros((npad,), dtype)
-    spacing = jnp.maximum(
-        jnp.asarray(1e5, dtype), 4 * jnp.sqrt(jnp.asarray(cutoff_sq, dtype))
-    )
-    spread = jnp.asarray(1e6, dtype) + jnp.arange(npad, dtype=dtype) * spacing
-    planes_p = [
-        jnp.concatenate([pa, spread if a == 0 else zpad])
-        for a, pa in enumerate(planes)
-    ]
-
-    keyf = keys_p.astype(dtype)
-    blocks = jnp.zeros((nc_pad, RB, CHUNK), dtype)
-    for a, pa in enumerate(planes_p):
-        blocks = blocks.at[:, a].set(pa.reshape(nc_pad, CHUNK))
-    blocks = blocks.at[:, D].set(keyf.reshape(nc_pad, CHUNK))
-    jarr8 = blocks.reshape(nc_pad * RB, CHUNK)
+    jarr8 = _pack_blocks(planes, keys_p, cutoff_sq, n, C, dtype)
     if dtype == jnp.float32:
-        kreal_max = jnp.max(
-            jnp.where(keys_p < jnp.int32(_PAD_KEY_BASE), keys_p, -1)
-        )
-        # negative keys (out-of-box halo ghost rows) must also stay exact
-        cov_ok = cov_ok & (kreal_max < (1 << 24)) & (
-            jnp.min(keys_p) > -(1 << 24)
-        )
+        cov_ok = _key_exact_f32(keys_p, cov_ok)
 
     kernel = _make_tile_forces_kernel_packed(CB, S, MAXJ, D, gfn, dtype,
                                              split)
@@ -720,42 +734,15 @@ def _packed_core(planes, sorted_keys, strides, cutoff_sq, *, CB, MAXJ, term,
     # a window wider than the whole array would DMA past the j buffer
     MAXJ = min(MAXJ, nc_pad)
     C = nc_pad * CHUNK
-    npad = C - n
     keys_p = _pad_and_desentinel(sorted_keys, C)
 
     bands = segment_bands(strides)
     jlo, toff, jnum, cov_ok = chunk_bounds(keys_p, bands, MAXJ)
     bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(nc_pad, 3 * S)
 
-    # spread padding coordinates so every pair touching a padding row
-    # fails the cutoff (packed keys are f32 and rounded for padding rows,
-    # so key windows alone cannot exclude padding-padding pairs); spacing
-    # > cutoff, base 1e6 keeps the f32 ulp far below the spacing
-    zpad = jnp.zeros((npad,), dtype)
-    spacing = jnp.maximum(
-        jnp.asarray(1e5, dtype), 4 * jnp.sqrt(jnp.asarray(cutoff_sq, dtype))
-    )
-    spread = jnp.asarray(1e6, dtype) + jnp.arange(npad, dtype=dtype) * spacing
-    planes_p = [
-        jnp.concatenate([pa, spread if a == 0 else zpad])
-        for a, pa in enumerate(planes)
-    ]
-
-    keyf = keys_p.astype(dtype)
-    blocks = jnp.zeros((nc_pad, RB, CHUNK), dtype)
-    for a, pa in enumerate(planes_p):
-        blocks = blocks.at[:, a].set(pa.reshape(nc_pad, CHUNK))
-    blocks = blocks.at[:, D].set(keyf.reshape(nc_pad, CHUNK))
-    jarr8 = blocks.reshape(nc_pad * RB, CHUNK)
+    jarr8 = _pack_blocks(planes, keys_p, cutoff_sq, n, C, dtype)
     if dtype == jnp.float32:
-        # f32 keys are exact only below 2^24
-        kreal_max = jnp.max(
-            jnp.where(keys_p < jnp.int32(_PAD_KEY_BASE), keys_p, -1)
-        )
-        # negative keys (out-of-box halo ghost rows) must also stay exact
-        cov_ok = cov_ok & (kreal_max < (1 << 24)) & (
-            jnp.min(keys_p) > -(1 << 24)
-        )
+        cov_ok = _key_exact_f32(keys_p, cov_ok)
 
     kernel = _make_tile_kernel_packed(
         CB, S, MAXJ, D, term, dtype, out_dtype, split, kahan, distributed
