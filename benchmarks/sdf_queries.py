@@ -52,13 +52,17 @@ def main():
     else:
         pos, radii = synthetic_protein()
 
-    print("cutoff,l,queries,ns_total,us_per_query")
-    for cutoff in (1.0, 2.0, 5.0, 10.0):
-        sdf = SmoothDistanceField(pos, radii, cutoff=cutoff)
-        eval_grid(sdf, l)  # compile + warm
-        _, vals, grads, dt = eval_grid(sdf, l)
-        q = l**3
-        print(f"{cutoff},{l},{q},{dt * 1e9:.0f},{dt / q * 1e6:.3f}", flush=True)
+    methods = os.environ.get("SDF_METHODS", "join,xla").split(",")
+    print("method,cutoff,l,queries,ns_total,us_per_query")
+    for method in methods:
+        for cutoff in (1.0, 2.0, 5.0, 10.0):
+            sdf = SmoothDistanceField(pos, radii, cutoff=cutoff,
+                                      method=method)
+            eval_grid(sdf, l)  # compile + warm
+            _, vals, grads, dt = eval_grid(sdf, l)
+            q = l**3
+            print(f"{method},{cutoff},{l},{q},{dt * 1e9:.0f},"
+                  f"{dt / q * 1e6:.3f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -183,6 +183,52 @@ def main():
         check(f"xla_pair_sum[{boxname}]",
               abs(float(e) - e_ref) / abs(e_ref), f32_tol)
 
+    # SDF join kernel (ops.sdf_join) vs f64 numpy brute force: the
+    # psssh-batch query path. Uses exps + rsqrt + the join windows —
+    # a hardware-only failure here (e.g. a transcendental or dynamic-
+    # slice lowering bug) is invisible to interpret mode.
+    from zelll_tpu.models.sdf import SmoothDistanceField
+
+    rngq = np.random.default_rng(7)
+    natoms = 400
+    r = 8.0 * rngq.random(natoms) ** (1 / 3)
+    th = np.arccos(2 * rngq.random(natoms) - 1)
+    ph = 2 * np.pi * rngq.random(natoms)
+    apos = np.stack([r * np.sin(th) * np.cos(ph),
+                     r * np.sin(th) * np.sin(ph), r * np.cos(th)], -1)
+    radii = rngq.choice([1.7, 1.55, 1.52, 1.09], natoms)
+    queries = rngq.uniform(-9, 9, (500, 3))
+    sdf_cut = 4.0
+
+    sdf = SmoothDistanceField(apos, radii, cutoff=sdf_cut, method="join")
+    v, g, valid = sdf.evaluate(queries)
+
+    dvec = queries[:, None, :] - apos[None, :, :]
+    dsq = (dvec**2).sum(-1)
+    within = dsq <= sdf_cut**2
+    d = np.sqrt(np.where(within, dsq, 1.0))
+    e1 = np.where(within, np.exp(-d / radii), 0.0)
+    e3 = np.where(within, np.exp(-d), 0.0)
+    S1 = e1.sum(1)
+    S2 = (e3 * radii).sum(1)
+    S3 = e3.sum(1)
+    sig = S2 / S3
+    v_ref = -sig * np.log(S1)
+    u = dvec / d[..., None]
+    A1 = ((e1 / radii)[..., None] * u).sum(1)
+    A2 = ((e3 * radii)[..., None] * u).sum(1)
+    A3 = (e3[..., None] * u).sum(1)
+    g_ref = (np.log(S1) * (A2 * S3[:, None] - S2[:, None] * A3)
+             / (S3**2)[:, None] + (sig / S1)[:, None] * A1)
+
+    defined = valid & (S3 > 0)
+    check("sdf_join_value",
+          np.abs(v[defined] - v_ref[defined]).max()
+          / np.abs(v_ref[defined]).max(), 1e-5)
+    check("sdf_join_grad",
+          np.abs(g[defined] - g_ref[defined]).max()
+          / (np.abs(g_ref[defined]).max() + 1e-30), 1e-4)
+
     n_fail = sum(1 for *_, ok in results if not ok)
     print(f"{len(results) - n_fail}/{len(results)} PASS", flush=True)
     out = os.environ.get("OUT")

@@ -43,6 +43,7 @@ def hmc_sample_batched(
     num_leapfrog: int = 16,
     target_accept: float = 0.8,
     init_step_size: float = 0.1,
+    value_and_grad_fn: Callable | None = None,
 ):
     """Run C independent HMC chains in lockstep; returns (samples, accept).
 
@@ -56,10 +57,21 @@ def hmc_sample_batched(
     own length; lockstep cost is the max). Chains whose proposal lands at
     logp = -inf (outside the grid) reject — the analogue of the reference's
     recoverable SurfaceSdfError (surface.rs:10-14).
+
+    ``value_and_grad_fn``, when given, is a BATCHED ``(C, D) ->
+    ((C,), (C, D))`` (logp, grad) function used instead of
+    ``vmap(value_and_grad(logdensity_fn))`` — e.g. the analytic join-kernel
+    gradient from `SmoothDistanceField.hmc_vgrad_fn` (one fused kernel
+    dispatch per leapfrog step instead of autodiff through the gather
+    path). ``logdensity_fn`` may then be None.
     """
     initial_positions = jnp.asarray(initial_positions)
     C, D = initial_positions.shape
-    vgrad = jax.vmap(jax.value_and_grad(logdensity_fn))
+    vgrad = (
+        value_and_grad_fn
+        if value_and_grad_fn is not None
+        else jax.vmap(jax.value_and_grad(logdensity_fn))
+    )
 
     mu = jnp.log(10.0 * init_step_size)
     gamma, t0, kappa = 0.05, 10.0, 0.75

@@ -88,6 +88,10 @@ def sample_surface(
     starts = atoms[rng.integers(0, len(atoms), chains)] + rng.normal(
         0, 0.1, (chains, 3)
     )
+    # batched chains: analytic join-kernel gradients when the structure
+    # fits (one fused dispatch per leapfrog for ALL chains); XLA autodiff
+    # gather path otherwise
+    vgrad = sdf.hmc_vgrad_fn() if sdf._use_join() else None
     logp = sdf.logdensity_fn()
     key = jax.random.PRNGKey(seed)
     samples, accept = hmc_sample_batched(
@@ -96,6 +100,7 @@ def sample_surface(
         key,
         num_warmup=burnin,
         num_samples=draws,
+        value_and_grad_fn=vgrad,
     )
     return np.asarray(samples).reshape(-1, 3)
 

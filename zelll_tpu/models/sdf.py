@@ -32,6 +32,10 @@ from ..core.pairs import query_neighbors
 
 __all__ = ["ELEMENT_RADII", "SmoothDistanceField", "element_radius"]
 
+# atom-count ceiling for the fused join kernel's VMEM-resident particle
+# blocks (ops.sdf_join): 131072 atoms pack into 4 MB of VMEM
+_JOIN_MAX_ATOMS = 131072
+
 # van-der-Waals radii in Angstrom (reference atom.rs:17-27)
 ELEMENT_RADII = {
     "C": 1.70,
@@ -79,6 +83,19 @@ class SdfData:
     cutoff: jax.Array
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class _JoinData:
+    """Particle side prepared for the fused join kernel (pytree)."""
+
+    pplanes: tuple  # 5 sorted (n,) planes: x, y, z, r, 1/r
+    pkeys: jax.Array  # (n,) int32 ascending cell keys
+    shape: jax.Array  # grid shape (3,) int32
+    strides: jax.Array  # grid strides (3,) int32
+    origin: jax.Array  # grid origin (3,)
+    cutoff: jax.Array  # scalar, grid dtype
+
+
 class SmoothDistanceField:
     """Smooth distance field with cell-grid-accelerated queries.
 
@@ -89,7 +106,8 @@ class SmoothDistanceField:
     """
 
     def __init__(self, positions, radii=None, cutoff: float = 4.0,
-                 surface_radius: float = 1.05, k_force: float = 10.0):
+                 surface_radius: float = 1.05, k_force: float = 10.0,
+                 method: str = "auto"):
         positions = np.asarray(positions, np.float64)
         n = positions.shape[0]
         if radii is None:
@@ -98,6 +116,9 @@ class SmoothDistanceField:
         self.surface_radius = float(surface_radius)
         self.k_force = float(k_force)
         self._cutoff = float(cutoff)
+        if method not in ("auto", "join", "xla"):
+            raise ValueError("method must be 'auto', 'join' or 'xla'")
+        self._method = method
 
         grid = build(jnp.asarray(positions), cutoff)
         # radii in sorted-slot order so neighbor slots index directly;
@@ -111,6 +132,34 @@ class SmoothDistanceField:
             cutoff=jnp.asarray(cutoff, grid.sorted_pos.dtype),
         )
         self._K = int(grid.bins.max_cell_count())
+
+        sp = grid.sorted_pos
+        r_sorted = radii_sorted[:n].astype(sp.dtype)
+        self._join = _JoinData(
+            pplanes=(sp[:, 0], sp[:, 1], sp[:, 2], r_sorted, 1.0 / r_sorted),
+            pkeys=grid.bins.sorted_keys,
+            shape=grid.info.shape,
+            strides=grid.info.strides,
+            origin=grid.info.origin,
+            cutoff=jnp.asarray(cutoff, sp.dtype),
+        )
+
+    def _use_join(self) -> bool:
+        if self._method == "xla":
+            return False
+        if self._method == "join":
+            return True
+        # auto: the join kernel wins on a compiled accelerator backend;
+        # on CPU it would run in (slow, per-call) Pallas interpret mode,
+        # which would cripple e.g. the psssh NUTS loop's one-query
+        # hmc_gradient calls — the jitted XLA gather path is the right
+        # CPU default (method='join' still forces it, as the tests do)
+        return (
+            self.data.grid.dim == 3
+            and self.data.grid.n <= _JOIN_MAX_ATOMS
+            and self.data.grid.n > 0
+            and jax.default_backend() != "cpu"
+        )
 
     def with_surface_radius(self, r: float) -> "SmoothDistanceField":
         self.surface_radius = float(r)
@@ -127,8 +176,22 @@ class SmoothDistanceField:
 
         Batched analogue of `evaluate` (numdual.rs:67-70); `valid` False
         corresponds to the reference returning None for far-away queries.
+
+        Large batches run through the fused join kernel (`ops.sdf_join`:
+        sorted queries x VMEM-resident particle blocks, analytic
+        gradients) when the structure fits; the XLA gather path is the
+        fallback (``method='xla'`` forces it).
         """
-        points = jnp.atleast_2d(jnp.asarray(points))
+        points = jnp.atleast_2d(
+            jnp.asarray(points, self.data.grid.sorted_pos.dtype)
+        )
+        if self._use_join():
+            v, g, valid, ok = _sdf_join_batch(
+                self._join, points,
+                interpret=jax.default_backend() == "cpu",
+            )
+            if bool(ok):
+                return np.asarray(v), np.asarray(g), np.asarray(valid)
         v, g, ok = _evaluate_batch(self.data, points, self._K)
         return np.asarray(v), np.asarray(g), np.asarray(ok)
 
@@ -136,11 +199,88 @@ class SmoothDistanceField:
         """(value, grad) of the harmonic iso-surface log-density
         -k (sdf(x) - isoradius)^2 (numdual.rs:72-86, 98-104)."""
         iso = self.surface_radius if isoradius is None else float(isoradius)
-        points = jnp.atleast_2d(jnp.asarray(points))
+        points = jnp.atleast_2d(
+            jnp.asarray(points, self.data.grid.sorted_pos.dtype)
+        )
+        if self._use_join():
+            v, g, valid, ok = _sdf_join_batch(
+                self._join, points,
+                interpret=jax.default_backend() == "cpu",
+            )
+            if bool(ok):
+                # compose the harmonic potential in closed form
+                pot = -self.k_force * (v - iso) ** 2
+                gpot = (-2.0 * self.k_force) * (v - iso)[:, None] * g
+                return np.asarray(pot), np.asarray(gpot), np.asarray(valid)
         v, g, ok = _hmc_gradient_batch(
             self.data, points, self._K, iso, self.k_force
         )
         return np.asarray(v), np.asarray(g), np.asarray(ok)
+
+    def evaluate_sharded(self, points, mesh=None):
+        """Multi-chip batched evaluate: queries sharded over the mesh.
+
+        The psssh ``eval`` workload (l^3 query grids,
+        ``surface-sampling/examples/cli.rs:150-195``) is embarrassingly
+        parallel along the query axis: the structure's particle planes
+        are small (<= `_JOIN_MAX_ATOMS` atoms) and are replicated to
+        every device, queries are block-sharded, and each device runs
+        the fused join kernel (`ops.sdf_join`) on its block — no
+        collectives on the hot path. Returns (values, grads, valid)
+        exactly like `evaluate`.
+        """
+        import numpy as np
+
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        from ..parallel import make_mesh
+
+        if self.data.grid.dim != 3 or self.data.grid.n == 0:
+            raise ValueError("evaluate_sharded needs a 3D non-empty grid")
+        if self.data.grid.n > _JOIN_MAX_ATOMS:
+            raise ValueError(
+                f"structure has {self.data.grid.n} atoms > "
+                f"{_JOIN_MAX_ATOMS}: too large for the replicated join "
+                "kernel — use the single-device XLA path"
+            )
+        mesh = mesh if mesh is not None else make_mesh()
+        ndev = int(mesh.devices.size)
+        axis = mesh.axis_names[0]
+        dtype = self.data.grid.sorted_pos.dtype
+        interpret = jax.default_backend() == "cpu"
+
+        pts = np.atleast_2d(np.asarray(points)).astype(dtype)
+        Q = pts.shape[0]
+        Qp = max(-(-Q // ndev) * ndev, ndev)
+        # padding queries sit far outside every grid (but within f32/int
+        # conversion range); they report valid=False and are dropped
+        pad = np.full((Qp - Q, 3), 1e9, dtype)
+        pts_p = jnp.asarray(np.concatenate([pts, pad]) if Qp > Q else pts)
+
+        def body(jd, p):
+            v, g, valid, ok = _sdf_join_batch(jd, p, interpret=interpret)
+            return v, g, valid, ok.reshape(1)
+
+        v, g, valid, oks = jax.jit(
+            shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(), P(axis)),
+                out_specs=(P(axis), P(axis), P(axis), P(axis)),
+                check_vma=False,  # pallas_call outputs carry no vma
+            )
+        )(self._join, pts_p)
+        if not bool(jnp.all(oks)):
+            raise RuntimeError(
+                "join coverage flag false on at least one device "
+                "(key preconditions violated)"
+            )
+        return (
+            np.asarray(v[:Q]),
+            np.asarray(g[:Q]),
+            np.asarray(valid[:Q]),
+        )
 
     def logdensity_fn(self, isoradius: float | None = None):
         """Pure jittable per-point log density (for samplers)."""
@@ -153,6 +293,51 @@ class SmoothDistanceField:
             return jnp.where(ok, pot, -jnp.inf)
 
         return logp
+
+    def hmc_vgrad_fn(self, isoradius: float | None = None):
+        """Batched jittable (logp, grad) of the iso-surface density.
+
+        Returns ``f(points (C, 3)) -> (logp (C,), grad (C, 3))`` backed by
+        the fused join kernel (`ops.sdf_join`) with the ANALYTIC gradient
+        — no autodiff, one kernel dispatch per call. This is the sampler
+        hot path: `nuts.hmc_sample_batched(value_and_grad_fn=...)` calls
+        it once per leapfrog step for all chains at once, entirely
+        on-device. Out-of-grid or neighborless points get logp = -inf and
+        zero gradient (the reference's recoverable SurfaceSdfError,
+        surface.rs:10-14).
+
+        The join coverage flag depends only on the grid's key structure
+        (ascending, f32-exact), not on query values (queries are clamped
+        and sorted internally), so it is verified ONCE here eagerly and
+        the returned function is flag-free.
+        """
+        iso = self.surface_radius if isoradius is None else float(isoradius)
+        jd, k_force = self._join, self.k_force
+        interpret = jax.default_backend() == "cpu"
+
+        _, _, _, ok = _sdf_join_batch(
+            jd, jnp.zeros((8, 3), self.data.grid.sorted_pos.dtype),
+            interpret=interpret,
+        )
+        if not bool(ok):
+            raise RuntimeError(
+                "join kernel key preconditions fail for this grid "
+                "(keys not f32-exact?) — use logdensity_fn instead"
+            )
+
+        def vgrad(q):
+            v, g, valid, _ = _sdf_join_batch(jd, q, interpret=interpret)
+            defined = valid & jnp.isfinite(v)
+            pot = -k_force * (v - iso) ** 2
+            logp = jnp.where(defined, pot, -jnp.inf)
+            gpot = jnp.where(
+                defined[:, None],
+                (-2.0 * k_force) * (v - iso)[:, None] * g,
+                0.0,
+            )
+            return logp, gpot
+
+        return vgrad
 
 
 def _sdf_point(data: SdfData, x, K: int):
@@ -187,6 +372,57 @@ def _evaluate_batch(data: SdfData, points, K: int):
     return jax.lax.map(
         one, points, batch_size=min(_QCHUNK, points.shape[0])
     )
+
+
+@partial(jax.jit, static_argnames=("CB", "interpret"))
+def _sdf_join_batch(jd: _JoinData, points, CB: int = 8,
+                    interpret: bool = False):
+    """Batched SDF value + analytic gradient via the fused join kernel.
+
+    Returns (vals (Q,), grads (Q, 3), valid (Q,), ok). Queries are
+    key-sorted, joined against the particle blocks (`ops.sdf_join`), and
+    the 12 accumulated sums close over value and gradient:
+        sigma = S2/S3, val = -sigma*ln(S1)
+        grad  = ln(S1)*(A2*S3 - S2*A3)/S3^2 + sigma*A1/S1
+    (the derivative of `_sdf_from_neighbors` with nabla S1 = -A1 etc.).
+    """
+    from ..ops.sdf_join import sdf_join_sums
+
+    dtype = points.dtype
+    Q = points.shape[0]
+    # cell coords by the shared grid geometry; valid iff within one
+    # implicit padding layer (try_cell_index semantics, util.rs:245-256)
+    idx = jnp.floor((points - jd.origin) / jd.cutoff).astype(jnp.int32)
+    valid = jnp.all((idx >= -1) & (idx <= jd.shape), axis=-1)
+    # clamp invalid queries into the padded key range so far-away points
+    # (|x| up to 1e30) cannot blow the int32/f32-exact key bounds; their
+    # results are garbage behind valid=False, same as the XLA path
+    idx = jnp.clip(idx, -1, jd.shape)
+    qkey = idx[:, 0] * jd.strides[0]
+    for a in range(1, 3):
+        qkey = qkey + idx[:, a] * jd.strides[a]
+
+    iota = jnp.arange(Q, dtype=jnp.int32)
+    sk, sx, sy, sz, sperm = jax.lax.sort(
+        (qkey, points[:, 0], points[:, 1], points[:, 2], iota), num_keys=1
+    )
+    sums, ok = sdf_join_sums(
+        (sx, sy, sz), sk, jd.pplanes, jd.pkeys, jd.strides,
+        jd.cutoff.astype(dtype) ** 2, CB=CB, interpret=interpret,
+    )
+    S1, S2, S3 = sums[:, 0], sums[:, 1], sums[:, 2]
+    A1, A2, A3 = sums[:, 3:6], sums[:, 6:9], sums[:, 9:12]
+    sigma = S2 / S3
+    lnS1 = jnp.log(S1)
+    val = -sigma * lnS1
+    grad = (
+        lnS1[:, None] * (A2 * S3[:, None] - S2[:, None] * A3)
+        / (S3 * S3)[:, None]
+        + (sigma / S1)[:, None] * A1
+    )
+    vals = jnp.zeros((Q,), dtype).at[sperm].set(val)
+    grads = jnp.zeros((Q, 3), dtype).at[sperm].set(grad)
+    return vals, grads, valid, ok
 
 
 @partial(jax.jit, static_argnames=("K",))

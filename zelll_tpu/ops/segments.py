@@ -102,6 +102,82 @@ def suggest_maxj(sorted_keys_padded: jax.Array, bands: jax.Array,
     return max(int(jnp.max(jnum)), 1)
 
 
+def join_bounds(q_keys: jax.Array, p_keys: jax.Array, bands: jax.Array):
+    """Per-QUERY-chunk, per-band windows over a SECOND sorted array.
+
+    The join sibling of `chunk_bounds`: i-side chunks come from `q_keys`
+    (sorted query keys) and partner windows are located in `p_keys`
+    (sorted particle keys). Both are (C,) int32 ascending with C a
+    multiple of CHUNK; padding rows carry `_pad_and_desentinel` keys.
+
+    Returns (lo, num, coverage_ok):
+      lo  (NCq, S) int32 — first partner particle chunk (ABSOLUTE chunk
+          index: the join kernel keeps the whole particle array in VMEM,
+          so there is no DMA window to offset into),
+      num (NCq, S) int32 — number of partner chunks,
+      coverage_ok — guards the key preconditions only (both arrays
+          ascending, real keys below the padding base); there is no
+          static window capacity to exceed.
+
+    A (query, particle) pair whose key difference q - p lies in band s
+    satisfies lo[cq, s] <= c_p < lo[cq, s] + num[cq, s] by construction.
+    """
+    from .pallas_pairs import _PAD_KEY_BASE
+
+    Cq, Cp = q_keys.shape[0], p_keys.shape[0]
+    assert Cq % CHUNK == 0 and Cp % CHUNK == 0
+    ncq, ncp = Cq // CHUNK, Cp // CHUNK
+    b = bands.astype(jnp.int32)  # (S, 2)
+    S = b.shape[0]
+
+    kq = q_keys.reshape(ncq, CHUNK)
+    realq = kq < jnp.int32(_PAD_KEY_BASE)
+    q_has = realq[:, 0]
+    q_kmax = jnp.max(jnp.where(realq, kq, jnp.int32(-(2 ** 31))), axis=1)
+    q_kmin = kq[:, 0]
+
+    kp = p_keys.reshape(ncp, CHUNK)
+    realp = kp < jnp.int32(_PAD_KEY_BASE)
+    p_has = realp[:, 0]
+    p_kmax_real = jnp.max(jnp.where(realp, kp, jnp.int32(-(2 ** 31))), axis=1)
+    p_real_max = jnp.max(p_kmax_real)
+    # padding-only particle chunks keep their padding kmax so the array
+    # searched by searchsorted stays ascending
+    p_kmax_eff = jnp.where(p_has, p_kmax_real, kp[:, -1])
+    p_kmin = kp[:, 0]
+
+    # Real query keys must be used UNCLAMPED: out-of-box queries carry
+    # keys legitimately outside the particle key range and clamping would
+    # shift their windows (not just empty them). Only padding query
+    # chunks (keys ~2^30, whose band offsets could overflow int32) are
+    # replaced by a safe in-range constant — their windows are forced
+    # empty below anyway. Real keys are grid-bounded (|key| < 2^24 is
+    # enforced by the callers' f32-exactness flag), so band arithmetic
+    # cannot overflow.
+    safe = p_real_max + 1
+    kmin_q = jnp.where(q_has, q_kmin, safe)
+    kmax_q = jnp.where(q_has, q_kmax, safe)
+
+    qlo = kmin_q[None, :] - b[:, 1][:, None]  # smallest partner key (S, NCq)
+    qhi = kmax_q[None, :] - b[:, 0][:, None]  # largest partner key
+
+    lo = jnp.searchsorted(p_kmax_eff, qlo.reshape(-1), side="left",
+                          method="sort")
+    hi = jnp.searchsorted(p_kmin, qhi.reshape(-1), side="right",
+                          method="sort")
+    lo = lo.reshape(S, ncq).T.astype(jnp.int32)  # (NCq, S)
+    hi = hi.reshape(S, ncq).T.astype(jnp.int32) - 1  # inclusive
+    hi = jnp.where(q_has[:, None], hi, lo - 1)  # padding query chunks: empty
+
+    num = jnp.maximum(hi - lo + 1, 0)
+    coverage_ok = (
+        (p_real_max < jnp.int32(_PAD_KEY_BASE))
+        & jnp.all(q_keys[1:] >= q_keys[:-1])
+        & jnp.all(p_keys[1:] >= p_keys[:-1])
+    )
+    return lo, num, coverage_ok
+
+
 def chunk_bounds(sorted_keys: jax.Array, bands: jax.Array, max_j: int,
                  half: bool = True, groups: int = 1):
     """Per-chunk, per-band j-chunk windows.
