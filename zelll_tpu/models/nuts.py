@@ -10,6 +10,16 @@ examples/cli.rs:87-122), one chain on one core. Two TPU-native samplers:
   adaptation during burn-in. This is how a batched accelerator actually
   wants to sample; the reference generates draws serially.
 
+* `nuts_sample_batched` — the No-U-Turn sampler itself, on device: C
+  chains advance in lockstep under one jit, each draw doubling its
+  trajectory iteratively (no recursion — a `lax.while_loop` over tree
+  depths with a fori_loop of 2^d leapfrog steps per doubling, the
+  checkpoint bit-trick for the within-subtree U-turn checks, and
+  multinomial proposal sampling). Per-chain trajectory lengths are
+  data-dependent exactly as in nuts-rs; lockstep cost per draw is the
+  deepest chain's tree. Same warmup as the HMC path (dual-averaging
+  step size + diagonal mass from Welford variance).
+
 * `nuts_sample` — classic No-U-Turn sampler (Hoffman & Gelman alg. 3 with
   slice sampling) with host-side tree recursion calling the jitted
   (value, grad) function: single-chain parity with the reference CLI
@@ -27,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["hmc_sample_batched", "nuts_sample"]
+__all__ = ["hmc_sample_batched", "nuts_sample", "nuts_sample_batched"]
 
 
 # -- batched HMC --------------------------------------------------------------
@@ -75,8 +85,6 @@ def hmc_sample_batched(
 
     mu = jnp.log(10.0 * init_step_size)
     gamma, t0, kappa = 0.05, 10.0, 0.75
-    t_collect = num_warmup // 4  # Welford window start
-    t_freeze = max(num_warmup * 3 // 4, t_collect + 1)  # mass freeze
 
     def kinetic(p, minv):
         return 0.5 * jnp.sum(p * p * minv, axis=-1)
@@ -130,11 +138,30 @@ def hmc_sample_batched(
             log_eps_bar = w * log_eps + (1 - w) * log_eps_bar
         return (q, log_eps, h_bar, log_eps_bar, minv), (q, accept_prob)
 
+    return _adaptive_run(
+        step, initial_positions, key, num_warmup, num_samples,
+        init_step_size,
+    )
+
+
+def _adaptive_run(step, q0, key, num_warmup, num_samples, init_step_size):
+    """Warmup + sampling scan shared by the batched samplers.
+
+    ``step(state, key, adapt, t) -> (state, (q, accept_prob))`` with
+    state = (q (C,D), log_eps (C,), h_bar (C,), log_eps_bar (C,),
+    minv (C,D)). Warmup adapts the step size every draw (the step's own
+    dual averaging) and a diagonal mass matrix from the Welford variance
+    of the draws over [warmup/4, 3*warmup/4), frozen at 3/4 of warmup
+    with Stan-style shrinkage toward unit mass."""
+    C, D = q0.shape
+    t_collect = num_warmup // 4  # Welford window start
+    t_freeze = max(num_warmup * 3 // 4, t_collect + 1)  # mass freeze
+
     @jax.jit
     def run(q0, key):
         keys = jax.random.split(key, num_warmup + num_samples)
         minv0 = jnp.ones((C, D), q0.dtype)
-        hmc0 = (
+        state0 = (
             q0,
             jnp.full((C,), jnp.log(init_step_size)),
             jnp.zeros((C,)),
@@ -175,7 +202,7 @@ def hmc_sample_batched(
 
         (state, _), _ = jax.lax.scan(
             warm_body,
-            (hmc0, welford0),
+            (state0, welford0),
             (keys[:num_warmup], jnp.arange(num_warmup, dtype=jnp.float32)),
         )
         # freeze at averaged step size
@@ -191,7 +218,246 @@ def hmc_sample_batched(
         )
         return samples, accept
 
-    return run(initial_positions, key)
+    return run(q0, key)
+
+
+# -- batched device-side NUTS --------------------------------------------------
+
+
+def nuts_sample_batched(
+    logdensity_fn: Callable | None,
+    initial_positions,  # (C, D)
+    key,
+    *,
+    num_warmup: int = 300,
+    num_samples: int = 500,
+    max_treedepth: int = 8,
+    target_accept: float = 0.8,
+    init_step_size: float = 0.1,
+    value_and_grad_fn: Callable | None = None,
+):
+    """C No-U-Turn chains in lockstep, entirely on device; one jit.
+
+    The TPU-native form of the reference's nuts-rs sampler
+    (surface-sampling/examples/cli.rs:87-122): multinomial NUTS
+    (Betancourt 2017) with iterative tree doubling — recursion is
+    replaced by a `lax.while_loop` over tree depths whose d-th iteration
+    runs 2^d leapfrog steps, using the checkpoint bit-trick (popcount /
+    trailing-ones over the leaf index) for the within-subtree
+    generalized-U-turn checks, so the whole draw is compiler-friendly
+    control flow. Each chain stops doubling at its own U-turn/divergence;
+    finished chains are masked while the rest continue (lockstep cost =
+    the deepest chain). Divergences (energy error > 1000) and logp = -inf
+    proposals (outside the grid — the reference's recoverable
+    SurfaceSdfError, surface.rs:10-14) terminate the doubling without
+    contributing.
+
+    Warmup matches `hmc_sample_batched`: per-chain dual-averaging step
+    size toward ``target_accept`` and a diagonal mass matrix from the
+    Welford variance of mid-warmup draws. ``value_and_grad_fn`` is the
+    same batched override (e.g. `SmoothDistanceField.hmc_vgrad_fn` — one
+    fused join-kernel dispatch per leapfrog step for all chains).
+
+    Returns (samples (num_samples, C, D), accept_stat (num_samples, C)).
+    """
+    initial_positions = jnp.asarray(initial_positions)
+    C, D = initial_positions.shape
+    vgrad = (
+        value_and_grad_fn
+        if value_and_grad_fn is not None
+        else jax.vmap(jax.value_and_grad(logdensity_fn))
+    )
+
+    mu = jnp.log(10.0 * init_step_size)
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+    max_delta_energy = 1000.0
+
+    def kinetic(p, minv):
+        return 0.5 * jnp.sum(p * p * minv, axis=-1)
+
+    def is_turning(rho, p_l, p_r, minv):
+        """Generalized no-U-turn criterion over a trajectory segment:
+        rho = sum of momenta over the segment, p_l/p_r its endpoint
+        momenta; turning when the segment's net displacement direction
+        (M^-1 rho) opposes either endpoint velocity."""
+        v_l = jnp.sum(rho * (minv * p_l), axis=-1)
+        v_r = jnp.sum(rho * (minv * p_r), axis=-1)
+        return (v_l < 0) | (v_r < 0)
+
+    def leapfrog(q, p, eps_signed, minv):
+        _, g = vgrad(q)
+        p1 = p + 0.5 * eps_signed[:, None] * g
+        q1 = q + eps_signed[:, None] * (minv * p1)
+        lp, g = vgrad(q1)
+        p1 = p1 + 0.5 * eps_signed[:, None] * g
+        return q1, p1, lp
+
+    def build_subtree(depth, q0, p0, eps_signed, h0, minv, key, active):
+        """2^depth leapfrog steps from (q0, p0); returns the subtree's
+        endpoint, momentum sum, multinomial proposal, log sum weight,
+        invalid flag (internal U-turn or divergence), and the
+        acceptance-statistic sums. All (C, ...) with `active` masking."""
+        n_leaf = jnp.int32(1) << depth
+        neg_inf = jnp.full((C,), -jnp.inf, q0.dtype)
+
+        # checkpoints of (momentum, running momentum-sum) at subtree roots
+        ckpt_p0 = jnp.zeros((max_treedepth, C, D), q0.dtype)
+        ckpt_rho0 = jnp.zeros((max_treedepth, C, D), q0.dtype)
+
+        def cond(c):
+            i = c[0]
+            alive = c[9]
+            return (i < n_leaf) & jnp.any(alive)
+
+        def body(c):
+            (i, qc, pc, rho, prop, lw, alpha, n_alpha, invalid, alive,
+             ckpt_p, ckpt_rho) = c
+            q1, p1, lp = leapfrog(qc, pc, eps_signed, minv)
+            h = lp - kinetic(p1, minv)
+            lw_leaf = h - h0
+            div = ~jnp.isfinite(h) | (h0 - h > max_delta_energy)
+            lw_leaf = jnp.where(div, neg_inf, lw_leaf)
+
+            # progressive multinomial proposal within the subtree
+            lw_new = jnp.logaddexp(lw, lw_leaf)
+            u = jax.random.uniform(jax.random.fold_in(key, i), (C,))
+            take = alive & (
+                jnp.log(u) < lw_leaf - jnp.where(lw_new == -jnp.inf, 0.0,
+                                                 lw_new)
+            ) & ~div
+            rho1 = rho + p1
+
+            # within-subtree generalized U-turn via checkpoints: leaf
+            # index bit pattern picks which balanced subtrees end here
+            idx_max = jax.lax.population_count(i >> 1)
+            trailing_ones = jax.lax.population_count(i ^ (i + 1)) - 1
+            idx_min = idx_max - trailing_ones + 1
+            even = (i & 1) == 0
+
+            # even leaves open a balanced subtree: store (p, rho-before)
+            ckpt_p = jnp.where(even, ckpt_p.at[idx_max].set(p1), ckpt_p)
+            ckpt_rho = jnp.where(
+                even, ckpt_rho.at[idx_max].set(rho1), ckpt_rho
+            )
+
+            # odd leaves close subtrees [idx_min..idx_max]: check each
+            def turn_scan(k, turning):
+                seg_rho = rho1 - ckpt_rho[k] + ckpt_p[k]
+                return turning | is_turning(seg_rho, ckpt_p[k], p1, minv)
+
+            turning = jax.lax.cond(
+                even,
+                lambda: jnp.zeros((C,), bool),
+                lambda: jax.lax.fori_loop(
+                    idx_min, idx_max + 1, turn_scan, jnp.zeros((C,), bool)
+                ),
+            )
+
+            alpha_leaf = jnp.where(
+                jnp.isfinite(h), jnp.exp(jnp.minimum(h - h0, 0.0)), 0.0
+            )
+
+            upd = alive[:, None]
+            qc = jnp.where(upd, q1, qc)
+            pc = jnp.where(upd, p1, pc)
+            rho = jnp.where(upd, rho1, rho)
+            prop = jnp.where(take[:, None], q1, prop)
+            lw = jnp.where(alive, lw_new, lw)
+            alpha = alpha + jnp.where(alive, alpha_leaf, 0.0)
+            n_alpha = n_alpha + alive.astype(alpha.dtype)
+            invalid = invalid | (alive & (div | turning))
+            alive = alive & ~(div | turning)
+            return (i + 1, qc, pc, rho, prop, lw, alpha, n_alpha,
+                    invalid, alive, ckpt_p, ckpt_rho)
+
+        init = (
+            jnp.int32(0), q0, p0, jnp.zeros_like(q0), q0, neg_inf,
+            jnp.zeros((C,), q0.dtype), jnp.zeros((C,), q0.dtype),
+            jnp.zeros((C,), bool), active, ckpt_p0, ckpt_rho0,
+        )
+        (_, q_end, p_end, rho, prop, lw, alpha, n_alpha, invalid, _,
+         _, _) = jax.lax.while_loop(cond, body, init)
+        return q_end, p_end, rho, prop, lw, invalid, alpha, n_alpha
+
+    def transition(q, log_eps, minv, key):
+        """One NUTS draw for all chains; returns (q', accept_stat)."""
+        k_mom, k_dir, k_acc = jax.random.split(key, 3)
+        p0 = jax.random.normal(k_mom, q.shape, q.dtype) / jnp.sqrt(minv)
+        lp0, _ = vgrad(q)
+        h0 = lp0 - kinetic(p0, minv)
+        finite0 = jnp.isfinite(h0)
+        h0 = jnp.where(finite0, h0, 0.0)
+        eps = jnp.exp(log_eps)
+
+        def cond(c):
+            depth, done = c[0], c[1]
+            return (depth < max_treedepth) & jnp.any(~done)
+
+        def body(c):
+            (depth, done, zl_q, zl_p, zr_q, zr_p, rho, prop, lw,
+             alpha, n_alpha) = c
+            kd = jax.random.fold_in(k_dir, depth)
+            k_v, k_sub, k_merge = jax.random.split(kd, 3)
+            fwd = jax.random.bernoulli(k_v, 0.5, (C,))
+            q0 = jnp.where(fwd[:, None], zr_q, zl_q)
+            p0c = jnp.where(fwd[:, None], zr_p, zl_p)
+            sgn = jnp.where(fwd, 1.0, -1.0).astype(q.dtype)
+
+            (q_end, p_end, rho_sub, prop_sub, lw_sub, invalid, a_sub,
+             na_sub) = build_subtree(
+                depth, q0, p0c, sgn * eps, h0, minv, k_sub, ~done
+            )
+
+            # biased progressive sampling between the old tree and the
+            # new subtree: accept prob = min(1, exp(lw_sub - lw))
+            u = jax.random.uniform(k_merge, (C,))
+            take = ~done & ~invalid & (jnp.log(u) < lw_sub - lw)
+            prop = jnp.where(take[:, None], prop_sub, prop)
+            lw = jnp.where(~done & ~invalid, jnp.logaddexp(lw, lw_sub), lw)
+
+            grow = (~done & ~invalid)[:, None]
+            zl_q = jnp.where(grow & ~fwd[:, None], q_end, zl_q)
+            zl_p = jnp.where(grow & ~fwd[:, None], p_end, zl_p)
+            zr_q = jnp.where(grow & fwd[:, None], q_end, zr_q)
+            zr_p = jnp.where(grow & fwd[:, None], p_end, zr_p)
+            rho_new = rho + rho_sub
+            rho = jnp.where(grow, rho_new, rho)
+            turning = is_turning(rho, zl_p, zr_p, minv)
+
+            alpha = alpha + a_sub
+            n_alpha = n_alpha + na_sub
+            done = done | invalid | (~done & turning)
+            return (depth + 1, done, zl_q, zl_p, zr_q, zr_p, rho, prop,
+                    lw, alpha, n_alpha)
+
+        init = (
+            jnp.int32(0), ~finite0, q, p0, q, p0, p0, q,
+            jnp.zeros((C,), q.dtype),
+            jnp.zeros((C,), q.dtype), jnp.zeros((C,), q.dtype),
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        prop, alpha, n_alpha = out[7], out[9], out[10]
+        q_new = jnp.where(finite0[:, None], prop, q)
+        accept_stat = alpha / jnp.maximum(n_alpha, 1.0)
+        return q_new, accept_stat
+
+    def step(state, key, adapt: bool, t):
+        q, log_eps, h_bar, log_eps_bar, minv = state
+        q, accept_prob = transition(q, log_eps, minv, key)
+        if adapt:
+            tt = t + 1.0
+            h_bar = (1 - 1 / (tt + t0)) * h_bar + (
+                target_accept - accept_prob
+            ) / (tt + t0)
+            log_eps = mu - jnp.sqrt(tt) / gamma * h_bar
+            w = tt ** (-kappa)
+            log_eps_bar = w * log_eps + (1 - w) * log_eps_bar
+        return (q, log_eps, h_bar, log_eps_bar, minv), (q, accept_prob)
+
+    return _adaptive_run(
+        step, initial_positions, key, num_warmup, num_samples,
+        init_step_size,
+    )
 
 
 # -- host-recursion NUTS -------------------------------------------------------

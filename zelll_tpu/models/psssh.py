@@ -7,7 +7,9 @@ defined by the smooth distance field, driven by cell-list neighbor queries.
 Two subcommands, mirroring the reference CLI:
 * sample: burn-in + draws on the harmonic iso-surface log density, written
   out as a PDB point cloud (cli.rs:63-143). The TPU path runs many chains
-  at once (`chains` parameter); `sampler="nuts"` gives the single-chain
+  at once (`chains` parameter): `sampler="hmc"` (jittered-length HMC) or
+  `sampler="nuts-batched"` (device-side lockstep NUTS,
+  `nuts.nuts_sample_batched`); `sampler="nuts"` gives the single-chain
   host-recursion NUTS matching the reference's nuts-rs usage.
 * eval: evaluate SDF value+gradient over an l^3 query grid around the
   structure, reporting timing (cli.rs:150-195) — batched into one device
@@ -23,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.pdb import read_pdb, write_points_pdb
-from .nuts import hmc_sample_batched, nuts_sample
+from .nuts import hmc_sample_batched, nuts_sample, nuts_sample_batched
 from .sdf import SmoothDistanceField
 
 __all__ = ["sample_surface", "eval_grid", "main"]
@@ -94,7 +96,11 @@ def sample_surface(
     vgrad = sdf.hmc_vgrad_fn() if sdf._use_join() else None
     logp = sdf.logdensity_fn()
     key = jax.random.PRNGKey(seed)
-    samples, accept = hmc_sample_batched(
+    sample_fn = (
+        nuts_sample_batched if sampler == "nuts-batched"
+        else hmc_sample_batched
+    )
+    samples, accept = sample_fn(
         logp,
         jnp.asarray(starts),
         key,
@@ -137,7 +143,8 @@ def main(argv=None):
     sp.add_argument("-n", "--draws", type=int, default=20)
     sp.add_argument("--chains", type=int, default=256)
     sp.add_argument("--seed", type=int, default=0)
-    sp.add_argument("--sampler", choices=["hmc", "nuts"], default="hmc")
+    sp.add_argument("--sampler", choices=["hmc", "nuts", "nuts-batched"],
+                    default="hmc")
 
     ep = sub.add_parser("eval", help="evaluate SDF over an l^3 grid")
     ep.add_argument("pdb")
