@@ -229,6 +229,29 @@ def main():
           np.abs(g[defined] - g_ref[defined]).max()
           / (np.abs(g_ref[defined]).max() + 1e-30), 1e-4)
 
+    # generic join kernel (ops.join): counts must be integer-exact and
+    # the min-reduce nearest distance must match f64 numpy brute force
+    from zelll_tpu.core.grid import build as build_grid
+    from zelll_tpu.ops.join import count_neighbors, nearest_dsq
+
+    jgrid = build_grid(jnp.asarray(apos, jnp.float32), sdf_cut)
+    cj, validj, okj = count_neighbors(jgrid, jnp.asarray(queries))
+    ndj, _, okn = nearest_dsq(jgrid, jnp.asarray(queries))
+    assert bool(okj) and bool(okn)
+    # f32 coordinates can flip exact cutoff-boundary ties: bracket the
+    # exact count between margins instead of requiring equality
+    csq_j = sdf_cut**2
+    ref_lo = (dsq <= csq_j * (1 - 1e-5)).sum(1)
+    ref_hi = (dsq <= csq_j * (1 + 1e-5)).sum(1)
+    cjn = np.asarray(cj)
+    check("join_count",
+          float(np.maximum(ref_lo - cjn, cjn - ref_hi).max()), 0.5)
+    nd_ref = np.where(within, dsq, np.inf).min(1)
+    has = np.isfinite(nd_ref)
+    check("join_nearest",
+          np.abs(np.sqrt(np.asarray(ndj)[has]) - np.sqrt(nd_ref[has])).max()
+          / np.sqrt(nd_ref[has]).max(), 1e-5)
+
     n_fail = sum(1 for *_, ok in results if not ok)
     print(f"{len(results) - n_fail}/{len(results)} PASS", flush=True)
     out = os.environ.get("OUT")

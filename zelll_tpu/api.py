@@ -271,6 +271,69 @@ class CellGrid:
             out.append(sel[sel < n])
         return out, ok
 
+    def count_neighbors_batch(self, points: np.ndarray):
+        """Within-cutoff (<=) neighbor count per query point.
+
+        Batched analogue of ``len(self.neighbors(p))`` in one fused join
+        pass (`ops.join.count_neighbors`); the XLA query path is the
+        fallback when the join's key preconditions fail. Returns
+        (counts (Q,) int64, valid (Q,)).
+        """
+        import jax
+
+        points = np.asarray(points, np.float64).reshape(-1, 3)
+        if self._grid is None:
+            return (np.zeros(len(points), np.int64),
+                    np.zeros(len(points), bool))
+        from .ops.join import count_neighbors
+
+        c, valid, ok = count_neighbors(
+            self._grid, points,
+            interpret=jax.default_backend() == "cpu",
+        )
+        if bool(ok):
+            return (np.asarray(c, np.int64), np.asarray(valid))
+        ids_list, ok = self.query_neighbors_batch(points)
+        csq = self._cutoff * self._cutoff
+        counts = np.zeros(len(points), np.int64)
+        for qi, ids in enumerate(ids_list):
+            if len(ids):
+                d = self._pts[ids] - points[qi]
+                counts[qi] = int(((d * d).sum(-1) <= csq).sum())
+        return counts, np.asarray(ok)
+
+    def nearest_neighbor_distances(self, points: np.ndarray):
+        """Distance to the nearest particle within the cutoff per query
+        point (np.inf when no particle is within the cutoff).
+
+        One fused min-join pass (`ops.join.nearest_dsq`); the XLA query
+        path is the fallback when the join's key preconditions fail.
+        Returns (dist (Q,), valid (Q,))."""
+        import jax
+
+        points = np.asarray(points, np.float64).reshape(-1, 3)
+        if self._grid is None:
+            return (np.full(len(points), np.inf),
+                    np.zeros(len(points), bool))
+        from .ops.join import nearest_dsq
+
+        nd, valid, ok = nearest_dsq(
+            self._grid, points,
+            interpret=jax.default_backend() == "cpu",
+        )
+        if bool(ok):
+            return (np.sqrt(np.asarray(nd)), np.asarray(valid))
+        ids_list, ok = self.query_neighbors_batch(points)
+        csq = self._cutoff * self._cutoff
+        dist = np.full(len(points), np.inf)
+        for qi, ids in enumerate(ids_list):
+            if len(ids):
+                dsq = ((self._pts[ids] - points[qi]) ** 2).sum(-1)
+                dsq = dsq[dsq <= csq]
+                if len(dsq):
+                    dist[qi] = float(np.sqrt(dsq.min()))
+        return dist, np.asarray(ok)
+
     def pairs(self, within_cutoff: bool = False):
         """Unique pairs as (i, j) numpy index arrays (one device pass).
 
