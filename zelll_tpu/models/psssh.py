@@ -28,7 +28,7 @@ from ..utils.pdb import read_pdb, write_points_pdb
 from .nuts import hmc_sample_batched, nuts_sample, nuts_sample_batched
 from .sdf import SmoothDistanceField
 
-__all__ = ["sample_surface", "eval_grid", "main"]
+__all__ = ["sample_surface", "sample_surface_sharded", "eval_grid", "main"]
 
 
 def sample_surface(
@@ -108,6 +108,73 @@ def sample_surface(
         num_samples=draws,
         value_and_grad_fn=vgrad,
     )
+    return np.asarray(samples).reshape(-1, 3)
+
+
+def sample_surface_sharded(
+    sdf: SmoothDistanceField,
+    *,
+    chains: int = 1024,
+    burnin: int = 300,
+    draws: int = 20,
+    seed: int = 0,
+    sampler: str = "nuts-batched",
+    mesh=None,
+    **sampler_kw,
+):
+    """Multi-chip surface sampling: chains block-sharded over the mesh.
+
+    Sampling is embarrassingly parallel along the chain axis — the
+    structure (SDF particle planes) is replicated to every device and
+    each device advances its chain block under the batched sampler
+    (`nuts_sample_batched` or `hmc_sample_batched`) with a device-folded
+    PRNG key, so streams are independent across devices. No collectives
+    on the hot path; with the join kernel each device runs one fused
+    dispatch per leapfrog for its whole block. ``chains`` is rounded up
+    to a multiple of the device count. Returns (draws*chains, 3) points.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import make_mesh
+
+    mesh = mesh if mesh is not None else make_mesh()
+    ndev = int(mesh.devices.size)
+    axis = mesh.axis_names[0]
+    chains = -(-chains // ndev) * ndev
+
+    atoms = np.asarray(sdf.data.grid.sorted_pos)
+    rng = np.random.default_rng(seed)
+    starts = atoms[rng.integers(0, len(atoms), chains)] + rng.normal(
+        0, 0.1, (chains, 3)
+    )
+    use_join = sdf._use_join()
+    vgrad = sdf.hmc_vgrad_fn() if use_join else None
+    logp = None if use_join else sdf.logdensity_fn()
+    sample_fn = (
+        nuts_sample_batched if sampler == "nuts-batched"
+        else hmc_sample_batched
+    )
+
+    def body(q0_block):
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(seed), jax.lax.axis_index(axis)
+        )
+        s, a = sample_fn(
+            logp, q0_block, key, num_warmup=burnin, num_samples=draws,
+            value_and_grad_fn=vgrad, **sampler_kw,
+        )
+        return s, a
+
+    samples, _ = jax.jit(
+        shard_map(
+            body,
+            mesh=mesh,
+            in_specs=P(axis),
+            out_specs=(P(None, axis), P(None, axis)),
+            check_vma=False,  # pallas_call outputs carry no vma
+        )
+    )(jnp.asarray(starts, sdf.data.grid.sorted_pos.dtype))
     return np.asarray(samples).reshape(-1, 3)
 
 
