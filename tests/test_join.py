@@ -155,3 +155,31 @@ def test_api_count_nearest_empty_grid():
     dists, _ = cg.nearest_neighbor_distances(np.zeros((3, 3)))
     np.testing.assert_array_equal(counts, [0, 0, 0])
     assert np.isinf(dists).all() and not valid.any()
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_join_fuzz_random_configs(trial):
+    """Random boxes/densities/query mixes vs brute force: exercises
+    join_bounds edges (queries before/after all particle keys, empty
+    bands, single-chunk particle arrays, coincident points)."""
+    rng = np.random.default_rng(100 + trial)
+    n = int(rng.integers(1, 900))
+    box = rng.uniform(1.0, 25.0, 3)
+    cutoff = float(rng.uniform(0.5, 4.0))
+    pos = rng.uniform(0, 1, (n, 3)) * box
+    nq = int(rng.integers(1, 300))
+    queries = np.concatenate([
+        rng.uniform(-0.3, 1.3, (nq, 3)) * box,  # straddle the box edges
+        pos[rng.integers(0, n, 3)],             # coincident
+    ])
+    grid = build(jnp.asarray(pos), cutoff)
+    counts, valid, ok = count_neighbors(grid, jnp.asarray(queries),
+                                        interpret=True)
+    assert bool(ok)
+    dsq = ((queries[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
+    ref = (dsq <= cutoff**2).sum(1)
+    v = np.asarray(valid)
+    np.testing.assert_array_equal(np.asarray(counts)[v], ref[v],
+                                  err_msg=f"trial {trial} n={n} "
+                                          f"cutoff={cutoff} box={box}")
+    assert (np.asarray(counts)[~v] == 0).all()
