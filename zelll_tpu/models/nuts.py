@@ -89,36 +89,42 @@ def hmc_sample_batched(
     def kinetic(p, minv):
         return 0.5 * jnp.sum(p * p * minv, axis=-1)
 
-    def leapfrog(q, p, eps, minv, n_steps):
+    def leapfrog(q, p, g, lp, eps, minv, n_steps):
         """Per-chain trajectory lengths: every chain runs in lockstep for
         num_leapfrog iterations but chain c's state freezes after its own
-        n_steps[c] — per-chain jitter at lockstep cost."""
+        n_steps[c] — per-chain jitter at lockstep cost. The gradient (and
+        logp) are carried through the loop: the gradient at the step's
+        start equals the one computed at the previous step's end, so each
+        iteration costs ONE vgrad dispatch, not two."""
 
-        def body(i, qp):
-            q, p = qp
+        def body(i, qpgl):
+            q, p, g, lp = qpgl
             active = (i < n_steps)[:, None]
-            _, g = vgrad(q)
             p1 = p + 0.5 * eps[:, None] * g
             q1 = q + eps[:, None] * (minv * p1)
-            _, g = vgrad(q1)
-            p1 = p1 + 0.5 * eps[:, None] * g
-            return jnp.where(active, q1, q), jnp.where(active, p1, p)
+            lp1, g1 = vgrad(q1)
+            p1 = p1 + 0.5 * eps[:, None] * g1
+            return (
+                jnp.where(active, q1, q),
+                jnp.where(active, p1, p),
+                jnp.where(active, g1, g),
+                jnp.where(active[:, 0], lp1, lp),
+            )
 
-        return jax.lax.fori_loop(0, num_leapfrog, body, (q, p))
+        return jax.lax.fori_loop(0, num_leapfrog, body, (q, p, g, lp))
 
     def step(state, key, adapt: bool, t):
         q, log_eps, h_bar, log_eps_bar, minv = state
         k1, k2, k3 = jax.random.split(key, 3)
         # momentum ~ N(0, M) with M = 1/minv (diagonal)
         p = jax.random.normal(k1, q.shape, q.dtype) / jnp.sqrt(minv)
-        lp0, _ = vgrad(q)
+        lp0, g0 = vgrad(q)
         h0 = lp0 - kinetic(p, minv)
 
         eps = jnp.exp(log_eps)
         # per-chain jittered trajectory length: 1..num_leapfrog steps
         n_steps = jax.random.randint(k3, (C,), 1, num_leapfrog + 1)
-        q_new, p_new = leapfrog(q, p, eps, minv, n_steps)
-        lp1, _ = vgrad(q_new)
+        q_new, p_new, _, lp1 = leapfrog(q, p, g0, lp0, eps, minv, n_steps)
         h1 = lp1 - kinetic(p_new, minv)
 
         log_ratio = h1 - h0
@@ -284,19 +290,23 @@ def nuts_sample_batched(
         v_r = jnp.sum(rho * (minv * p_r), axis=-1)
         return (v_l < 0) | (v_r < 0)
 
-    def leapfrog(q, p, eps_signed, minv):
-        _, g = vgrad(q)
+    def leapfrog(q, p, g, eps_signed, minv):
+        """One step with the start-point gradient carried in (it equals
+        the gradient computed at the previous step's end): ONE vgrad
+        dispatch per leapfrog."""
         p1 = p + 0.5 * eps_signed[:, None] * g
         q1 = q + eps_signed[:, None] * (minv * p1)
-        lp, g = vgrad(q1)
-        p1 = p1 + 0.5 * eps_signed[:, None] * g
-        return q1, p1, lp
+        lp, g1 = vgrad(q1)
+        p1 = p1 + 0.5 * eps_signed[:, None] * g1
+        return q1, p1, lp, g1
 
-    def build_subtree(depth, q0, p0, eps_signed, h0, minv, key, active):
-        """2^depth leapfrog steps from (q0, p0); returns the subtree's
-        endpoint, momentum sum, multinomial proposal, log sum weight,
-        invalid flag (internal U-turn or divergence), and the
-        acceptance-statistic sums. All (C, ...) with `active` masking."""
+    def build_subtree(depth, q0, p0, g0, eps_signed, h0, minv, key,
+                      active):
+        """2^depth leapfrog steps from (q0, p0) with gradient g0; returns
+        the subtree's endpoint (+ its gradient), momentum sum,
+        multinomial proposal, log sum weight, invalid flag (internal
+        U-turn or divergence), and the acceptance-statistic sums. All
+        (C, ...) with `active` masking."""
         n_leaf = jnp.int32(1) << depth
         neg_inf = jnp.full((C,), -jnp.inf, q0.dtype)
 
@@ -306,13 +316,13 @@ def nuts_sample_batched(
 
         def cond(c):
             i = c[0]
-            alive = c[9]
+            alive = c[10]
             return (i < n_leaf) & jnp.any(alive)
 
         def body(c):
-            (i, qc, pc, rho, prop, lw, alpha, n_alpha, invalid, alive,
+            (i, qc, pc, gc, rho, prop, lw, alpha, n_alpha, invalid, alive,
              ckpt_p, ckpt_rho) = c
-            q1, p1, lp = leapfrog(qc, pc, eps_signed, minv)
+            q1, p1, lp, g1 = leapfrog(qc, pc, gc, eps_signed, minv)
             h = lp - kinetic(p1, minv)
             lw_leaf = h - h0
             div = ~jnp.isfinite(h) | (h0 - h > max_delta_energy)
@@ -360,6 +370,7 @@ def nuts_sample_batched(
             upd = alive[:, None]
             qc = jnp.where(upd, q1, qc)
             pc = jnp.where(upd, p1, pc)
+            gc = jnp.where(upd, g1, gc)
             rho = jnp.where(upd, rho1, rho)
             prop = jnp.where(take[:, None], q1, prop)
             lw = jnp.where(alive, lw_new, lw)
@@ -367,23 +378,24 @@ def nuts_sample_batched(
             n_alpha = n_alpha + alive.astype(alpha.dtype)
             invalid = invalid | (alive & (div | turning))
             alive = alive & ~(div | turning)
-            return (i + 1, qc, pc, rho, prop, lw, alpha, n_alpha,
+            return (i + 1, qc, pc, gc, rho, prop, lw, alpha, n_alpha,
                     invalid, alive, ckpt_p, ckpt_rho)
 
         init = (
-            jnp.int32(0), q0, p0, jnp.zeros_like(q0), q0, neg_inf,
+            jnp.int32(0), q0, p0, g0, jnp.zeros_like(q0), q0, neg_inf,
             jnp.zeros((C,), q0.dtype), jnp.zeros((C,), q0.dtype),
             jnp.zeros((C,), bool), active, ckpt_p0, ckpt_rho0,
         )
-        (_, q_end, p_end, rho, prop, lw, alpha, n_alpha, invalid, _,
-         _, _) = jax.lax.while_loop(cond, body, init)
-        return q_end, p_end, rho, prop, lw, invalid, alpha, n_alpha
+        (_, q_end, p_end, g_end, rho, prop, lw, alpha, n_alpha, invalid,
+         _, _, _) = jax.lax.while_loop(cond, body, init)
+        return q_end, p_end, g_end, rho, prop, lw, invalid, alpha, n_alpha
 
     def transition(q, log_eps, minv, key):
         """One NUTS draw for all chains; returns (q', accept_stat)."""
         k_mom, k_dir, k_acc = jax.random.split(key, 3)
         p0 = jax.random.normal(k_mom, q.shape, q.dtype) / jnp.sqrt(minv)
-        lp0, _ = vgrad(q)
+        lp0, g0 = vgrad(q)
+        g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
         h0 = lp0 - kinetic(p0, minv)
         finite0 = jnp.isfinite(h0)
         h0 = jnp.where(finite0, h0, 0.0)
@@ -394,18 +406,19 @@ def nuts_sample_batched(
             return (depth < max_treedepth) & jnp.any(~done)
 
         def body(c):
-            (depth, done, zl_q, zl_p, zr_q, zr_p, rho, prop, lw,
-             alpha, n_alpha) = c
+            (depth, done, zl_q, zl_p, zl_g, zr_q, zr_p, zr_g, rho, prop,
+             lw, alpha, n_alpha) = c
             kd = jax.random.fold_in(k_dir, depth)
             k_v, k_sub, k_merge = jax.random.split(kd, 3)
             fwd = jax.random.bernoulli(k_v, 0.5, (C,))
             q0 = jnp.where(fwd[:, None], zr_q, zl_q)
             p0c = jnp.where(fwd[:, None], zr_p, zl_p)
+            g0c = jnp.where(fwd[:, None], zr_g, zl_g)
             sgn = jnp.where(fwd, 1.0, -1.0).astype(q.dtype)
 
-            (q_end, p_end, rho_sub, prop_sub, lw_sub, invalid, a_sub,
-             na_sub) = build_subtree(
-                depth, q0, p0c, sgn * eps, h0, minv, k_sub, ~done
+            (q_end, p_end, g_end, rho_sub, prop_sub, lw_sub, invalid,
+             a_sub, na_sub) = build_subtree(
+                depth, q0, p0c, g0c, sgn * eps, h0, minv, k_sub, ~done
             )
 
             # biased progressive sampling between the old tree and the
@@ -418,8 +431,10 @@ def nuts_sample_batched(
             grow = (~done & ~invalid)[:, None]
             zl_q = jnp.where(grow & ~fwd[:, None], q_end, zl_q)
             zl_p = jnp.where(grow & ~fwd[:, None], p_end, zl_p)
+            zl_g = jnp.where(grow & ~fwd[:, None], g_end, zl_g)
             zr_q = jnp.where(grow & fwd[:, None], q_end, zr_q)
             zr_p = jnp.where(grow & fwd[:, None], p_end, zr_p)
+            zr_g = jnp.where(grow & fwd[:, None], g_end, zr_g)
             rho_new = rho + rho_sub
             rho = jnp.where(grow, rho_new, rho)
             turning = is_turning(rho, zl_p, zr_p, minv)
@@ -427,16 +442,16 @@ def nuts_sample_batched(
             alpha = alpha + a_sub
             n_alpha = n_alpha + na_sub
             done = done | invalid | (~done & turning)
-            return (depth + 1, done, zl_q, zl_p, zr_q, zr_p, rho, prop,
-                    lw, alpha, n_alpha)
+            return (depth + 1, done, zl_q, zl_p, zl_g, zr_q, zr_p, zr_g,
+                    rho, prop, lw, alpha, n_alpha)
 
         init = (
-            jnp.int32(0), ~finite0, q, p0, q, p0, p0, q,
+            jnp.int32(0), ~finite0, q, p0, g0, q, p0, g0, p0, q,
             jnp.zeros((C,), q.dtype),
             jnp.zeros((C,), q.dtype), jnp.zeros((C,), q.dtype),
         )
         out = jax.lax.while_loop(cond, body, init)
-        prop, alpha, n_alpha = out[7], out[9], out[10]
+        prop, alpha, n_alpha = out[9], out[11], out[12]
         q_new = jnp.where(finite0[:, None], prop, q)
         accept_stat = alpha / jnp.maximum(n_alpha, 1.0)
         return q_new, accept_stat

@@ -32,9 +32,7 @@ from ..core.pairs import query_neighbors
 
 __all__ = ["ELEMENT_RADII", "SmoothDistanceField", "element_radius"]
 
-# atom-count ceiling for the fused join kernel's VMEM-resident particle
-# blocks (ops.sdf_join): 131072 atoms pack into 4 MB of VMEM
-_JOIN_MAX_ATOMS = 131072
+from ..ops.join import JOIN_MAX_PARTICLES as _JOIN_MAX_ATOMS
 
 # van-der-Waals radii in Angstrom (reference atom.rs:17-27)
 ELEMENT_RADII = {
@@ -307,18 +305,25 @@ class SmoothDistanceField:
         surface.rs:10-14).
 
         The join coverage flag depends only on the grid's key structure
-        (ascending, f32-exact), not on query values (queries are clamped
-        and sorted internally), so it is verified ONCE here eagerly and
-        the returned function is flag-free.
+        (ascending, f32-exact) and the RANGE of clamped query keys —
+        never on the actual query values, because queries are clamped to
+        [-1, shape] before key assignment. It is therefore verified ONCE
+        here eagerly, probing the two extreme grid corners (the largest
+        and smallest clamped key any future query can produce), and the
+        returned function is flag-free.
         """
         iso = self.surface_radius if isoradius is None else float(isoradius)
         jd, k_force = self._join, self.k_force
         interpret = jax.default_backend() == "cpu"
 
-        _, _, _, ok = _sdf_join_batch(
-            jd, jnp.zeros((8, 3), self.data.grid.sorted_pos.dtype),
-            interpret=interpret,
-        )
+        dtype = self.data.grid.sorted_pos.dtype
+        corner_hi = (jd.origin + (jd.shape + 2) * jd.cutoff).astype(dtype)
+        corner_lo = (jd.origin - 2.0 * jd.cutoff).astype(dtype)
+        probe = jnp.concatenate([
+            jnp.broadcast_to(corner_hi, (4, 3)),
+            jnp.broadcast_to(corner_lo, (4, 3)),
+        ])
+        _, _, _, ok = _sdf_join_batch(jd, probe, interpret=interpret)
         if not bool(ok):
             raise RuntimeError(
                 "join kernel key preconditions fail for this grid "
@@ -379,49 +384,32 @@ def _sdf_join_batch(jd: _JoinData, points, CB: int = 8,
                     interpret: bool = False):
     """Batched SDF value + analytic gradient via the fused join kernel.
 
-    Returns (vals (Q,), grads (Q, 3), valid (Q,), ok). Queries are
-    key-sorted, joined against the particle blocks (`ops.sdf_join`), and
+    Returns (vals (Q,), grads (Q, 3), valid (Q,), ok). Queries run
+    through the shared join preamble (`ops.join.query_join_reduce`:
+    key-assign, sort, kernel, sort-based unsort) with the SDF term, and
     the 12 accumulated sums close over value and gradient:
         sigma = S2/S3, val = -sigma*ln(S1)
         grad  = ln(S1)*(A2*S3 - S2*A3)/S3^2 + sigma*A1/S1
     (the derivative of `_sdf_from_neighbors` with nabla S1 = -A1 etc.).
     """
-    from ..ops.sdf_join import sdf_join_sums
+    from ..ops.join import query_join_reduce
+    from ..ops.sdf_join import NACC, sdf_term
 
-    dtype = points.dtype
-    Q = points.shape[0]
-    # cell coords by the shared grid geometry; valid iff within one
-    # implicit padding layer (try_cell_index semantics, util.rs:245-256)
-    idx = jnp.floor((points - jd.origin) / jd.cutoff).astype(jnp.int32)
-    valid = jnp.all((idx >= -1) & (idx <= jd.shape), axis=-1)
-    # clamp invalid queries into the padded key range so far-away points
-    # (|x| up to 1e30) cannot blow the int32/f32-exact key bounds; their
-    # results are garbage behind valid=False, same as the XLA path
-    idx = jnp.clip(idx, -1, jd.shape)
-    qkey = idx[:, 0] * jd.strides[0]
-    for a in range(1, 3):
-        qkey = qkey + idx[:, a] * jd.strides[a]
-
-    iota = jnp.arange(Q, dtype=jnp.int32)
-    sk, sx, sy, sz, sperm = jax.lax.sort(
-        (qkey, points[:, 0], points[:, 1], points[:, 2], iota), num_keys=1
-    )
-    sums, ok = sdf_join_sums(
-        (sx, sy, sz), sk, jd.pplanes, jd.pkeys, jd.strides,
-        jd.cutoff.astype(dtype) ** 2, CB=CB, interpret=interpret,
+    sums, valid, ok = query_join_reduce(
+        points, jd.origin, jd.shape, jd.strides, jd.cutoff,
+        jd.pplanes, jd.pkeys,
+        term=sdf_term, n_out=NACC, CB=CB, interpret=interpret,
     )
     S1, S2, S3 = sums[:, 0], sums[:, 1], sums[:, 2]
     A1, A2, A3 = sums[:, 3:6], sums[:, 6:9], sums[:, 9:12]
     sigma = S2 / S3
     lnS1 = jnp.log(S1)
-    val = -sigma * lnS1
-    grad = (
+    vals = -sigma * lnS1
+    grads = (
         lnS1[:, None] * (A2 * S3[:, None] - S2[:, None] * A3)
         / (S3 * S3)[:, None]
         + (sigma / S1)[:, None] * A1
     )
-    vals = jnp.zeros((Q,), dtype).at[sperm].set(val)
-    grads = jnp.zeros((Q, 3), dtype).at[sperm].set(grad)
     return vals, grads, valid, ok
 
 

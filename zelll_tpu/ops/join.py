@@ -37,11 +37,19 @@ from .segments import CHUNK, join_bounds, num_segments, segment_bands
 from .tile_pairs import RB, _key_exact_f32, _pack_blocks
 
 __all__ = [
+    "JOIN_MAX_PARTICLES",
     "join_reduce",
+    "query_join_reduce",
     "grid_join_reduce",
     "count_neighbors",
     "nearest_dsq",
 ]
+
+# particle-count ceiling for the VMEM-resident packed blocks: 131072
+# rows x 8 planes x 4 B = 4 MB, leaving room in VMEM (tens of MB) for
+# the query blocks, accumulators, and pipeline buffers. Callers must
+# fall back to the XLA query path above this.
+JOIN_MAX_PARTICLES = 131072
 
 _IDENT = {"sum": 0.0, "min": float("inf"), "max": float("-inf")}
 
@@ -225,49 +233,73 @@ def join_reduce(
 @functools.partial(
     jax.jit, static_argnames=("term", "n_out", "reducer", "CB", "interpret")
 )
-def grid_join_reduce(grid, points, *, term: Callable, n_out: int,
-                     payload=(), reducer: str = "sum", CB: int = 8,
-                     interpret: bool = False):
-    """`join_reduce` against a built `core.grid.CellGrid`, raw points in.
+def query_join_reduce(points, origin, shape, strides, cutoff, pplanes,
+                      pkeys, *, term: Callable, n_out: int,
+                      reducer: str = "sum", CB: int = 8,
+                      interpret: bool = False):
+    """`join_reduce` for raw query points: key assignment, sorting, and
+    un-sorting around the kernel (shared by `grid_join_reduce` and the
+    SDF batch path).
 
-    ``payload`` are extra per-particle planes in SORTED slot order (e.g.
-    ``radii[grid.bins.perm]``). Returns (out (Q, n_out), valid (Q,), ok)
-    in INPUT query order; ``valid`` follows the reference's
+    ``origin/shape/strides/cutoff`` is the particle grid's geometry
+    (`GridInfo` fields). Returns (out (Q, n_out), valid (Q,), ok) in
+    INPUT query order; ``valid`` follows the reference's
     `try_cell_index` rule (within one implicit padding layer,
     util.rs:245-256) — out-of-range queries still get reducer-identity
     outputs (no neighbors)."""
-    info = grid.info
-    points = jnp.atleast_2d(points)
-    dtype = grid.sorted_pos.dtype
-    points = points.astype(dtype)
+    dtype = pplanes[0].dtype
+    points = jnp.atleast_2d(points).astype(dtype)
     Q = points.shape[0]
 
-    idx = jnp.floor((points - info.origin) / info.cutoff).astype(jnp.int32)
-    valid = jnp.all((idx >= -1) & (idx <= info.shape), axis=-1)
+    idx = jnp.floor((points - origin) / cutoff).astype(jnp.int32)
+    valid = jnp.all((idx >= -1) & (idx <= shape), axis=-1)
     # clamp far-away queries into key range (results are identity anyway:
     # padding-distance coordinates fail every cutoff check)
-    idx = jnp.clip(idx, -1, info.shape)
-    qkey = idx[:, 0] * info.strides[0]
+    idx = jnp.clip(idx, -1, shape)
+    qkey = idx[:, 0] * strides[0]
     for a in range(1, 3):
-        qkey = qkey + idx[:, a] * info.strides[a]
+        qkey = qkey + idx[:, a] * strides[a]
 
     iota = jnp.arange(Q, dtype=jnp.int32)
     sk, sx, sy, sz, sperm = jax.lax.sort(
         (qkey, points[:, 0], points[:, 1], points[:, 2], iota), num_keys=1
     )
-    n = grid.n
-    sp = grid.sorted_pos
-    pplanes = (sp[:n, 0], sp[:n, 1], sp[:n, 2]) + tuple(
-        p[:n].astype(dtype) for p in payload
-    )
     sums, ok = join_reduce(
-        (sx, sy, sz), sk, pplanes, grid.bins.sorted_keys[:n],
-        info.strides, jnp.asarray(info.cutoff, dtype) ** 2,
+        (sx, sy, sz), sk, pplanes, pkeys, strides,
+        jnp.asarray(cutoff, dtype) ** 2,
         term=term, n_out=n_out, reducer=reducer, CB=CB,
         interpret=interpret,
     )
-    out = jnp.full((Q, n_out), _IDENT[reducer], dtype).at[sperm].set(sums)
+    # un-sort by a second multi-operand sort on sperm — a Q-sized
+    # scatter costs ~7 ns/element (CLAUDE.md); the sort moves the
+    # payload planes along for free
+    unsorted = jax.lax.sort(
+        (sperm,) + tuple(sums[:, q] for q in range(n_out)), num_keys=1
+    )
+    out = jnp.stack(unsorted[1:], axis=-1)
     return out, valid, ok
+
+
+def grid_join_reduce(grid, points, *, term: Callable, n_out: int,
+                     payload=(), reducer: str = "sum", CB: int = 8,
+                     interpret: bool = False):
+    """`query_join_reduce` against a built `core.grid.CellGridData`.
+
+    ``payload`` are extra per-particle planes in SORTED slot order (e.g.
+    ``radii[grid.bins.perm]``)."""
+    info = grid.info
+    n = grid.n
+    sp = grid.sorted_pos
+    dtype = sp.dtype
+    pplanes = (sp[:n, 0], sp[:n, 1], sp[:n, 2]) + tuple(
+        p[:n].astype(dtype) for p in payload
+    )
+    return query_join_reduce(
+        points, info.origin, info.shape, info.strides, info.cutoff,
+        pplanes, grid.bins.sorted_keys[:n],
+        term=term, n_out=n_out, reducer=reducer, CB=CB,
+        interpret=interpret,
+    )
 
 
 def _count_term(dsq, d, payload, within):
