@@ -287,6 +287,11 @@ def grid_join_reduce(grid, points, *, term: Callable, n_out: int,
 
     ``payload`` are extra per-particle planes in SORTED slot order (e.g.
     ``radii[grid.bins.perm]``)."""
+    if grid.dim != 3:
+        raise ValueError(
+            f"the join kernel is 3D-only (grid dim {grid.dim}); use "
+            "core.pairs.query_neighbors for other dimensions"
+        )
     info = grid.info
     n = grid.n
     sp = grid.sorted_pos
