@@ -504,33 +504,34 @@ def nuts_sample(
     log_eps_bar, h_bar = 0.0, 0.0
     gamma, t0, kappa = 0.05, 10.0, 0.75
 
-    def leapfrog(q, p, eps):
-        lp, g = value_and_grad_fn(q)
+    def leapfrog(q, p, g, eps):
+        """Start-point gradient g carried in (= previous step's end
+        gradient): one value_and_grad call per leapfrog, not two."""
         p = p + 0.5 * eps * np.asarray(g)
         q = q + eps * p
-        lp, g = value_and_grad_fn(q)
-        p = p + 0.5 * eps * np.asarray(g)
-        return q, p, float(lp)
+        lp, g1 = value_and_grad_fn(q)
+        p = p + 0.5 * eps * np.asarray(g1)
+        return q, p, float(lp), g1
 
-    def build_tree(q, p, log_u, v, depth, eps, h0):
+    def build_tree(q, p, g, log_u, v, depth, eps, h0):
         if depth == 0:
-            q1, p1, lp1 = leapfrog(q, p, v * eps)
+            q1, p1, lp1, g1 = leapfrog(q, p, g, v * eps)
             joint = lp1 - 0.5 * float(p1 @ p1)
             n1 = int(log_u <= joint)
             s1 = int(log_u < joint + 1000.0) and np.isfinite(joint)
             a1 = min(1.0, math.exp(min(joint - h0, 0.0))) if np.isfinite(joint) else 0.0
-            return q1, p1, q1, p1, q1, n1, s1, a1, 1
-        qm, pm, qp, pp, q1, n1, s1, a1, na1 = build_tree(
-            q, p, log_u, v, depth - 1, eps, h0
+            return q1, p1, g1, q1, p1, g1, q1, n1, s1, a1, 1
+        qm, pm, gm, qp, pp, gp, q1, n1, s1, a1, na1 = build_tree(
+            q, p, g, log_u, v, depth - 1, eps, h0
         )
         if s1:
             if v == -1:
-                qm, pm, _, _, q2, n2, s2, a2, na2 = build_tree(
-                    qm, pm, log_u, v, depth - 1, eps, h0
+                qm, pm, gm, _, _, _, q2, n2, s2, a2, na2 = build_tree(
+                    qm, pm, gm, log_u, v, depth - 1, eps, h0
                 )
             else:
-                _, _, qp, pp, q2, n2, s2, a2, na2 = build_tree(
-                    qp, pp, log_u, v, depth - 1, eps, h0
+                _, _, _, qp, pp, gp, q2, n2, s2, a2, na2 = build_tree(
+                    qp, pp, gp, log_u, v, depth - 1, eps, h0
                 )
             if n1 + n2 > 0 and rng.random() < n2 / (n1 + n2):
                 q1 = q2
@@ -538,29 +539,30 @@ def nuts_sample(
             dq = qp - qm
             s1 = s2 and (dq @ pm >= 0) and (dq @ pp >= 0)
             n1 = n1 + n2
-        return qm, pm, qp, pp, q1, n1, s1, a1, na1
+        return qm, pm, gm, qp, pp, gp, q1, n1, s1, a1, na1
 
     samples = []
     accept_stats = []
     total = num_warmup + num_samples
     for t in range(total):
         p0 = rng.standard_normal(D)
-        lp0, _ = value_and_grad_fn(q)
+        lp0, g0 = value_and_grad_fn(q)
         h0 = float(lp0) - 0.5 * float(p0 @ p0)
         log_u = h0 + math.log(rng.random() + 1e-300)
 
         qm, qp, pm, pp = q.copy(), q.copy(), p0.copy(), p0.copy()
+        gm, gp = np.asarray(g0), np.asarray(g0)
         n, s, depth = 1, True, 0
         alpha, n_alpha = 0.0, 1
         while s and depth < max_treedepth:
             v = 1 if rng.random() < 0.5 else -1
             if v == -1:
-                qm, pm, _, _, q1, n1, s1, a, na = build_tree(
-                    qm, pm, log_u, v, depth, eps, h0
+                qm, pm, gm, _, _, _, q1, n1, s1, a, na = build_tree(
+                    qm, pm, gm, log_u, v, depth, eps, h0
                 )
             else:
-                _, _, qp, pp, q1, n1, s1, a, na = build_tree(
-                    qp, pp, log_u, v, depth, eps, h0
+                _, _, _, qp, pp, gp, q1, n1, s1, a, na = build_tree(
+                    qp, pp, gp, log_u, v, depth, eps, h0
                 )
             if s1 and rng.random() < min(1.0, n1 / n):
                 q = q1
