@@ -280,6 +280,9 @@ def query_join_reduce(points, origin, shape, strides, cutoff, pplanes,
     return out, valid, ok
 
 
+@functools.partial(
+    jax.jit, static_argnames=("term", "n_out", "reducer", "CB", "interpret")
+)
 def grid_join_reduce(grid, points, *, term: Callable, n_out: int,
                      payload=(), reducer: str = "sum", CB: int = 8,
                      interpret: bool = False):
