@@ -285,17 +285,16 @@ class CellGrid:
         if self._grid is None:
             return (np.zeros(len(points), np.int64),
                     np.zeros(len(points), bool))
-        from .ops.join import JOIN_MAX_PARTICLES, count_neighbors
+        from .ops.join import count_neighbors
 
-        # the join kernel keeps ALL particles VMEM-resident — above the
-        # ceiling it cannot compile; take the XLA query path instead
-        if self._grid.n <= JOIN_MAX_PARTICLES:
-            c, valid, ok = count_neighbors(
-                self._grid, points,
-                interpret=jax.default_backend() == "cpu",
-            )
-            if bool(ok):
-                return (np.asarray(c, np.int64), np.asarray(valid))
+        # any grid size: the windowed kernel takes over above the
+        # VMEM-residency ceiling; flag failure falls through to XLA
+        c, valid, ok = count_neighbors(
+            self._grid, points,
+            interpret=jax.default_backend() == "cpu",
+        )
+        if bool(ok):
+            return (np.asarray(c, np.int64), np.asarray(valid))
         ids_list, ok = self.query_neighbors_batch(points)
         csq = self._cutoff * self._cutoff
         counts = np.zeros(len(points), np.int64)
@@ -318,15 +317,14 @@ class CellGrid:
         if self._grid is None:
             return (np.full(len(points), np.inf),
                     np.zeros(len(points), bool))
-        from .ops.join import JOIN_MAX_PARTICLES, nearest_dsq
+        from .ops.join import nearest_dsq
 
-        if self._grid.n <= JOIN_MAX_PARTICLES:
-            nd, valid, ok = nearest_dsq(
-                self._grid, points,
-                interpret=jax.default_backend() == "cpu",
-            )
-            if bool(ok):
-                return (np.sqrt(np.asarray(nd)), np.asarray(valid))
+        nd, valid, ok = nearest_dsq(
+            self._grid, points,
+            interpret=jax.default_backend() == "cpu",
+        )
+        if bool(ok):
+            return (np.sqrt(np.asarray(nd)), np.asarray(valid))
         ids_list, ok = self.query_neighbors_batch(points)
         csq = self._cutoff * self._cutoff
         dist = np.full(len(points), np.inf)

@@ -34,6 +34,11 @@ __all__ = ["ELEMENT_RADII", "SmoothDistanceField", "element_radius"]
 
 from ..ops.join import JOIN_MAX_PARTICLES as _JOIN_MAX_ATOMS
 
+# windowed-join capacity ceiling (in 128-slot particle chunks): bounds the
+# kernel's per-program DMA scratch (CB*S*MAXJ*8 rows x 128 lanes x 4 B =
+# ~0.3 MB per capacity unit) well inside VMEM
+_JOIN_LADDER_CAP = 16
+
 # van-der-Waals radii in Angstrom (reference atom.rs:17-27)
 ELEMENT_RADII = {
     "C": 1.70,
@@ -141,6 +146,10 @@ class SmoothDistanceField:
             origin=grid.info.origin,
             cutoff=jnp.asarray(cutoff, sp.dtype),
         )
+        # structures above the VMEM-residency ceiling run the windowed
+        # join kernel; the capacity class is learned by coverage-flag
+        # retry and remembered across calls
+        self._join_maxj = 8 if n > _JOIN_MAX_ATOMS else None
 
     def _use_join(self) -> bool:
         if self._method == "xla":
@@ -154,10 +163,39 @@ class SmoothDistanceField:
         # CPU default (method='join' still forces it, as the tests do)
         return (
             self.data.grid.dim == 3
-            and self.data.grid.n <= _JOIN_MAX_ATOMS
             and self.data.grid.n > 0
             and jax.default_backend() != "cpu"
         )
+
+    def _join_batch_auto(self, points):
+        """`_sdf_join_batch` with the windowed-capacity retry ladder.
+
+        Structures at or below `_JOIN_MAX_ATOMS` run the VMEM-resident
+        kernel; larger ones run the windowed kernel, doubling the window
+        capacity while the coverage flag fails, up to `_JOIN_LADDER_CAP`
+        (a VMEM bound: very spread-out query chunks can demand windows
+        larger than the scratch buffer can hold). Returns
+        (vals, grads, valid) or None — the caller falls back to the XLA
+        gather path, which is always correct."""
+        interpret = jax.default_backend() == "cpu"
+        n = self.data.grid.n
+        if self._join_maxj is None:
+            v, g, valid, ok = _sdf_join_batch(
+                self._join, points, interpret=interpret
+            )
+            return (v, g, valid) if bool(ok) else None
+        ncp = -(-n // 128)
+        cap = min(ncp, _JOIN_LADDER_CAP)
+        while True:
+            v, g, valid, ok = _sdf_join_batch(
+                self._join, points, MAXJ=self._join_maxj,
+                interpret=interpret,
+            )
+            if bool(ok):
+                return v, g, valid
+            if self._join_maxj >= cap:
+                return None
+            self._join_maxj = min(2 * self._join_maxj, cap)
 
     def with_surface_radius(self, r: float) -> "SmoothDistanceField":
         self.surface_radius = float(r)
@@ -176,19 +214,18 @@ class SmoothDistanceField:
         corresponds to the reference returning None for far-away queries.
 
         Large batches run through the fused join kernel (`ops.sdf_join`:
-        sorted queries x VMEM-resident particle blocks, analytic
-        gradients) when the structure fits; the XLA gather path is the
-        fallback (``method='xla'`` forces it).
+        sorted queries x particle blocks — VMEM-resident up to
+        `_JOIN_MAX_ATOMS` atoms, HBM-windowed above — with analytic
+        gradients); the XLA gather path is the fallback (``method='xla'``
+        forces it).
         """
         points = jnp.atleast_2d(
             jnp.asarray(points, self.data.grid.sorted_pos.dtype)
         )
         if self._use_join():
-            v, g, valid, ok = _sdf_join_batch(
-                self._join, points,
-                interpret=jax.default_backend() == "cpu",
-            )
-            if bool(ok):
+            res = self._join_batch_auto(points)
+            if res is not None:
+                v, g, valid = res
                 return np.asarray(v), np.asarray(g), np.asarray(valid)
         v, g, ok = _evaluate_batch(self.data, points, self._K)
         return np.asarray(v), np.asarray(g), np.asarray(ok)
@@ -201,11 +238,9 @@ class SmoothDistanceField:
             jnp.asarray(points, self.data.grid.sorted_pos.dtype)
         )
         if self._use_join():
-            v, g, valid, ok = _sdf_join_batch(
-                self._join, points,
-                interpret=jax.default_backend() == "cpu",
-            )
-            if bool(ok):
+            res = self._join_batch_auto(points)
+            if res is not None:
+                v, g, valid = res
                 # compose the harmonic potential in closed form
                 pot = -self.k_force * (v - iso) ** 2
                 gpot = (-2.0 * self.k_force) * (v - iso)[:, None] * g
@@ -315,6 +350,16 @@ class SmoothDistanceField:
         iso = self.surface_radius if isoradius is None else float(isoradius)
         jd, k_force = self._join, self.k_force
         interpret = jax.default_backend() == "cpu"
+        if self.data.grid.n > _JOIN_MAX_ATOMS:
+            # the windowed kernel's capacity flag depends on the query
+            # VALUES (their key spread per chunk), so a flag-free function
+            # cannot be certified by a one-time probe
+            raise ValueError(
+                f"hmc_vgrad_fn needs a VMEM-resident structure "
+                f"(<= {_JOIN_MAX_ATOMS} atoms); use logdensity_fn or "
+                "evaluate/hmc_gradient (windowed kernel with per-call "
+                "coverage flags) for larger structures"
+            )
 
         dtype = self.data.grid.sorted_pos.dtype
         corner_hi = (jd.origin + (jd.shape + 2) * jd.cutoff).astype(dtype)
@@ -379,9 +424,9 @@ def _evaluate_batch(data: SdfData, points, K: int):
     )
 
 
-@partial(jax.jit, static_argnames=("CB", "interpret"))
+@partial(jax.jit, static_argnames=("CB", "MAXJ", "interpret"))
 def _sdf_join_batch(jd: _JoinData, points, CB: int = 8,
-                    interpret: bool = False):
+                    MAXJ: int | None = None, interpret: bool = False):
     """Batched SDF value + analytic gradient via the fused join kernel.
 
     Returns (vals (Q,), grads (Q, 3), valid (Q,), ok). Queries run
@@ -398,7 +443,7 @@ def _sdf_join_batch(jd: _JoinData, points, CB: int = 8,
     sums, valid, ok = query_join_reduce(
         points, jd.origin, jd.shape, jd.strides, jd.cutoff,
         jd.pplanes, jd.pkeys,
-        term=sdf_term, n_out=NACC, CB=CB, interpret=interpret,
+        term=sdf_term, n_out=NACC, CB=CB, MAXJ=MAXJ, interpret=interpret,
     )
     S1, S2, S3 = sums[:, 0], sums[:, 1], sums[:, 2]
     A1, A2, A3 = sums[:, 3:6], sums[:, 6:9], sums[:, 9:12]

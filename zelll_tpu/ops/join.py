@@ -41,6 +41,7 @@ __all__ = [
     "join_reduce",
     "query_join_reduce",
     "grid_join_reduce",
+    "grid_join_reduce_auto",
     "count_neighbors",
     "nearest_dsq",
 ]
@@ -63,17 +64,49 @@ def _combine(reducer, a, b):
 
 
 def _make_join_kernel(CB: int, S: int, dtype, term: Callable, n_out: int,
-                      npl: int, reducer: str, outrows: int):
+                      npl: int, reducer: str, outrows: int, MAXJ: int = 0):
     """Generic join kernel; same structure as `_make_sdf_join_kernel`
     (query chunks x fully-resident particle blocks) with a pluggable
-    per-tile term and combiner."""
+    per-tile term and combiner.
+
+    ``MAXJ > 0`` selects the windowed variant for particle arrays too
+    large for VMEM residency: the packed blocks stay in HBM (`pl.ANY`)
+    and each (query chunk, band) window of at most MAXJ chunks is DMA'd
+    into a scratch buffer, exactly like the tile pair kernels
+    (`tile_pairs._make_tile_forces_kernel_packed`). Bounds then carry
+    (jlo, toff, jnum) triples from `join_bounds(..., max_j=MAXJ)`."""
     ident = _IDENT[reducer]  # python scalar: must not be a traced constant
     krow = 3 + npl  # key row index in the packed particle blocks
+    windowed = MAXJ > 0
 
     def kernel(bands_ref, csq_ref, bounds_ref, own8_ref, parr_ref,
-               out_ref, facc, macc):
+               out_ref, facc, macc, *rest):
         csq = csq_ref[0]
         facc[...] = jnp.full_like(facc, ident)
+
+        if windowed:
+            jbuf, sems = rest
+
+            def window(oc, s):
+                return (bounds_ref[oc, 3 * s], bounds_ref[oc, 3 * s + 1],
+                        bounds_ref[oc, 3 * s + 2])
+
+            def copy_obj(oc, s, jlo):
+                w = oc * S + s
+                return pltpu.make_async_copy(
+                    parr_ref.at[pl.ds(jlo * RB, MAXJ * RB), :],
+                    jbuf.at[pl.ds(w * MAXJ * RB, MAXJ * RB), :],
+                    sems.at[w],
+                )
+
+            # issue every window DMA up front; latency hides behind compute
+            for oc in range(CB):
+                for s in range(S):
+                    jlo, _, jnum = window(oc, s)
+
+                    @pl.when(jnum > 0)
+                    def _(oc=oc, s=s, jlo=jlo):
+                        copy_obj(oc, s, jlo).start()
 
         for oc in range(CB):
             o0 = oc * CHUNK
@@ -88,13 +121,10 @@ def _make_join_kernel(CB: int, S: int, dtype, term: Callable, n_out: int,
             macc[...] = jnp.full_like(macc, ident)
 
             for s in range(S):
-                lo = bounds_ref[oc, 2 * s]
-                num = bounds_ref[oc, 2 * s + 1]
                 lo_s = bands_ref[s, 0]
                 hi_s = bands_ref[s, 1]
 
-                def tile(t, _, lo_s=lo_s, hi_s=hi_s, qc=qc, qk=qk):
-                    blk = parr_ref[pl.ds(t * RB, RB), :]  # (8, 128)
+                def tile_body(blk, lo_s=lo_s, hi_s=hi_s, qc=qc, qk=qk):
                     pk = blk[krow : krow + 1, :]
                     payload = [blk[3 + a : 4 + a, :] for a in range(npl)]
 
@@ -111,9 +141,29 @@ def _make_join_kernel(CB: int, S: int, dtype, term: Callable, n_out: int,
                     for q, vq in enumerate(vals):
                         sl = slice(q * CHUNK, (q + 1) * CHUNK)
                         macc[:, sl] = _combine(reducer, macc[:, sl], vq)
-                    return 0
 
-                jax.lax.fori_loop(lo, lo + num, tile, 0)
+                if windowed:
+                    jlo, toff, jnum = window(oc, s)
+                    w0 = (oc * S + s) * MAXJ
+
+                    @pl.when(jnum > 0)
+                    def _(oc=oc, s=s, jlo=jlo):
+                        copy_obj(oc, s, jlo).wait()
+
+                    def tile(t, _, w0=w0, tile_body=tile_body):
+                        tile_body(jbuf[pl.ds((w0 + t) * RB, RB), :])
+                        return 0
+
+                    jax.lax.fori_loop(toff, toff + jnum, tile, 0)
+                else:
+                    lo = bounds_ref[oc, 2 * s]
+                    num = bounds_ref[oc, 2 * s + 1]
+
+                    def tile(t, _, tile_body=tile_body):
+                        tile_body(parr_ref[pl.ds(t * RB, RB), :])
+                        return 0
+
+                    jax.lax.fori_loop(lo, lo + num, tile, 0)
 
             if reducer == "sum":
                 ones_row = jnp.ones((1, CHUNK), dtype)
@@ -141,7 +191,8 @@ def _make_join_kernel(CB: int, S: int, dtype, term: Callable, n_out: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("term", "n_out", "reducer", "CB", "interpret")
+    jax.jit,
+    static_argnames=("term", "n_out", "reducer", "CB", "MAXJ", "interpret"),
 )
 def join_reduce(
     qplanes,  # 3 sorted (nq,) query coordinate planes
@@ -155,6 +206,7 @@ def join_reduce(
     n_out: int,
     reducer: str = "sum",
     CB: int = 8,
+    MAXJ: int | None = None,
     interpret: bool = False,
 ):
     """Reduce ``term`` over all within-cutoff particles per sorted query.
@@ -163,7 +215,15 @@ def join_reduce(
     (CHUNK, CHUNK) tiles (queries x particles) plus the (1, CHUNK)
     payload rows and must return ``n_out`` tiles already masked to the
     reducer identity (0 for sum, +/-inf for min/max) outside ``within``.
-    Returns (out (nq, n_out), ok) in sorted query order."""
+    Returns (out (nq, n_out), ok) in sorted query order.
+
+    ``MAXJ=None`` (default) keeps the whole packed particle array
+    VMEM-resident — fastest, but capped at `JOIN_MAX_PARTICLES`. Pass a
+    window capacity MAXJ (in 128-slot chunks) to run the windowed kernel
+    instead: particles stay in HBM and each (query chunk, band) window is
+    DMA'd on demand, so there is no particle ceiling; the coverage flag
+    then ALSO goes False when some window needs more than MAXJ chunks
+    (re-jit one capacity class up, never trust a flagged result)."""
     if reducer not in _IDENT:
         raise ValueError(f"reducer must be one of {sorted(_IDENT)}")
     npl = len(pplanes) - 3
@@ -178,6 +238,11 @@ def join_reduce(
     S = num_segments(3, full=True)
     if CB % 8 and not interpret:
         raise ValueError("CB must be a multiple of 8 (SMEM sublane blocking)")
+    if MAXJ is None and npart > JOIN_MAX_PARTICLES:
+        raise ValueError(
+            f"{npart} particles exceed the VMEM-resident ceiling "
+            f"({JOIN_MAX_PARTICLES}); pass a window capacity MAXJ"
+        )
     outrows = max(-(-n_out // RB) * RB, RB)
 
     ncq = max(-(-nq // (CHUNK * CB)) * CB, CB)
@@ -189,8 +254,14 @@ def join_reduce(
     pkeys_p = _pad_and_desentinel(pkeys, Cp)
 
     bands = segment_bands(strides, full=True)
-    lo, num, cov_ok = join_bounds(qkeys_p, pkeys_p, bands)
-    bounds = jnp.stack([lo, num], axis=-1).reshape(ncq, 2 * S)
+    if MAXJ is None:
+        lo, num, cov_ok = join_bounds(qkeys_p, pkeys_p, bands)
+        bounds = jnp.stack([lo, num], axis=-1).reshape(ncq, 2 * S)
+    else:
+        MAXJ = min(MAXJ, ncp)
+        jlo, toff, jnum, cov_ok = join_bounds(qkeys_p, pkeys_p, bands,
+                                              max_j=MAXJ)
+        bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(ncq, 3 * S)
 
     qarr8 = _pack_blocks(list(qplanes), qkeys_p, cutoff_sq, nq, Cq, dtype)
     parr8 = _pack_blocks(list(pplanes), pkeys_p, cutoff_sq, npart, Cp, dtype)
@@ -199,25 +270,36 @@ def join_reduce(
         cov_ok = _key_exact_f32(pkeys_p, cov_ok)
 
     kernel = _make_join_kernel(CB, S, dtype, term, n_out, npl, reducer,
-                               outrows)
+                               outrows, MAXJ=MAXJ or 0)
+    scratch = [
+        pltpu.VMEM((CB * CHUNK, outrows), dtype),
+        pltpu.VMEM((CHUNK, n_out * CHUNK), dtype),
+    ]
+    if MAXJ is None:
+        # whole packed particle array, VMEM-resident (constant block)
+        parr_spec = pl.BlockSpec((ncp * RB, CHUNK), lambda p: (0, 0))
+        bounds_cols = 2 * S
+    else:
+        parr_spec = pl.BlockSpec(memory_space=pl.ANY)
+        bounds_cols = 3 * S
+        scratch += [
+            pltpu.VMEM((CB * S * MAXJ * RB, CHUNK), dtype),
+            pltpu.SemaphoreType.DMA((CB * S,)),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(ncq // CB,),
         in_specs=[
             pl.BlockSpec((S, 2), lambda p: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1,), lambda p: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((CB, 2 * S), lambda p: (p, 0),
+            pl.BlockSpec((CB, bounds_cols), lambda p: (p, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((CB * RB, CHUNK), lambda p: (p, 0)),
-            # whole packed particle array, VMEM-resident (constant block)
-            pl.BlockSpec((ncp * RB, CHUNK), lambda p: (0, 0)),
+            parr_spec,
         ],
         out_specs=pl.BlockSpec((CB, outrows, CHUNK), lambda p: (p, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((ncq, outrows, CHUNK), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((CB * CHUNK, outrows), dtype),
-            pltpu.VMEM((CHUNK, n_out * CHUNK), dtype),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(
         bands.astype(dtype),
@@ -231,11 +313,13 @@ def join_reduce(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("term", "n_out", "reducer", "CB", "interpret")
+    jax.jit,
+    static_argnames=("term", "n_out", "reducer", "CB", "MAXJ", "interpret"),
 )
 def query_join_reduce(points, origin, shape, strides, cutoff, pplanes,
                       pkeys, *, term: Callable, n_out: int,
                       reducer: str = "sum", CB: int = 8,
+                      MAXJ: int | None = None,
                       interpret: bool = False):
     """`join_reduce` for raw query points: key assignment, sorting, and
     un-sorting around the kernel (shared by `grid_join_reduce` and the
@@ -267,7 +351,7 @@ def query_join_reduce(points, origin, shape, strides, cutoff, pplanes,
     sums, ok = join_reduce(
         (sx, sy, sz), sk, pplanes, pkeys, strides,
         jnp.asarray(cutoff, dtype) ** 2,
-        term=term, n_out=n_out, reducer=reducer, CB=CB,
+        term=term, n_out=n_out, reducer=reducer, CB=CB, MAXJ=MAXJ,
         interpret=interpret,
     )
     # un-sort by a second multi-operand sort on sperm — a Q-sized
@@ -281,15 +365,18 @@ def query_join_reduce(points, origin, shape, strides, cutoff, pplanes,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("term", "n_out", "reducer", "CB", "interpret")
+    jax.jit,
+    static_argnames=("term", "n_out", "reducer", "CB", "MAXJ", "interpret"),
 )
 def grid_join_reduce(grid, points, *, term: Callable, n_out: int,
                      payload=(), reducer: str = "sum", CB: int = 8,
-                     interpret: bool = False):
+                     MAXJ: int | None = None, interpret: bool = False):
     """`query_join_reduce` against a built `core.grid.CellGridData`.
 
     ``payload`` are extra per-particle planes in SORTED slot order (e.g.
-    ``radii[grid.bins.perm]``)."""
+    ``radii[grid.bins.perm]``). Grids above `JOIN_MAX_PARTICLES`
+    particles need a window capacity ``MAXJ`` (see `join_reduce`); the
+    host-side `grid_join_reduce_auto` picks it by coverage-flag retry."""
     if grid.dim != 3:
         raise ValueError(
             f"the join kernel is 3D-only (grid dim {grid.dim}); use "
@@ -305,9 +392,37 @@ def grid_join_reduce(grid, points, *, term: Callable, n_out: int,
     return query_join_reduce(
         points, info.origin, info.shape, info.strides, info.cutoff,
         pplanes, grid.bins.sorted_keys[:n],
-        term=term, n_out=n_out, reducer=reducer, CB=CB,
+        term=term, n_out=n_out, reducer=reducer, CB=CB, MAXJ=MAXJ,
         interpret=interpret,
     )
+
+
+def grid_join_reduce_auto(grid, points, *, maxj0: int = 8,
+                          maxj_cap: int = 16, **kw):
+    """`grid_join_reduce` with automatic windowed-kernel capacity.
+
+    Grids at or below `JOIN_MAX_PARTICLES` run the VMEM-resident kernel
+    unchanged. Larger grids run the windowed kernel, starting at window
+    capacity ``maxj0`` chunks and re-jitting one capacity class up (x2)
+    whenever the coverage flag fails — the host-side retry ladder of the
+    static-shapes + coverage-flags invariant (host-syncing; call outside
+    jit). ``maxj_cap`` bounds the ladder (the kernel's DMA scratch is
+    ~0.3 MB per capacity unit — query chunks whose sorted keys span a
+    large fraction of the grid can demand windows no VMEM budget covers);
+    a flag still False at the cap is returned as-is — never trust a
+    flagged result (fall back to `core.pairs.query_neighbors`, or
+    localize/batch the queries so sorted chunks span fewer cells)."""
+    n = int(grid.n)
+    if n <= JOIN_MAX_PARTICLES:
+        return grid_join_reduce(grid, points, **kw)
+    ncp = -(-n // CHUNK)
+    cap = min(ncp, maxj_cap)
+    MAXJ = min(maxj0, cap)
+    while True:
+        out, valid, ok = grid_join_reduce(grid, points, MAXJ=MAXJ, **kw)
+        if bool(ok) or MAXJ >= cap:
+            return out, valid, ok
+        MAXJ = min(2 * MAXJ, cap)
 
 
 def _count_term(dsq, d, payload, within):
@@ -322,8 +437,9 @@ def count_neighbors(grid, points, *, CB: int = 8, interpret: bool = False):
     """Within-cutoff particle count per query point (one fused pass).
 
     Returns (counts (Q,) int32, valid (Q,), ok). The batched analogue of
-    looping `query_neighbors` + count (cellgrid.rs:391-401)."""
-    out, valid, ok = grid_join_reduce(
+    looping `query_neighbors` + count (cellgrid.rs:391-401). Handles any
+    grid size (windowed kernel above `JOIN_MAX_PARTICLES` particles)."""
+    out, valid, ok = grid_join_reduce_auto(
         grid, points, term=_count_term, n_out=1, CB=CB,
         interpret=interpret,
     )
@@ -334,8 +450,9 @@ def nearest_dsq(grid, points, *, CB: int = 8, interpret: bool = False):
     """Squared distance to the nearest particle within the cutoff per
     query point; +inf when no particle is within the cutoff.
 
-    Returns (dsq (Q,), valid (Q,), ok)."""
-    out, valid, ok = grid_join_reduce(
+    Returns (dsq (Q,), valid (Q,), ok). Handles any grid size (windowed
+    kernel above `JOIN_MAX_PARTICLES` particles)."""
+    out, valid, ok = grid_join_reduce_auto(
         grid, points, term=_nearest_term, n_out=1, reducer="min", CB=CB,
         interpret=interpret,
     )

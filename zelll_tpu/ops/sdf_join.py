@@ -76,15 +76,17 @@ def sdf_join_sums(
     cutoff_sq,
     *,
     CB: int = 8,
+    MAXJ: int | None = None,
     interpret: bool = False,
 ):
     """The 12 per-query SDF sums over all within-cutoff particles.
 
     Returns (sums, ok): ``sums`` is a (nq, NACC) array ordered
     [S1, S2, S3, A1xyz, A2xyz, A3xyz] per SORTED query slot; ``ok`` is
-    the coverage flag (key preconditions + f32 key exactness — never a
-    capacity bound: the particle side is fully resident)."""
+    the coverage flag (key preconditions + f32 key exactness; with
+    ``MAXJ`` set — structures above `join.JOIN_MAX_PARTICLES` atoms run
+    the windowed kernel — it also covers the window capacity)."""
     return join_reduce(
         qplanes, qkeys, pplanes, pkeys, strides, cutoff_sq,
-        term=sdf_term, n_out=NACC, CB=CB, interpret=interpret,
+        term=sdf_term, n_out=NACC, CB=CB, MAXJ=MAXJ, interpret=interpret,
     )

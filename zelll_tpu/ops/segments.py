@@ -102,7 +102,8 @@ def suggest_maxj(sorted_keys_padded: jax.Array, bands: jax.Array,
     return max(int(jnp.max(jnum)), 1)
 
 
-def join_bounds(q_keys: jax.Array, p_keys: jax.Array, bands: jax.Array):
+def join_bounds(q_keys: jax.Array, p_keys: jax.Array, bands: jax.Array,
+                max_j: int | None = None):
     """Per-QUERY-chunk, per-band windows over a SECOND sorted array.
 
     The join sibling of `chunk_bounds`: i-side chunks come from `q_keys`
@@ -110,7 +111,8 @@ def join_bounds(q_keys: jax.Array, p_keys: jax.Array, bands: jax.Array):
     (sorted particle keys). Both are (C,) int32 ascending with C a
     multiple of CHUNK; padding rows carry `_pad_and_desentinel` keys.
 
-    Returns (lo, num, coverage_ok):
+    With ``max_j=None`` (VMEM-resident particle side), returns
+    (lo, num, coverage_ok):
       lo  (NCq, S) int32 — first partner particle chunk (ABSOLUTE chunk
           index: the join kernel keeps the whole particle array in VMEM,
           so there is no DMA window to offset into),
@@ -118,6 +120,14 @@ def join_bounds(q_keys: jax.Array, p_keys: jax.Array, bands: jax.Array):
       coverage_ok — guards the key preconditions only (both arrays
           ascending, real keys below the padding base); there is no
           static window capacity to exceed.
+
+    With ``max_j`` set (windowed kernel for particle arrays too large for
+    VMEM residency), returns (jlo, toff, jnum, coverage_ok) exactly like
+    `chunk_bounds`: jlo is the clamped DMA window base (the static window
+    [jlo, jlo + max_j) always lies in array range; pass max_j <= NCp),
+    toff the first partner chunk inside the window, and coverage_ok goes
+    False iff some window needs more than max_j chunks (capacity
+    exceeded — re-jit larger, never trust the output).
 
     A (query, particle) pair whose key difference q - p lies in band s
     satisfies lo[cq, s] <= c_p < lo[cq, s] + num[cq, s] by construction.
@@ -175,7 +185,19 @@ def join_bounds(q_keys: jax.Array, p_keys: jax.Array, bands: jax.Array):
         & jnp.all(q_keys[1:] >= q_keys[:-1])
         & jnp.all(p_keys[1:] >= p_keys[:-1])
     )
-    return lo, num, coverage_ok
+    if max_j is None:
+        return lo, num, coverage_ok
+
+    assert max_j <= ncp, "clamp max_j to the particle chunk count first"
+    coverage_ok = coverage_ok & (jnp.max(num) <= max_j)
+    jnum = jnp.minimum(num, max_j)
+    # clamp the DMA base so [jlo, jlo + max_j) stays in range; lo can
+    # reach ncp (empty window past all particle keys), and whenever
+    # jnum > 0 the clamped window still covers [lo, lo + jnum) because
+    # its last partner chunk is <= ncp - 1 = (ncp - max_j) + max_j - 1
+    jlo = jnp.clip(lo, 0, max(ncp - max_j, 0))
+    toff = lo - jlo
+    return jlo, toff, jnum, coverage_ok
 
 
 def chunk_bounds(sorted_keys: jax.Array, bands: jax.Array, max_j: int,
