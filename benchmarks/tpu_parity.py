@@ -252,6 +252,25 @@ def main():
           np.abs(np.sqrt(np.asarray(ndj)[has]) - np.sqrt(nd_ref[has])).max()
           / np.sqrt(nd_ref[has]).max(), 1e-5)
 
+    # windowed join kernel (MAXJ DMA windows instead of VMEM residency):
+    # must reproduce the resident kernel bit-for-bit on the same data —
+    # covers the manual-DMA path, which has its own Mosaic failure modes
+    from zelll_tpu.ops.join import grid_join_reduce
+
+    def _cnt_term(dsq_t, d_t, p_t, within_t):
+        return [within_t.astype(dsq_t.dtype)]
+
+    MAXJ, okw = 4, False
+    while not okw:
+        cw, _, okw = grid_join_reduce(
+            jgrid, jnp.asarray(queries), term=_cnt_term, n_out=1,
+            MAXJ=MAXJ)
+        okw, MAXJ = bool(okw), MAXJ * 2
+        assert MAXJ <= 256, "windowed ladder failed to converge"
+    check("join_count_windowed",
+          float(np.abs(np.asarray(cw)[:, 0] - cjn).max()), 0.0,
+          extra="(== resident)")
+
     n_fail = sum(1 for *_, ok in results if not ok)
     print(f"{len(results) - n_fail}/{len(results)} PASS", flush=True)
     out = os.environ.get("OUT")
