@@ -29,6 +29,7 @@ BENCH_MODE=both|split|f32, BENCH_PARITY_N (default 1e6, 0 disables).
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -40,6 +41,47 @@ TARGET_PAIRS_PER_SEC = 1e9
 REPS = int(os.environ.get("BENCH_REPS", "10"))
 MODE = os.environ.get("BENCH_MODE", "both")
 PARITY_N = int(float(os.environ.get("BENCH_PARITY_N", "1e6")))
+# the axon TPU tunnel can be down for hours; a jax call in THIS process
+# would hang unkillably, so probe the backend in a subprocess (reliably
+# killable on timeout) and retry for up to BENCH_WAIT_S before running
+WAIT_S = int(os.environ.get("BENCH_WAIT_S", "1800"))
+
+
+def wait_for_backend():
+    """Probe the default backend with a tiny matmul in a subprocess;
+    retry up to WAIT_S. Returns True when the backend answers; on
+    failure prints an error JSON (so the driver records a diagnosis
+    instead of a timeout) and returns False."""
+    code = (
+        "import jax, os;"
+        "jax.config.update('jax_compilation_cache_dir',"
+        " os.path.expanduser('~/.jax_cache'));"
+        "import jax.numpy as jnp;"
+        "x = jnp.ones((128, 128));"
+        "print(float((x @ x)[0, 0]))"
+    )
+    deadline = time.time() + WAIT_S
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                text=True, timeout=min(300, max(15, WAIT_S)),
+            )
+            if proc.returncode == 0:
+                return True
+            err = proc.stderr[-500:]
+        except subprocess.TimeoutExpired:
+            err = "probe timed out (TPU tunnel down?)"
+        if time.time() > deadline:
+            print(json.dumps({
+                "error": f"backend unreachable after {WAIT_S}s: {err}"
+            }), flush=True)
+            return False
+        print(f"backend probe {attempt} failed; retrying ({err})",
+              file=sys.stderr, flush=True)
+        time.sleep(min(120, max(10, WAIT_S // 20)))
 
 
 def measure_rtt(jax, jnp):
@@ -188,6 +230,8 @@ def cubic_mode(jax, jnp, rtt):
 
 
 def main():
+    if not wait_for_backend():
+        sys.exit(1)
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
