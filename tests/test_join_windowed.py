@@ -203,3 +203,30 @@ def test_sdf_windowed_large_structure():
 
     with pytest.raises(ValueError, match="VMEM-resident"):
         f_join.hmc_vgrad_fn()
+
+
+def test_sdf_sharded_large_structure():
+    """Query-sharded evaluate over the 8-device mesh with a structure
+    above the residency ceiling (per-device windowed kernel + ladder)."""
+    from zelll_tpu.models.sdf import SmoothDistanceField
+
+    n = JOIN_MAX_PARTICLES + 2000
+    side = (n / 10.0) ** (1 / 3)
+    pos = _cloud(n, (side, side, side), 60)
+    radii = np.random.default_rng(61).uniform(1.1, 1.9, n)
+    rng = np.random.default_rng(62)
+    # key-local x-slab; 60 queries = 8 devices x 7 + 4 exercises padding
+    queries = np.asarray([9.0, 10.1, 10.1]) + rng.uniform(
+        0, 1.0, (60, 3)
+    ) * np.asarray([5.0, 1.6, 1.6])
+
+    f = SmoothDistanceField(pos, radii, cutoff=2.0, method="join")
+    v1, g1, ok1 = f.evaluate(queries)
+    vs, gs, oks = f.evaluate_sharded(queries)
+    np.testing.assert_array_equal(ok1, oks)
+    defined = ok1 & ~np.isnan(v1)
+    assert defined.any()
+    np.testing.assert_allclose(vs[defined], v1[defined], rtol=1e-12)
+    np.testing.assert_allclose(
+        gs[defined], g1[defined], rtol=1e-12, atol=1e-15
+    )

@@ -256,10 +256,11 @@ class SmoothDistanceField:
         The psssh ``eval`` workload (l^3 query grids,
         ``surface-sampling/examples/cli.rs:150-195``) is embarrassingly
         parallel along the query axis: the structure's particle planes
-        are small (<= `_JOIN_MAX_ATOMS` atoms) and are replicated to
-        every device, queries are block-sharded, and each device runs
-        the fused join kernel (`ops.sdf_join`) on its block — no
-        collectives on the hot path. Returns (values, grads, valid)
+        are replicated to every device, queries are block-sharded, and
+        each device runs the fused join kernel (`ops.sdf_join`) on its
+        block — no collectives on the hot path. Structures above
+        `_JOIN_MAX_ATOMS` atoms run the windowed kernel per device with
+        the capacity retry ladder. Returns (values, grads, valid)
         exactly like `evaluate`.
         """
         import numpy as np
@@ -271,12 +272,6 @@ class SmoothDistanceField:
 
         if self.data.grid.dim != 3 or self.data.grid.n == 0:
             raise ValueError("evaluate_sharded needs a 3D non-empty grid")
-        if self.data.grid.n > _JOIN_MAX_ATOMS:
-            raise ValueError(
-                f"structure has {self.data.grid.n} atoms > "
-                f"{_JOIN_MAX_ATOMS}: too large for the replicated join "
-                "kernel — use the single-device XLA path"
-            )
         mesh = mesh if mesh is not None else make_mesh()
         ndev = int(mesh.devices.size)
         axis = mesh.axis_names[0]
@@ -286,29 +281,44 @@ class SmoothDistanceField:
         pts = np.atleast_2d(np.asarray(points)).astype(dtype)
         Q = pts.shape[0]
         Qp = max(-(-Q // ndev) * ndev, ndev)
-        # padding queries sit far outside every grid (but within f32/int
-        # conversion range); they report valid=False and are dropped
-        pad = np.full((Qp - Q, 3), 1e9, dtype)
+        # pad by repeating the last real query: its results are sliced
+        # off below, and a REAL point keeps the padded chunk's key span
+        # tight — far-away padding (e.g. 1e9) would clamp to the grid
+        # corner and blow the windowed kernel's capacity for the mixed
+        # chunk. With no real queries at all, any point works.
+        fill = pts[-1] if Q else np.full(3, 1e9, dtype)
+        pad = np.broadcast_to(fill, (Qp - Q, 3)).astype(dtype)
         pts_p = jnp.asarray(np.concatenate([pts, pad]) if Qp > Q else pts)
 
-        def body(jd, p):
-            v, g, valid, ok = _sdf_join_batch(jd, p, interpret=interpret)
-            return v, g, valid, ok.reshape(1)
+        ncp = -(-self.data.grid.n // 128)
+        cap = min(ncp, _JOIN_LADDER_CAP)
+        while True:
+            MAXJ = self._join_maxj
 
-        v, g, valid, oks = jax.jit(
-            shard_map(
-                body,
-                mesh=mesh,
-                in_specs=(P(), P(axis)),
-                out_specs=(P(axis), P(axis), P(axis), P(axis)),
-                check_vma=False,  # pallas_call outputs carry no vma
-            )
-        )(self._join, pts_p)
-        if not bool(jnp.all(oks)):
-            raise RuntimeError(
-                "join coverage flag false on at least one device "
-                "(key preconditions violated)"
-            )
+            def body(jd, p):
+                v, g, valid, ok = _sdf_join_batch(
+                    jd, p, MAXJ=MAXJ, interpret=interpret
+                )
+                return v, g, valid, ok.reshape(1)
+
+            v, g, valid, oks = jax.jit(
+                shard_map(
+                    body,
+                    mesh=mesh,
+                    in_specs=(P(), P(axis)),
+                    out_specs=(P(axis), P(axis), P(axis), P(axis)),
+                    check_vma=False,  # pallas_call outputs carry no vma
+                )
+            )(self._join, pts_p)
+            if bool(jnp.all(oks)):
+                break
+            if MAXJ is None or MAXJ >= cap:
+                raise RuntimeError(
+                    "join coverage flag false on at least one device "
+                    "(key preconditions violated, or windowed capacity "
+                    "exhausted — localize the per-device query blocks)"
+                )
+            self._join_maxj = min(2 * MAXJ, cap)
         return (
             np.asarray(v[:Q]),
             np.asarray(g[:Q]),
