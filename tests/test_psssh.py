@@ -115,3 +115,28 @@ def test_eval_grid_runs():
     grid, vals, grads, dt = eval_grid(sdf, l=8)
     assert grid.shape == (512, 3)
     assert np.isfinite(vals).any()
+
+
+def test_cli_sample_and_eval(tmp_path, capsys):
+    """CLI surface parity (cli.rs:19-61): positional optional out path
+    defaulting to input + .psssh.pdb, -n total samples, reference-named
+    flags, and the eval CSV columns (cli.rs:183-195)."""
+    from zelll_tpu.models.psssh import main
+
+    p = tmp_path / "toy.pdb"
+    p.write_text(PDB_SNIPPET)
+    main([
+        "sample", str(p), "-n", "48", "-b", "10", "--chains", "16",
+        "--sampler", "hmc", "-c", "10.0", "-l", "1.05", "-f", "10.0",
+    ])
+    out = tmp_path / "toy.psssh.pdb"
+    assert out.exists()
+    pts, _, _ = read_pdb(out)
+    assert len(pts) == 48  # -n caps the total across chains
+
+    main(["eval", str(p), "-l", "4", "-c", "5.0"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    header = lines[-2]
+    row = lines[-1].split(",")
+    assert header == "name,atoms,vol,cutoff,queries,ns_total"
+    assert row[0] == "toy" and row[1] == "6" and row[4] == "64"

@@ -39,11 +39,13 @@ def sample_surface(
     draws: int = 20,
     seed: int = 0,
     sampler: str = "hmc",
+    nuts_depth: int = 7,
 ):
     """Sample points near the iso-surface. Returns (points (draws*chains, 3)).
 
     Chains start at randomly jittered atom positions (inside the grid so
     logp is finite), like the reference seeding near the structure.
+    ``nuts_depth`` caps the NUTS tree depth (cli.rs:42-46, maxdepth).
     """
     atoms = np.asarray(sdf.data.grid.sorted_pos)
     rng = np.random.default_rng(seed)
@@ -83,7 +85,8 @@ def sample_surface(
 
         q0 = atoms[rng.integers(len(atoms))] + rng.normal(0, 0.1, 3)
         samples, _ = nuts_sample(
-            vg, q0, num_warmup=burnin, num_samples=draws * chains, seed=seed
+            vg, q0, num_warmup=burnin, num_samples=draws * chains,
+            max_treedepth=nuts_depth, seed=seed,
         )
         return samples
 
@@ -96,10 +99,12 @@ def sample_surface(
     vgrad = sdf.hmc_vgrad_fn() if sdf._use_join() else None
     logp = sdf.logdensity_fn()
     key = jax.random.PRNGKey(seed)
-    sample_fn = (
-        nuts_sample_batched if sampler == "nuts-batched"
-        else hmc_sample_batched
-    )
+    kw = {}
+    if sampler == "nuts-batched":
+        sample_fn = nuts_sample_batched
+        kw["max_treedepth"] = nuts_depth
+    else:
+        sample_fn = hmc_sample_batched
     samples, accept = sample_fn(
         logp,
         jnp.asarray(starts),
@@ -107,6 +112,7 @@ def sample_surface(
         num_warmup=burnin,
         num_samples=draws,
         value_and_grad_fn=vgrad,
+        **kw,
     )
     return np.asarray(samples).reshape(-1, 3)
 
@@ -178,9 +184,10 @@ def sample_surface_sharded(
     return np.asarray(samples).reshape(-1, 3)
 
 
-def eval_grid(sdf: SmoothDistanceField, l: int = 64, margin: float = 2.0):
+def eval_grid(sdf: SmoothDistanceField, l: int = 64, margin: float = 0.0):
     """SDF value+gradient over an l^3 grid spanning the structure's AABB
-    plus margin. Returns (points, values, grads, elapsed_seconds) —
+    (plus optional margin; the reference grid spans exactly the AABB,
+    cli.rs:160-176). Returns (points, values, grads, elapsed_seconds) —
     the reference's `eval` benchmark (cli.rs:150-195)."""
     pos = np.asarray(sdf.data.grid.sorted_pos)
     lo = pos.min(axis=0) - margin
@@ -200,14 +207,22 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="psssh", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
+    # flag names and defaults mirror the reference CLI (cli.rs:19-61);
+    # --chains/--seed/--sampler are TPU-batching extensions
     sp = sub.add_parser("sample", help="sample iso-surface points")
     sp.add_argument("pdb")
-    sp.add_argument("-o", "--out", default="surface.pdb")
-    sp.add_argument("-c", "--cutoff", type=float, default=4.0)
-    sp.add_argument("-r", "--surface-radius", type=float, default=1.05)
-    sp.add_argument("-k", "--k-force", type=float, default=10.0)
-    sp.add_argument("-b", "--burnin", type=int, default=300)
-    sp.add_argument("-n", "--draws", type=int, default=20)
+    sp.add_argument("out", nargs="?", default=None,
+                    help="output PDB (default: input + .psssh.pdb)")
+    sp.add_argument("-c", "--cutoff", type=float, default=10.0)
+    sp.add_argument("-n", "--samples", type=int, default=2000,
+                    help="total samples across all chains")
+    sp.add_argument("-b", "--burn-in", "--burnin", dest="burnin",
+                    type=int, default=1000)
+    sp.add_argument("-l", "--surface-level", "--surface-radius",
+                    dest="surface_level", type=float, default=1.05)
+    sp.add_argument("-f", "--force-constant", "--k-force",
+                    dest="force_constant", type=float, default=10.0)
+    sp.add_argument("-d", "--nuts-depth", type=int, default=7)
     sp.add_argument("--chains", type=int, default=256)
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--sampler", choices=["hmc", "nuts", "nuts-batched"],
@@ -215,33 +230,46 @@ def main(argv=None):
 
     ep = sub.add_parser("eval", help="evaluate SDF over an l^3 grid")
     ep.add_argument("pdb")
-    ep.add_argument("-l", "--grid-size", type=int, default=64)
+    ep.add_argument("-l", "--axis-length", "--grid-size",
+                    dest="grid_size", type=int, default=64,
+                    help="query grid axis length (reference default 256; "
+                    "64 keeps CPU runs tractable)")
     ep.add_argument("-c", "--cutoff", type=float, action="append",
                     default=None)
 
     args = ap.parse_args(argv)
     if args.cmd == "sample":
+        import os
+
+        out = args.out or os.path.splitext(args.pdb)[0] + ".psssh.pdb"
         pos, radii, _ = read_pdb(args.pdb)
         sdf = SmoothDistanceField(
             pos, radii, cutoff=args.cutoff,
-            surface_radius=args.surface_radius, k_force=args.k_force,
+            surface_radius=args.surface_level, k_force=args.force_constant,
         )
+        chains = 1 if args.sampler == "nuts" else args.chains
+        draws = -(-args.samples // chains)
         pts = sample_surface(
-            sdf, chains=args.chains, burnin=args.burnin, draws=args.draws,
+            sdf, chains=chains, burnin=args.burnin, draws=draws,
             seed=args.seed, sampler=args.sampler,
-        )
-        write_points_pdb(args.out, pts)
-        print(f"wrote {len(pts)} surface samples to {args.out}")
+            nuts_depth=args.nuts_depth,
+        )[: args.samples]
+        write_points_pdb(out, pts)
+        print(f"wrote {len(pts)} surface samples to {out}")
     else:
-        cutoffs = args.cutoff or [1.0, 2.0, 5.0, 10.0]
+        import os
+
+        cutoffs = args.cutoff or [10.0]
         pos, radii, _ = read_pdb(args.pdb)
-        print("cutoff,l,queries,ns_total")  # CSV like sdf_queries.sh
+        name = os.path.splitext(os.path.basename(args.pdb))[0]
+        vol = float(np.prod(pos.max(axis=0) - pos.min(axis=0)))
+        print("name,atoms,vol,cutoff,queries,ns_total")  # cli.rs:183-195
         for c in cutoffs:
             sdf = SmoothDistanceField(pos, radii, cutoff=c)
             _, _, _, warm = eval_grid(sdf, args.grid_size)  # compile
             _, vals, _, dt = eval_grid(sdf, args.grid_size)
             q = args.grid_size**3
-            print(f"{c},{args.grid_size},{q},{dt * 1e9:.0f}")
+            print(f"{name},{len(pos)},{vol},{c},{q},{dt * 1e9:.0f}")
 
 
 if __name__ == "__main__":
