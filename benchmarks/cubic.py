@@ -39,9 +39,31 @@ def main():
     rtt = measure_rtt()
 
     if path == "tile":
-        MAXJ = int(os.environ.get("CUBIC_MAXJ", "12"))
+        mj_env = os.environ.get("CUBIC_MAXJ", "12")
         CBK = int(os.environ.get("CUBIC_CB", "8"))
         from zelll_tpu.ops.tile_pairs import tile_lj_rebuild_energy
+
+        if mj_env == "auto":
+            # per-band capacities measured on this data (host sync once;
+            # the bands' needs differ ~6x, so this cuts DMA bytes vs one
+            # shared worst-case window)
+            from zelll_tpu.core.binning import bin_and_sort
+            from zelll_tpu.ops.pallas_pairs import _pad_and_desentinel
+            from zelll_tpu.ops.segments import (
+                CHUNK, segment_bands, suggest_maxj,
+            )
+
+            bins, _ = bin_and_sort(
+                pos, cutoff, max_cells=1, need_perm=False, auto_order=True
+            )
+            C = max(-(-n // (CHUNK * CBK)) * CBK, CBK) * CHUNK
+            MAXJ = suggest_maxj(
+                _pad_and_desentinel(bins.sorted_keys, C),
+                segment_bands(bins.info.strides), per_band=True,
+            )
+            del bins
+        else:
+            MAXJ = int(mj_env)
 
         c, ok = tile_lj_rebuild_energy(
             pos, cutoff, MAXJ=MAXJ, CB=CBK,
@@ -62,7 +84,8 @@ def main():
             )
             return e
 
-        extra = f'"MAXJ": {MAXJ}, "CB": {CBK}'
+        mj_json = list(MAXJ) if isinstance(MAXJ, tuple) else MAXJ
+        extra = f'"MAXJ": {mj_json}, "CB": {CBK}'
     else:
         T = int(os.environ.get("CUBIC_T", "3"))
         M = int(os.environ.get("CUBIC_M", "16384"))

@@ -67,7 +67,7 @@ def main():
     n = int(float(sys.argv[1])) if len(sys.argv) > 1 else int(1e7)
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     skin = float(os.environ.get("SS_SKIN", "0.5"))
-    maxj = int(os.environ.get("SS_MAXJ", "20"))
+    maxj_env = os.environ.get("SS_MAXJ", "20")
     dt = float(os.environ.get("SS_DT", "1e-4"))
     cutoff = 10.0
     rng = np.random.default_rng(0)
@@ -94,6 +94,33 @@ def main():
             import jax.lax as lax
 
             from zelll_tpu.models.lj_md import md_step_cubic_tile
+
+            if maxj_env == "auto":
+                # per-band capacities for the forces kernel's 9 full
+                # bands, measured on the skin-grid keys (one host sync)
+                from zelll_tpu.core.binning import bin_and_sort
+                from zelll_tpu.ops.pallas_pairs import _pad_and_desentinel
+                from zelll_tpu.ops.segments import (
+                    CHUNK, segment_bands, suggest_maxj,
+                )
+
+                bins, _ = bin_and_sort(
+                    st.positions, cutoff + skin, max_cells=1,
+                    need_perm=False, auto_order=True,
+                )
+                C = max(-(-n // (CHUNK * 8)) * 8, 8) * CHUNK
+                maxj = suggest_maxj(
+                    _pad_and_desentinel(bins.sorted_keys, C),
+                    segment_bands(bins.info.strides, full=True),
+                    half=False, per_band=True,
+                )
+                # +1 margin: particles drift between rebuilds, so the
+                # exact initial windows are a lower bound
+                maxj = tuple(m + 1 for m in maxj)
+                del bins
+                print(f"cubic: auto per-band MAXJ = {maxj}", flush=True)
+            else:
+                maxj = int(maxj_env)
 
             def full(s0):
                 def body(carry, _):

@@ -337,3 +337,81 @@ def test_sharded_tile_backend_matches_xla():
                                rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(vt), np.asarray(vx),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_sharded_energy_orientation_invariant():
+    """An x-elongated box must behave exactly like the z-elongated one on
+    every sharded backend: the host partitioner, the device binning, and
+    the wraparound-ghost substitution all follow the major-stride axis
+    (round 5 auto-ordering). Uses n not divisible by 8 so the key-safe
+    host pads exercise the major-axis branch too."""
+    pts = _cloud(n=637, seed=41)  # (3, 3, 24) box, 637 % 8 != 0
+    cutoff = 1.0
+    e_ref = _ref_energy(pts, cutoff)
+    mesh = make_mesh(8)
+    sharding = NamedSharding(mesh, P("z", None))
+
+    for orient in [pts, pts[:, ::-1].copy()]:
+        parts, n_local = partition_by_slab(orient, cutoff, 8)
+        pos = jax.device_put(jnp.asarray(parts), sharding)
+        e_x, ok_x = sharded_lj_energy(
+            mesh, cutoff=cutoff, H=64, K=16, chunk=16
+        )(pos)
+        e_p, ok_p = sharded_lj_energy(
+            mesh, cutoff=cutoff, H=64, use_pallas=True, M=256, L=128,
+            interpret=True,
+        )(pos)
+        e_t, ok_t = sharded_lj_energy(
+            mesh, cutoff=cutoff, H=64, use_tile=True, MAXJ=8, interpret=True
+        )(pos)
+        assert bool(ok_x) and bool(ok_p) and bool(ok_t)
+        np.testing.assert_allclose(float(e_x), e_ref, rtol=1e-9)
+        np.testing.assert_allclose(float(e_p), e_ref, rtol=1e-9)
+        np.testing.assert_allclose(float(e_t), e_ref, rtol=1e-9)
+
+
+def test_sharded_md_step_orientation_invariant():
+    """One sharded MD step on the axis-reversed system yields the
+    axis-reversed trajectory (multiset comparison; slab blocks match
+    because the auto-ordered keys are orientation-free)."""
+    pts = _cloud(n=640, seed=42)
+    cutoff = 1.0
+    mesh = make_mesh(8)
+    sharding = NamedSharding(mesh, P("z", None))
+    dt = 1e-4
+
+    results = []
+    for orient in [pts, pts[:, ::-1].copy()]:
+        parts, _ = partition_by_slab(orient, cutoff, 8)
+        pos = jax.device_put(jnp.asarray(parts), sharding)
+        vel = jax.device_put(jnp.zeros_like(pos), sharding)
+        step = sharded_md_step(mesh, cutoff=cutoff, H=64, K=16, chunk=16,
+                               dt=dt)
+        p, v, e, ok = step(pos, vel)
+        assert bool(ok)
+        results.append((np.asarray(p), float(e)))
+
+    (p_a, e_a), (p_b, e_b) = results
+    np.testing.assert_allclose(e_a, e_b, rtol=1e-12)
+    a = p_a[np.lexsort(p_a.T)]
+    b = p_b[:, ::-1]
+    b = b[np.lexsort(b.T)]
+    np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+
+
+def test_partition_by_slab_pads_on_major_axis():
+    """Host pads must sort last and stay isolated for ANY orientation:
+    beyond sup along the largest-extent axis."""
+    pts = _cloud(n=317, seed=43)[:, ::-1]  # x-elongated, 317 % 8 != 0
+    cutoff = 1.0
+    parts, n_local = partition_by_slab(pts, cutoff, 8)
+    n_pad = n_local * 8 - 317
+    assert n_pad > 0
+    pads = parts[-n_pad:]
+    # pads extend beyond sup along axis 0 (the elongated axis), not z
+    assert (pads[:, 0] > pts[:, 0].max() + cutoff).all()
+    np.testing.assert_allclose(pads[:, 1], pts[:, 1].min())
+    np.testing.assert_allclose(pads[:, 2], pts[:, 2].min())
+    # mutually > cutoff apart
+    d = np.diff(np.sort(pads[:, 0]))
+    assert (d > cutoff).all()

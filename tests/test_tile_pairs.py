@@ -241,3 +241,76 @@ def test_md_step_cubic_tile_2d():
     s2, ok = md_step_cubic_tile(st, 1.0, 1e-4, CB=2, MAXJ=6, interpret=True)
     assert bool(ok)
     assert s2.positions.shape == (n, 2)
+
+
+def test_per_band_maxj_matches_scalar():
+    """Per-band MAXJ capacities (round 5): same counts/energy/forces as
+    the shared scalar capacity, at a fraction of the window bytes."""
+    from zelll_tpu.ops.pallas_pairs import _pad_and_desentinel
+    from zelll_tpu.ops.segments import CHUNK, segment_bands, suggest_maxj
+    from zelll_tpu.ops.tile_pairs import (
+        tile_count_pairs, tile_lj_energy, tile_pair_forces,
+    )
+
+    rng = np.random.default_rng(21)
+    n, cutoff = 8000, 1.0
+    pts = rng.uniform(0, 1, (n, 3)) * 8.0  # cubic, ~16/cell
+    grid = build(jnp.asarray(pts), cutoff)
+
+    C = max(-(-n // (CHUNK * 2)) * 2, 2) * CHUNK
+    keys_p = _pad_and_desentinel(grid.bins.sorted_keys, C)
+    mj_half = suggest_maxj(
+        keys_p, segment_bands(grid.info.strides), per_band=True
+    )
+    mj_full = suggest_maxj(
+        keys_p, segment_bands(grid.info.strides, full=True), half=False,
+        per_band=True,
+    )
+    assert len(mj_half) == 5 and len(mj_full) == 9
+    # the own-row band needs a far smaller window than the z-layer bands
+    assert mj_half[0] < max(mj_half)
+
+    n_ref, e_ref = _brute(np.asarray(grid.sorted_pos, np.float64), cutoff)
+    args = (grid.sorted_pos, grid.bins.sorted_keys, grid.info.strides,
+            cutoff**2)
+
+    packed, ok = tile_count_pairs(*args, CB=2, MAXJ=mj_half, interpret=True)
+    assert bool(ok)
+    assert combine_count(np.asarray(packed)) == n_ref
+
+    e, ok = tile_lj_energy(*args, CB=2, MAXJ=mj_half, interpret=True)
+    assert bool(ok)
+    np.testing.assert_allclose(float(e), e_ref, rtol=1e-9)
+
+    f_pb, ok_pb = tile_pair_forces(*args, CB=2, MAXJ=mj_full, interpret=True)
+    f_sc, ok_sc = tile_pair_forces(*args, CB=2, MAXJ=max(mj_full),
+                                   interpret=True)
+    assert bool(ok_pb) and bool(ok_sc)
+    np.testing.assert_array_equal(np.asarray(f_pb), np.asarray(f_sc))
+
+
+def test_per_band_maxj_coverage_flag():
+    """A single under-sized band flips the flag even when the other bands
+    have plenty of capacity (never silently drop pairs)."""
+    rng = np.random.default_rng(22)
+    pts = rng.uniform(0, 1, (3000, 3)) * 10.0
+    grid = build(jnp.asarray(pts), 1.0)
+    packed, ok = tile_count_pairs(
+        grid.sorted_pos, grid.bins.sorted_keys, grid.info.strides, 1.0,
+        CB=2, MAXJ=(8, 8, 1, 8, 8), interpret=True,
+    )
+    assert not bool(ok)
+
+
+def test_per_band_maxj_rejected_on_unpacked_paths():
+    from zelll_tpu.ops.tile_pairs import tile_pair_forces, tile_pair_reduce
+
+    rng = np.random.default_rng(23)
+    pts = rng.uniform(0, 1, (300, 3)) * 5.0
+    grid = build(jnp.asarray(pts), 1.0)
+    args = (grid.sorted_pos, grid.bins.sorted_keys, grid.info.strides, 1.0)
+    with pytest.raises(ValueError, match="packed"):
+        tile_pair_reduce(*args, MAXJ=(4, 4, 4, 4, 4), packed=False,
+                         interpret=True)
+    with pytest.raises(ValueError, match="packed"):
+        tile_pair_forces(*args, MAXJ=(4,) * 9, packed=False, interpret=True)

@@ -116,6 +116,7 @@ def bin_and_sort(
     info: GridInfo | None = None,
     need_perm: bool = True,
     stacked: bool = True,
+    auto_order: bool = False,
 ) -> tuple[Bins, jax.Array]:
     """Bin (n, N) positions into occupied cells; also return positions in
     sorted (cell-grouped) order.
@@ -146,7 +147,7 @@ def bin_and_sort(
     sdim = info.dim if info is not None else min(dim, 3)
     if info is None:
         aabb = aabb_from_positions(positions[:, :sdim], valid)
-        info = GridInfo.create(aabb, cutoff)
+        info = GridInfo.create(aabb, cutoff, auto_order=auto_order)
 
     keys = compute_keys(positions[:, :sdim], info, valid)
     if n == 0:

@@ -40,6 +40,7 @@ __all__ = [
     "full_stencil",
     "half_stencil",
     "generate_pointcloud",
+    "key_window",
 ]
 
 # Sentinel flat key used for padded / invalid particles. Chosen so that
@@ -111,22 +112,40 @@ class GridInfo:
         return self.aabb.inf
 
     @classmethod
-    def create(cls, aabb: Aabb, cutoff) -> "GridInfo":
+    def create(cls, aabb: Aabb, cutoff, auto_order: bool = False) -> "GridInfo":
         """Build grid geometry from a bounding box and a cutoff.
 
         ``shape[i] = floor((sup - inf)/cutoff) + 1`` and strides are the
         exclusive cumulative product of ``shape + 4`` (axis 0 fastest),
         mirroring util.rs:191-220 exactly: for shape (3,3,3) the strides are
         (1, 7, 49).
+
+        ``auto_order=True`` assigns strides in ascending order of cell
+        count instead of axis order (largest axis gets the largest
+        stride), so the stencil key window ``key_window(strides)`` — which
+        the lag/tile kernels' cost scales with — depends on the two
+        SMALLEST box extents regardless of how the box happens to be
+        oriented. An x-elongated box then keys exactly like the same box
+        elongated along z. ``strides`` stays a per-axis vector (axis a's
+        key contribution is ``idx[a] * strides[a]``), so every consumer
+        that dots cell indices with strides is unaffected; consumers that
+        assume ascending stride VALUES must sort them first (the key
+        window and `segments.segment_bands` do).
         """
         cutoff = jnp.asarray(cutoff, aabb.inf.dtype)
         extent = (aabb.sup - aabb.inf) / cutoff
         shape = jnp.floor(extent).astype(jnp.int32) + 1
-        padded = shape + 4
+        if auto_order:
+            perm = jnp.argsort(shape)  # stable: ties keep axis order
+            padded = shape[perm] + 4
+        else:
+            padded = shape + 4
         # exclusive cumprod: strides = [1, p0, p0*p1, ...]
         strides = jnp.concatenate(
             [jnp.ones((1,), jnp.int32), jnp.cumprod(padded[:-1], dtype=jnp.int32)]
         )
+        if auto_order:
+            strides = jnp.zeros_like(strides).at[perm].set(strides)
         return cls(aabb=aabb, cutoff=cutoff, shape=shape, strides=strides)
 
     # -- index math ---------------------------------------------------------
@@ -164,6 +183,20 @@ class GridInfo:
     def flat_cell_index(self, coords: jax.Array) -> jax.Array:
         """Direct coordinates -> flat key, no bounds check (util.rs:291-297)."""
         return self.flatten_index(self.cell_index(coords))
+
+
+def key_window(strides) -> jax.Array:
+    """Max |flat key difference| over the rank-1 stencil: sum(strides).
+
+    Every cutoff pair sits within +/-1 cells per axis, so its key
+    difference is bounded by ``sum(strides)`` for ANY per-axis stride
+    assignment. For the default axis-ordered strides (strides[0] == 1)
+    this equals the historical ``sum(strides[1:]) + 1``; the sum form is
+    additionally correct for `GridInfo.create(auto_order=True)` strides,
+    where the 1-stride need not sit at index 0.
+    """
+    strides = jnp.asarray(strides)
+    return jnp.sum(strides)
 
 
 # -- stencils ----------------------------------------------------------------

@@ -335,7 +335,9 @@ def md_run_skin_tile(
     def do_build(pos_pl, vel_pl):
         pos = jnp.stack(pos_pl, axis=-1)
         stacked = jnp.concatenate([pos, jnp.stack(vel_pl, axis=-1)], axis=1)
-        info = GridInfo.create(aabb_from_positions(pos), edge)
+        info = GridInfo.create(
+            aabb_from_positions(pos), edge, auto_order=True
+        )
         bins, planes = bin_and_sort(
             stacked, edge, max_cells=1, need_perm=False, stacked=False,
             info=info,
@@ -381,10 +383,15 @@ def md_run_skin_tile(
     )
 
     pos_f = jnp.stack(spos, axis=-1)
-    bins, spos_f = bin_and_sort(pos_f, cutoff, max_cells=1, need_perm=False)
+    bins, spos_f = bin_and_sort(
+        pos_f, cutoff, max_cells=1, need_perm=False, auto_order=True
+    )
+    # the loop's MAXJ spec is for the forces kernel's 9 full bands; the
+    # one-shot final energy uses 5 half bands — reuse the widest capacity
+    mj_e = MAXJ if isinstance(MAXJ, int) else max(MAXJ)
     energy, ok_e = tile_pair_reduce(
         spos_f, bins.sorted_keys, bins.info.strides, csq,
-        MAXJ=MAXJ, interpret=interpret,
+        MAXJ=mj_e, interpret=interpret,
     )
     return (
         MDState(positions=pos_f, velocities=jnp.stack(svel, axis=-1)),
@@ -450,7 +457,9 @@ def md_step_cubic_tile(
     # columns are never mistaken for spatial coordinates (dim < 3).
     from ..core.geometry import GridInfo, aabb_from_positions
 
-    info = GridInfo.create(aabb_from_positions(pos), cutoff)
+    info = GridInfo.create(
+        aabb_from_positions(pos), cutoff, auto_order=True
+    )
     bins, planes = bin_and_sort(
         stacked, cutoff, max_cells=1, need_perm=False, stacked=False,
         info=info,

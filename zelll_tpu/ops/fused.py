@@ -110,7 +110,9 @@ def fused_lj_rebuild_energy(
         # spatial and would mis-bin 2D inputs on their lo payload plane
         from ..core.geometry import GridInfo, aabb_from_positions
 
-        info = GridInfo.create(aabb_from_positions(positions), cutoff)
+        info = GridInfo.create(
+            aabb_from_positions(positions), cutoff, auto_order=True
+        )
         stacked = jnp.concatenate([positions, positions_lo], axis=1)
         bins, sorted_cols = bin_and_sort(
             stacked, cutoff, max_cells=1, need_perm=False, info=info
@@ -118,7 +120,7 @@ def fused_lj_rebuild_energy(
         sorted_pos, sorted_lo = sorted_cols[:, :dim], sorted_cols[:, dim:]
     else:
         bins, sorted_pos = bin_and_sort(
-            positions, cutoff, max_cells=1, need_perm=False
+            positions, cutoff, max_cells=1, need_perm=False, auto_order=True
         )
         sorted_lo = None
     total = pair_lag_reduce(
@@ -219,6 +221,7 @@ def auto_lj_energy(
     maxj = suggest_maxj(
         _pad_and_desentinel(bins.sorted_keys, C),
         segment_bands(bins.info.strides),
+        per_band=True,
     )
     while True:
         e, ok = tile_lj_rebuild_energy(
@@ -226,7 +229,7 @@ def auto_lj_energy(
         )
         if bool(ok):
             return float(e), f"tile(MAXJ={maxj})"
-        if maxj > 512:
+        if max(maxj) > 512:
             raise RuntimeError("tile window capacity still insufficient "
                                f"at MAXJ={maxj}")
-        maxj *= 2
+        maxj = tuple(2 * m for m in maxj)

@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.geometry import SENTINEL_KEY
+from ..core.geometry import SENTINEL_KEY, key_window
 
 __all__ = [
     "pair_lag_reduce",
@@ -113,7 +113,7 @@ def lag_coverage_ok(sorted_keys: jax.Array, strides: jax.Array, L: int):
     including them would force L toward the padded length and flag padded
     grids as uncovered forever.
     """
-    w = jnp.sum(strides[1:]) + 1
+    w = key_window(strides)
     if sorted_keys.shape[0] <= L:
         return jnp.asarray(True)
     later = sorted_keys[L:]
@@ -125,7 +125,7 @@ def suggest_lag(sorted_keys_host, strides_host, granule: int = 128) -> int:
     SENTINEL_KEY padding rows are excluded like in `lag_coverage_ok`."""
     import numpy as np
 
-    w = int(np.sum(strides_host[1:]) + 1)
+    w = int(np.sum(strides_host))  # = key_window(strides)
     keys = np.asarray(sorted_keys_host)
     n = len(keys)
     L = granule
@@ -479,7 +479,7 @@ def pair_lag_per_particle(
     ]
     kp = keys_p.reshape(-1, LANES)
 
-    w_key = (jnp.sum(strides[1:]) + 1).astype(jnp.int32).reshape(1)
+    w_key = key_window(strides).astype(jnp.int32).reshape(1)
     csq = jnp.asarray(cutoff_sq, dtype).reshape(1)
 
     Mr = M // LANES
@@ -737,7 +737,7 @@ def pair_lag_forces(
     n_planes = len(planes)
     kp = keys_p.reshape(-1, LANES)
 
-    w_key = (jnp.sum(strides[1:]) + 1).astype(jnp.int32).reshape(1)
+    w_key = key_window(strides).astype(jnp.int32).reshape(1)
     csq = jnp.asarray(cutoff_sq, dtype).reshape(1)
 
     Mr = M // LANES
@@ -864,7 +864,7 @@ def pair_lag_reduce(
         )
     kp = keys_p.reshape(-1, LANES)
 
-    w_key = (jnp.sum(strides[1:]) + 1).astype(jnp.int32).reshape(1)
+    w_key = key_window(strides).astype(jnp.int32).reshape(1)
     csq = jnp.asarray(cutoff_sq, dtype).reshape(1)
     mislot = jnp.asarray(min_islot, jnp.int32).reshape(1)
 

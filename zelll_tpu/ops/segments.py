@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 CHUNK = 128
 
@@ -48,8 +49,14 @@ def segment_bands(strides, full: bool = False) -> jnp.ndarray:
     S = 1, 2, 5 for dim = 1, 2, 3. ``full=True`` adds the mirrored bands
     (partners ahead of i too, [0,1] widening to [-1,1]) for per-particle
     full-stencil reductions (forces, coordination); S = 1, 3, 9.
+
+    Strides are sorted on entry: the band set only depends on the stride
+    VALUES (the stencil is axis-symmetric), so per-axis vectors from
+    `GridInfo.create(auto_order=True)` work unchanged. Disjointness of
+    the bands needs sy >= 3 and sz > 2*sy + 2, which padded cell counts
+    (>= 5 per axis) always satisfy.
     """
-    strides = jnp.asarray(strides, jnp.int32)
+    strides = jnp.sort(jnp.asarray(strides, jnp.int32))
     dim = strides.shape[0]
     one = jnp.asarray(1, jnp.int32)
     zero = jnp.asarray(0, jnp.int32)
@@ -92,13 +99,24 @@ def num_segments(dim: int, full: bool = False) -> int:
 
 
 def suggest_maxj(sorted_keys_padded: jax.Array, bands: jax.Array,
-                 half: bool = True) -> int:
+                 half: bool = True, per_band: bool = False):
     """Smallest MAXJ capacity that covers every chunk's partner window for
     this data (host-syncing; use before jitting a tile kernel so the first
-    compile already has a sufficient capacity class)."""
+    compile already has a sufficient capacity class).
+
+    ``per_band=True`` returns a tuple of per-band capacities instead of
+    one shared scalar. The bands' true needs differ ~6x at reference
+    density (the own-row band spans ~2 chunks; each z-layer row band
+    spans the chunk-quantized row population), so per-band windows cut
+    the DMA bytes the widest band would otherwise force on every band.
+    """
     nc = sorted_keys_padded.shape[0] // CHUNK
     _, _, jnum, _ = chunk_bounds(sorted_keys_padded, bands, max_j=nc,
                                  half=half)
+    if per_band:
+        return tuple(
+            max(int(v), 1) for v in np.asarray(jnp.max(jnum, axis=0))
+        )
     return max(int(jnp.max(jnum)), 1)
 
 
@@ -200,13 +218,18 @@ def join_bounds(q_keys: jax.Array, p_keys: jax.Array, bands: jax.Array,
     return jlo, toff, jnum, coverage_ok
 
 
-def chunk_bounds(sorted_keys: jax.Array, bands: jax.Array, max_j: int,
+def chunk_bounds(sorted_keys: jax.Array, bands: jax.Array,
+                 max_j: int | tuple[int, ...],
                  half: bool = True, groups: int = 1):
     """Per-chunk, per-band j-chunk windows.
 
     sorted_keys: (C,) int32 ascending, C a multiple of CHUNK; padding rows
     (SENTINEL_KEY or any keys above all real keys) sort last and resolve to
     empty windows automatically.
+
+    ``max_j`` is the static DMA window capacity in chunks — one shared
+    scalar, or a length-S tuple of per-band capacities (see
+    `suggest_maxj(per_band=True)`; "max_j" below means that band's entry).
 
     Returns (jlo, toff, jnum, coverage_ok):
       jlo  (NC, S) int32 — DMA window base chunk, clamped so the static
@@ -284,16 +307,19 @@ def chunk_bounds(sorted_keys: jax.Array, bands: jax.Array, max_j: int,
     # and the ascending-key precondition itself (searchsorted windows are
     # meaningless on unsorted keys — e.g. ring-wraparound halo ghosts
     # prepended with the largest keys; flag, never silently drop)
+    # static per-band capacities (scalar max_j broadcasts to every band)
+    mj = np.broadcast_to(np.asarray(max_j, np.int32), (S,))
+    mj_row = jnp.asarray(mj)[None, :]
     coverage_ok = (
-        (jnp.max(jnum) <= max_j)
+        jnp.all(jnp.max(jnum, axis=0) <= jnp.asarray(mj))
         & (kreal_max < jnp.int32(_PAD_KEY_BASE))
         & jnp.all(sorted_keys[1:] >= sorted_keys[:-1])
     )
-    jnum = jnp.minimum(jnum, max_j)
+    jnum = jnp.minimum(jnum, mj_row)
     # clamp the DMA window into range: lo is never negative, and when lo
     # reaches past nc - max_j the window base backs up so [jlo, jlo+max_j)
     # still covers [lo, hi] (hi <= nc - 1 = jlo + max_j - 1)
-    jlo = jnp.minimum(lo, max(nc - max_j, 0))
+    jlo = jnp.minimum(lo, jnp.asarray(np.maximum(nc - mj, 0))[None, :])
     toff = lo - jlo
     if groups == 1:
         return jlo, toff, jnum, coverage_ok
@@ -323,8 +349,9 @@ def chunk_bounds(sorted_keys: jax.Array, bands: jax.Array, max_j: int,
     ghi = jnp.where(ghas.reshape(nc, groups, 1), ghi, glo - 1)
 
     parent = jlo[:, None, :]  # (NC, 1, S)
-    glo_c = jnp.clip(glo, parent, parent + max_j)
-    ghi_c = jnp.minimum(ghi, parent + max_j - 1)
+    mj_g = jnp.asarray(mj)[None, None, :]
+    glo_c = jnp.clip(glo, parent, parent + mj_g)
+    ghi_c = jnp.minimum(ghi, parent + mj_g - 1)
     gtoff = glo_c - parent
     gjnum = jnp.maximum(ghi_c - glo_c + 1, 0)
     return jlo, toff, jnum, gtoff, gjnum, coverage_ok

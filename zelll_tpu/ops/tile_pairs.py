@@ -238,7 +238,24 @@ def _make_tile_kernel(CB: int, S: int, MAXJ: int, D: int, term: Callable,
 RB = 8  # rows per chunk in the packed block layout (sublane tile height)
 
 
-def _make_tile_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
+def _norm_maxj(MAXJ, S: int, nc_pad: int) -> tuple:
+    """Normalize a MAXJ capacity spec to a length-S tuple of per-band
+    window sizes, each clamped to the array's chunk count (a window wider
+    than the whole array would DMA past the j buffer)."""
+    if isinstance(MAXJ, int):
+        MAXJ = (MAXJ,) * S
+    MAXJ = tuple(int(m) for m in MAXJ)
+    if len(MAXJ) != S:
+        raise ValueError(
+            f"per-band MAXJ needs {S} entries (one per stencil band), "
+            f"got {len(MAXJ)}"
+        )
+    if any(m < 1 for m in MAXJ):
+        raise ValueError(f"MAXJ entries must be >= 1, got {MAXJ}")
+    return tuple(min(m, nc_pad) for m in MAXJ)
+
+
+def _make_tile_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                              term: Callable, dtype, out_dtype, split: bool,
                              kahan: bool, distributed: bool):
     """Packed-layout variant of `_make_tile_kernel`: each j chunk is ONE
@@ -250,9 +267,16 @@ def _make_tile_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
     kernel time at OH=128. Keys are exact in f32 below 2^24 (the wrapper's
     coverage flag enforces the bound); padding coordinate rows carry huge
     spread values so any padding pair fails the cutoff regardless of its
-    (rounded) f32 key."""
+    (rounded) f32 key.
+
+    ``MAXJ`` is a length-S tuple of per-band DMA window capacities: the
+    bands' true window widths differ ~6x at reference density (own row
+    ~2 chunks, z-layer rows ~row population), so per-band capacities cut
+    DMA bytes vs the shared worst-case capacity."""
     kahan = kahan and jnp.issubdtype(out_dtype, jnp.floating)
     ncoord = D // 2 if split else D
+    TJ = sum(MAXJ)  # total window chunks per own chunk
+    MOFF = tuple(sum(MAXJ[:s]) for s in range(S))  # band offsets in jbuf
 
     def kernel(bands_ref, csq_ref, mislot_ref, bounds_ref, own8_ref,
                jarr_ref, out_ref, comp_ref, acc_s, comp_s, jbuf,
@@ -276,11 +300,10 @@ def _make_tile_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
                     bounds_ref[oc, 3 * s + 2])
 
         def copy_obj(oc, s, jlo):
-            w = oc * S + s
             return pltpu.make_async_copy(
-                jarr_ref.at[pl.ds(jlo * RB, MAXJ * RB), :],
-                jbuf.at[pl.ds(w * MAXJ * RB, MAXJ * RB), :],
-                sems.at[w],
+                jarr_ref.at[pl.ds(jlo * RB, MAXJ[s] * RB), :],
+                jbuf.at[pl.ds((oc * TJ + MOFF[s]) * RB, MAXJ[s] * RB), :],
+                sems.at[oc * S + s],
             )
 
         for oc in range(CB):
@@ -318,7 +341,7 @@ def _make_tile_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
                 jlo, _, jnum = window(oc, s)
                 lo_s = bands_ref[s, 0]  # f32 band bounds
                 hi_s = bands_ref[s, 1]
-                w0 = (oc * S + s) * MAXJ
+                w0 = oc * TJ + MOFF[s]
 
                 @pl.when(jnum > 0)
                 def _(oc=oc, s=s, jlo=jlo):
@@ -383,7 +406,7 @@ def _make_tile_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
     return kernel
 
 
-def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
+def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                                     gfn: Callable, dtype, split: bool):
     """Packed-layout forces kernel: full (mirrored) bands, i-side
     accumulation, own-side broadcasts hoisted per chunk, 8-row j blocks
@@ -403,8 +426,13 @@ def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
     (6 bf16 passes, ~46 ms each at n=1e7) costs more than the elementwise
     work it saves (679 ms vs 575 ms per cubic MD step). Contractions with
     a ones vector (as used below) are precision-safe: the products are
-    formed on the VPU in f32 and the MXU only sums."""
+    formed on the VPU in f32 and the MXU only sums.
+
+    ``MAXJ`` is a length-S tuple of per-band DMA window capacities (see
+    `_make_tile_kernel_packed`)."""
     ncoord = D // 2 if split else D
+    TJ = sum(MAXJ)
+    MOFF = tuple(sum(MAXJ[:s]) for s in range(S))
 
     def kernel(bands_ref, csq_ref, bounds_ref, own8_ref, jarr_ref,
                fout_ref, facc, macc, jbuf, sems):
@@ -416,11 +444,10 @@ def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
                     bounds_ref[oc, 3 * s + 2])
 
         def copy_obj(oc, s, jlo):
-            w = oc * S + s
             return pltpu.make_async_copy(
-                jarr_ref.at[pl.ds(jlo * RB, MAXJ * RB), :],
-                jbuf.at[pl.ds(w * MAXJ * RB, MAXJ * RB), :],
-                sems.at[w],
+                jarr_ref.at[pl.ds(jlo * RB, MAXJ[s] * RB), :],
+                jbuf.at[pl.ds((oc * TJ + MOFF[s]) * RB, MAXJ[s] * RB), :],
+                sems.at[oc * S + s],
             )
 
         for oc in range(CB):
@@ -455,7 +482,7 @@ def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: int, D: int,
                 jlo, _, jnum = window(oc, s)
                 lo_s = bands_ref[s, 0]
                 hi_s = bands_ref[s, 1]
-                w0 = (oc * S + s) * MAXJ
+                w0 = oc * TJ + MOFF[s]
 
                 @pl.when(jnum > 0)
                 def _(oc=oc, s=s, jlo=jlo):
@@ -561,8 +588,7 @@ def _packed_forces_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
         raise ValueError("CB must be a multiple of 8 (SMEM sublane blocking)")
 
     nc_pad = max(-(-n // (CHUNK * CB)) * CB, CB)
-    # a window wider than the whole array would DMA past the j buffer
-    MAXJ = min(MAXJ, nc_pad)
+    MAXJ = _norm_maxj(MAXJ, S, nc_pad)
     C = nc_pad * CHUNK
     keys_p = _pad_and_desentinel(sorted_keys, C)
 
@@ -592,7 +618,7 @@ def _packed_forces_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
         scratch_shapes=[
             pltpu.VMEM((CB * CHUNK, RB), dtype),
             pltpu.VMEM((CHUNK, dim * CHUNK), dtype),
-            pltpu.VMEM((CB * S * MAXJ * RB, CHUNK), dtype),
+            pltpu.VMEM((CB * sum(MAXJ) * RB, CHUNK), dtype),
             pltpu.SemaphoreType.DMA((CB * S,)),
         ],
         interpret=interpret,
@@ -731,8 +757,7 @@ def _packed_core(planes, sorted_keys, strides, cutoff_sq, *, CB, MAXJ, term,
         raise ValueError("CB must be a multiple of 8 (SMEM sublane blocking)")
 
     nc_pad = max(-(-n // (CHUNK * CB)) * CB, CB)
-    # a window wider than the whole array would DMA past the j buffer
-    MAXJ = min(MAXJ, nc_pad)
+    MAXJ = _norm_maxj(MAXJ, S, nc_pad)
     C = nc_pad * CHUNK
     keys_p = _pad_and_desentinel(sorted_keys, C)
 
@@ -766,7 +791,7 @@ def _packed_core(planes, sorted_keys, strides, cutoff_sq, *, CB, MAXJ, term,
             pltpu.VMEM((CHUNK, CHUNK), out_dtype),
             pltpu.VMEM((CHUNK, CHUNK), out_dtype),
             pltpu.VMEM((CHUNK, CHUNK), out_dtype),
-            pltpu.VMEM((CB * S * MAXJ * RB, CHUNK), dtype),
+            pltpu.VMEM((CB * sum(MAXJ) * RB, CHUNK), dtype),
             pltpu.SemaphoreType.DMA((CB * S,)),
         ],
         interpret=interpret,
@@ -795,7 +820,7 @@ def tile_lj_rebuild_energy(
     positions_lo: jax.Array | None = None,
     *,
     CB: int = 8,
-    MAXJ: int = 8,
+    MAXJ: int | tuple = 8,
     term: Callable = lj_term,
     kahan: bool = True,
     interpret: bool = False,
@@ -804,7 +829,10 @@ def tile_lj_rebuild_energy(
     """Full pipeline in one jittable step for cubic/wide boxes (the tile
     sibling of `fused_lj_rebuild_energy`): cell keys -> multi-operand sort
     (planes kept separate) -> packed tile reduction. ``positions_lo``
-    enables split-precision pair distances. Returns (total, coverage_ok).
+    enables split-precision pair distances. ``MAXJ`` may be a length-5
+    per-band capacity tuple (`segments.suggest_maxj(per_band=True)`) —
+    the bands' window needs differ ~6x, so per-band capacities cut DMA
+    bytes. Returns (total, coverage_ok).
     """
     dim = positions.shape[1]
     split = positions_lo is not None
@@ -817,7 +845,9 @@ def tile_lj_rebuild_energy(
     # which mis-bins 2D inputs carrying payload columns (lo planes)
     from ..core.geometry import GridInfo, aabb_from_positions
 
-    info = GridInfo.create(aabb_from_positions(positions), cutoff)
+    info = GridInfo.create(
+        aabb_from_positions(positions), cutoff, auto_order=True
+    )
     bins, planes = bin_and_sort(
         cols, cutoff, max_cells=1, need_perm=False, stacked=False, info=info
     )
@@ -842,7 +872,7 @@ def tile_pair_forces(
     sorted_pos_lo: jax.Array | None = None,
     *,
     CB: int = 8,
-    MAXJ: int = 6,
+    MAXJ: int | tuple = 6,
     gfn: Callable = None,
     interpret: bool = False,
     packed: bool = True,
@@ -853,7 +883,9 @@ def tile_pair_forces(
     full (mirrored) stencil bands give each particle both pair sides
     directly — ~2x the half-space evaluations of `pair_lag_forces` but no
     Horner shift machinery and no cross-program writes. Split-precision
-    low planes are supported like the energy kernel.
+    low planes are supported like the energy kernel. ``MAXJ`` may be a
+    length-9 per-band capacity tuple on the packed path
+    (`segments.suggest_maxj(bands_full, half=False, per_band=True)`).
 
     Returns ((n, dim) forces, coverage_ok).
     """
@@ -874,6 +906,9 @@ def tile_pair_forces(
     dtype = sorted_pos.dtype
     D = 2 * dim if split else dim
     S = num_segments(dim, full=True)
+    if not isinstance(MAXJ, int):
+        raise ValueError("per-band MAXJ tuples need the packed layout; "
+                         "pass packed=True")
     if CB % 8 and not interpret:
         raise ValueError("CB must be a multiple of 8 (SMEM sublane blocking)")
 
@@ -1003,6 +1038,9 @@ def _tile_pair_reduce_impl(
     out_dtype = out_dtype or dtype
     D = 2 * dim if split else dim
     S = num_segments(dim)
+    if not packed and not isinstance(MAXJ, int):
+        raise ValueError("per-band MAXJ tuples need the packed layout; "
+                         "pass packed=True")
     if CB % 8 and not interpret:
         raise ValueError("CB must be a multiple of 8 (SMEM sublane blocking)")
     if CHUNK % OH or OH % 8:

@@ -5,9 +5,13 @@ The reference's only parallelism is shared-memory rayon over cells
 (README.md:148-152). The TPU-native scale-out is classic MD spatial domain
 decomposition mapped onto a 1D device mesh:
 
-* Space is sliced into slabs along the sort-major (z) axis; each device
+* Space is sliced into slabs along the sort-major axis; each device
   owns one contiguous block of the globally key-sorted particle array, so
-  slab partitioning IS block partitioning of the sorted order.
+  slab partitioning IS block partitioning of the sorted order. Keys are
+  auto-ordered (`GridInfo.create(auto_order=True)`: the largest box
+  extent gets the largest stride), so the sort-major axis is the LONGEST
+  box axis — slabs cut perpendicular to it, minimizing boundary area and
+  halo size for any box orientation.
 * The grid geometry is global: the AABB is reduced with `lax.pmin/pmax`
   over ICI so every device bins into the same key space.
 * Halo exchange: each device sends the head/tail H particles of its sorted
@@ -36,7 +40,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.binning import bin_and_sort, compute_keys
-from ..core.geometry import Aabb, GridInfo
+from ..core.geometry import Aabb, GridInfo, key_window
 from ..core.grid import build
 from ..core.pairs import pair_energy_per_particle, pair_forces
 from ..ops.lj import lj, lj_force_factor
@@ -67,9 +71,12 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 def partition_by_slab(positions, cutoff, n_devices: int):
     """Host-side global partition: sort particles by cell key and split the
-    sorted order into equal blocks (= spatial slabs, z-major key order).
-    Returns (positions_sorted, n_local) with n padded to a multiple of the
-    device count using far-away spread coordinates.
+    sorted order into equal blocks (= spatial slabs of the sort-major —
+    largest-extent — axis). Returns (positions_sorted, n_local) with n
+    padded to a multiple of the device count using far-away spread
+    coordinates. Key order mirrors the device-side
+    `GridInfo.create(auto_order=True)` binning exactly (stable argsort of
+    the cell counts), so the slab invariant holds on-device.
     """
     import numpy as np
 
@@ -80,29 +87,39 @@ def partition_by_slab(positions, cutoff, n_devices: int):
 
     inf = pts.min(axis=0)
     sup = pts.max(axis=0)
-    # padded-stride keys, same math as GridInfo (host mirror)
+    # auto-ordered padded-stride keys, same math as
+    # GridInfo.create(auto_order=True) (host mirror)
     shape = np.floor((sup - inf) / cutoff).astype(np.int64) + 1
-    padded = shape + 4
-    strides = np.array([1, padded[0], padded[0] * padded[1]])
+    perm = np.argsort(shape, kind="stable")
+    padded = shape[perm] + 4
+    s = np.concatenate([[1], np.cumprod(padded[:-1])])
+    strides = np.empty_like(s)
+    strides[perm] = s
+    major = int(perm[-1])  # the largest extent carries the largest stride
     keys = (np.floor((pts - inf) / cutoff).astype(np.int64) * strides).sum(1)
     order = np.argsort(keys, kind="stable")
     out = pts[order]
     if n_pad:
-        # key-safe padding: just beyond sup along z (the sort-major axis),
+        # key-safe padding: just beyond sup along the sort-major axis,
         # one empty cell apart, so pads sort last, land in distinct cells,
         # and stay > cutoff from everything — including each other.
         # (Coordinates ~1e12 would overflow the f32 flat-key conversion.)
         pad = np.tile(inf, (n_pad, 1)).astype(pts.dtype)
-        pad[:, 2] = sup[2] + 2.0 * cutoff * np.arange(2, n_pad + 2)
+        pad[:, major] = sup[major] + 2.0 * cutoff * np.arange(2, n_pad + 2)
         out = np.vstack([out, pad])
     return out, n_local
 
 
 def _global_grid_info(local_pos, cutoff):
-    """Grid geometry from the global AABB (pmin/pmax over the mesh)."""
+    """Grid geometry from the global AABB (pmin/pmax over the mesh).
+
+    Auto-ordered strides (largest extent -> largest stride) to match
+    `partition_by_slab`'s host keys; both sides MUST agree or the slab
+    invariant (ascending keys across device blocks) breaks.
+    """
     inf = jax.lax.pmin(jnp.min(local_pos, axis=0), AXIS)
     sup = jax.lax.pmax(jnp.max(local_pos, axis=0), AXIS)
-    return GridInfo.create(Aabb(inf=inf, sup=sup), cutoff)
+    return GridInfo.create(Aabb(inf=inf, sup=sup), cutoff, auto_order=True)
 
 
 def _halo_exchange(arr, H: int):
@@ -160,7 +177,7 @@ def halo_coverage_ok(sorted_keys_loc, strides, H_eff, *, both_sides=True):
     if nd == 1:
         return jnp.asarray(True)
     idx = jax.lax.axis_index(AXIS)
-    w = (jnp.sum(strides[1:]) + 1).astype(sorted_keys_loc.dtype)
+    w = key_window(strides).astype(sorted_keys_loc.dtype)
     n_loc = sorted_keys_loc.shape[0]
     fwd = [(i, (i + 1) % nd) for i in range(nd)]
     bwd = [(i, (i - 1) % nd) for i in range(nd)]
@@ -194,7 +211,7 @@ def _lag_ok_ext(keys_ext, strides, L, H_eff, n_loc):
     ntot = keys_ext.shape[0]
     if ntot <= L:
         return jnp.asarray(True)
-    w = jnp.sum(strides[1:]) + 1
+    w = key_window(strides)
     diff_ok = keys_ext[L:] - keys_ext[:-L] > w
     i = jnp.arange(L, ntot)
     genuine = ((idx > 0) | (i - L >= H_eff)) & (
@@ -211,10 +228,16 @@ def _wrap_safe_ghosts(gl, gr, info, cutoff, H_eff):
     ascending-key precondition of the tile kernel's searchsorted window
     bounds (`segments.chunk_bounds`). The lag kernel tolerates them (its
     key-difference filter excludes them); the tile kernel must not see
-    them. Substitute rows stacked along -z below the box (left) / +z
-    above it (right), ascending in slot, mutually >= 2*cutoff apart and
-    >= 4*cutoff from the box — so keys stay ascending and no pair within
-    the cutoff can involve them.
+    them. Substitute rows stacked below the box along the sort-major axis
+    (left) / above it (right), ascending in slot, mutually >= 2*cutoff
+    apart and >= 4*cutoff from the box — so keys stay ascending and no
+    pair within the cutoff can involve them. The major axis is picked by
+    a one-hot over the (auto-ordered, hence data-dependent) strides —
+    stride values are always distinct (1, >=5, >=25), so the one-hot is
+    exact. Non-major coordinates sit at inf, whose key contribution is 0;
+    a row m major-cells below inf keys at -m*S_major < every real key,
+    and one above shape-1 keys above max real key (non-major real
+    contributions sum to < S_major by the positional-system bound).
     """
     nd = jax.lax.axis_size(AXIS)
     idx = jax.lax.axis_index(AXIS)
@@ -224,11 +247,12 @@ def _wrap_safe_ghosts(gl, gr, info, cutoff, H_eff):
     c = jnp.asarray(cutoff, dt)
     r = jnp.arange(H_eff, dtype=dt)
     inf, sup = info.aabb.inf.astype(dt), info.aabb.sup.astype(dt)
-    xy = jnp.broadcast_to(inf[:2], (H_eff, 2))
-    z_lo = inf[2] - 2.0 * c * (jnp.asarray(H_eff, dt) - r + 1.0)
-    z_hi = sup[2] + 2.0 * c * (r + 2.0)
-    below = jnp.concatenate([xy, z_lo[:, None]], axis=1)
-    above = jnp.concatenate([xy, z_hi[:, None]], axis=1)
+    unit = (info.strides == jnp.max(info.strides)).astype(dt)  # (dim,)
+    off_lo = -2.0 * c * (jnp.asarray(H_eff, dt) - r + 1.0)
+    off_hi = jnp.dot(sup - inf, unit) + 2.0 * c * (r + 2.0)
+    base = jnp.broadcast_to(inf, gl.shape)
+    below = base + off_lo[:, None] * unit[None, :]
+    above = base + off_hi[:, None] * unit[None, :]
     gl = jnp.where(idx == 0, below, gl)
     gr = jnp.where(idx == nd - 1, above, gr)
     return gl, gr
