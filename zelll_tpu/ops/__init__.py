@@ -1,5 +1,6 @@
 """Fused interaction kernels (XLA + Pallas)."""
 
+from .autodiff import gfn_from_term, make_pair_potential
 from .columns import column_lj_energy, column_lj_forces, column_pair_sum
 from .fused import (
     auto_lj_energy,
@@ -28,6 +29,8 @@ from .pallas_pairs import (
 
 __all__ = [
     "auto_lj_energy",
+    "make_pair_potential",
+    "gfn_from_term",
     "tile_pair_reduce",
     "tile_lj_energy",
     "tile_count_pairs",
