@@ -2,6 +2,7 @@
 
 from .domain import (
     make_mesh,
+    make_sharded_potential,
     partition_by_slab,
     repartition,
     repartition_exchange,
@@ -11,6 +12,7 @@ from .domain import (
 
 __all__ = [
     "make_mesh",
+    "make_sharded_potential",
     "partition_by_slab",
     "repartition",
     "repartition_exchange",

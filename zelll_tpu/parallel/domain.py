@@ -55,6 +55,7 @@ __all__ = [
     "partition_by_slab",
     "sharded_md_step",
     "sharded_lj_energy",
+    "make_sharded_potential",
     "repartition",
     "repartition_exchange",
     "halo_coverage_ok",
@@ -258,8 +259,9 @@ def _wrap_safe_ghosts(gl, gr, info, cutoff, H_eff):
     return gl, gr
 
 
-def _tile_energy_ext(gl, pos_s, info, csq, H_eff, MAXJ, interpret):
-    """Owned-pair LJ energy over [left ghosts | own] via the tile kernel
+def _tile_energy_ext(gl, pos_s, info, csq, H_eff, MAXJ, interpret,
+                     term=lj_term):
+    """Owned-pair energy over [left ghosts | own] via the tile kernel
     (larger-slot ownership through min_islot)."""
     from ..ops.tile_pairs import tile_pair_reduce
 
@@ -267,7 +269,7 @@ def _tile_energy_ext(gl, pos_s, info, csq, H_eff, MAXJ, interpret):
     keys_ext = compute_keys(ext, info)
     return tile_pair_reduce(
         ext, keys_ext, info.strides, csq, MAXJ=MAXJ, interpret=interpret,
-        min_islot=H_eff,
+        min_islot=H_eff, term=term,
     )
 
 
@@ -564,15 +566,17 @@ def sharded_lj_energy(
     MAXJ: int = 8,
     M: int = 4096,
     L: int = 256,
+    term=lj_term,
     interpret: bool = False,
 ):
-    """Jitted global LJ energy over slab-sharded positions (exact).
+    """Jitted global pair energy over slab-sharded positions (exact).
 
     Returns (energy, coverage_ok); see `sharded_md_step` for the flag's
     contract. The Pallas lag path (``use_pallas``) and the segment-tile
     path (``use_tile``, the cubic/wide-box kernel with MAXJ as its window
     capacity) consume left ghosts only (larger-slot ownership), so their
-    halo check is one-sided.
+    halo check is one-sided. ``term`` is the elementwise pair term
+    (default LJ), summed over unique cutoff pairs on every path.
     """
 
     def local(pos):
@@ -589,7 +593,7 @@ def sharded_lj_energy(
         if use_tile:
             gl_s, _ = _wrap_safe_ghosts(gl, gr, info, cutoff, H_eff)
             e_loc, cap_ok = _tile_energy_ext(
-                gl_s, pos_s, info, csq, H_eff, MAXJ, interpret
+                gl_s, pos_s, info, csq, H_eff, MAXJ, interpret, term=term
             )
             return jax.lax.psum(e_loc, AXIS), _all_ok(halo_ok & cap_ok)
         if use_pallas:
@@ -597,14 +601,15 @@ def sharded_lj_energy(
             keys_ext = compute_keys(ext, info)
             e_loc = pair_lag_reduce(
                 ext, keys_ext, info.strides, csq,
-                M=M, L=L, term=lj_term, interpret=interpret,
+                M=M, L=L, term=term, interpret=interpret,
                 min_islot=H_eff,
             )
             cap_ok = _lag_ok_ext(keys_ext, info.strides, L, H_eff, n_loc)
             return jax.lax.psum(e_loc, AXIS), _all_ok(halo_ok & cap_ok)
         ext = jnp.concatenate([gl, pos_s, gr], axis=0)
         grid = build(ext, cutoff, info=info)
-        e_pp = pair_energy_per_particle(grid, lj, K=K, chunk=chunk, cutoff_sq=csq)
+        e_pp = pair_energy_per_particle(grid, term, K=K, chunk=chunk,
+                                        cutoff_sq=csq)
         cap_ok = grid.bins.max_cell_count() <= K
         return (
             jax.lax.psum(jnp.sum(e_pp[H_eff : H_eff + n_loc]), AXIS),
@@ -620,3 +625,149 @@ def sharded_lj_energy(
             check_vma=False,
         )
     )
+
+
+def _sharded_forces(
+    mesh: Mesh,
+    *,
+    cutoff: float,
+    H: int,
+    K: int = 32,
+    chunk: int = 64,
+    use_pallas: bool = False,
+    use_tile: bool = False,
+    MAXJ=8,
+    M: int = 4096,
+    L: int = 256,
+    gfn=lj_force_factor,
+    interpret: bool = False,
+):
+    """Jitted global pair forces over slab-sharded positions, aligned with
+    the INPUT order of each device's block (the local sort is undone by a
+    second multi-operand sort keyed on the permutation — never an n-sized
+    gather). Returns (forces, coverage_ok)."""
+
+    def local(pos):
+        H_eff = _h_eff(H, pos.shape[0])
+        info = _global_grid_info(pos, cutoff)
+        bins, pos_s = bin_and_sort(pos, cutoff, max_cells=1, info=info)
+        gl, gr, *_ = _halo_exchange(pos_s, H_eff)
+        csq = jnp.asarray(cutoff, pos.dtype) ** 2
+        n_loc = pos_s.shape[0]
+        dim = pos.shape[1]
+        halo_ok = halo_coverage_ok(
+            bins.sorted_keys, info.strides, H_eff, both_sides=True
+        )
+        if use_tile:
+            from ..ops.tile_pairs import tile_pair_forces
+
+            gl_s, gr_s = _wrap_safe_ghosts(gl, gr, info, cutoff, H_eff)
+            ext = jnp.concatenate([gl_s, pos_s, gr_s], axis=0)
+            keys_ext = compute_keys(ext, info)
+            f, cap_ok = tile_pair_forces(
+                ext, keys_ext, info.strides, csq, MAXJ=MAXJ, gfn=gfn,
+                interpret=interpret,
+            )
+        elif use_pallas:
+            ext = jnp.concatenate([gl, pos_s, gr], axis=0)
+            keys_ext = compute_keys(ext, info)
+            f = pair_lag_forces(
+                ext, keys_ext, info.strides, csq,
+                M=M, L=L, gfn=gfn, interpret=interpret,
+            )
+            cap_ok = _lag_ok_ext(keys_ext, info.strides, L, H_eff, n_loc)
+        else:
+            ext = jnp.concatenate([gl, pos_s, gr], axis=0)
+            grid = build(ext, cutoff, info=info)
+            f = pair_forces(grid, gfn, K=K, chunk=chunk, cutoff_sq=csq)
+            cap_ok = grid.bins.max_cell_count() <= K
+        f_own = f[H_eff : H_eff + n_loc]
+        out = jax.lax.sort(
+            [bins.perm] + [f_own[:, a] for a in range(dim)], num_keys=1
+        )
+        return (
+            jnp.stack(out[1:], axis=-1),
+            _all_ok(halo_ok & cap_ok),
+        )
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(AXIS, None),),
+            out_specs=(P(AXIS, None), P()),
+            check_vma=False,
+        )
+    )
+
+
+def make_sharded_potential(
+    mesh: Mesh,
+    *,
+    cutoff: float,
+    H: int,
+    K: int = 32,
+    chunk: int = 64,
+    use_pallas: bool = False,
+    use_tile: bool = False,
+    MAXJ=8,
+    MAXJ_F=None,
+    M: int = 4096,
+    L: int = 256,
+    term=None,
+    gfn=None,
+    interpret: bool = False,
+):
+    """Differentiable GLOBAL pair potential over slab-sharded positions —
+    the multi-chip sibling of `ops.autodiff.make_pair_potential`.
+
+    ``pot(positions) -> (energy, coverage_ok)`` where positions are (n, 3)
+    sharded along axis 0 of the mesh ('z' slabs, `partition_by_slab`
+    order). `jax.grad(pot, has_aux=True)` returns dE/dpositions with the
+    SAME sharding and block-local input order: the backward pass is the
+    sharded analytic forces pass (halo exchange + fused forces kernel +
+    per-shard un-sort), one collective round, never a gather of the global
+    array.
+
+    ``term`` is the elementwise pair term (default LJ); ``gfn`` its force
+    factor (derived by autodiff via `gfn_from_term` when omitted).
+    ``MAXJ_F`` is the forces-kernel window capacity on the tile path (9
+    full bands vs the energy's 5 half bands; defaults to MAXJ's widest
+    entry). An under-capacity backward poisons the gradient with NaN
+    (never silently drops pairs).
+    """
+    from ..ops.autodiff import gfn_from_term
+
+    if term is None:
+        term, gfn = lj_term, (gfn or lj_force_factor)
+    elif gfn is None:
+        gfn = gfn_from_term(term)
+    if MAXJ_F is None:
+        MAXJ_F = MAXJ if isinstance(MAXJ, int) else max(MAXJ)
+
+    energy_fn = sharded_lj_energy(
+        mesh, cutoff=cutoff, H=H, K=K, chunk=chunk, use_pallas=use_pallas,
+        use_tile=use_tile, MAXJ=MAXJ, M=M, L=L, term=term,
+        interpret=interpret,
+    )
+    forces_fn = _sharded_forces(
+        mesh, cutoff=cutoff, H=H, K=K, chunk=chunk, use_pallas=use_pallas,
+        use_tile=use_tile, MAXJ=MAXJ_F, M=M, L=L, gfn=gfn,
+        interpret=interpret,
+    )
+
+    @jax.custom_vjp
+    def pot(positions):
+        return energy_fn(positions)
+
+    def pot_fwd(positions):
+        return energy_fn(positions), positions
+
+    def pot_bwd(positions, ct):
+        f, ok = forces_fn(positions)
+        f = jnp.where(ok, f, jnp.nan)
+        grad = ct[0] * (-f)
+        return (grad.astype(positions.dtype),)
+
+    pot.defvjp(pot_fwd, pot_bwd)
+    return pot
