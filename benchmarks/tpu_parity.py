@@ -178,6 +178,40 @@ def main():
               np.abs(np.asarray(f, np.float64) - f_ref).max() / fscale,
               2e-6)
 
+        # per-band MAXJ capacities (round 5): must agree with the shared
+        # scalar capacity on hardware, not just in interpret mode
+        from zelll_tpu.ops.pallas_pairs import _pad_and_desentinel
+        from zelll_tpu.ops.segments import CHUNK, segment_bands, suggest_maxj
+
+        C = max(-(-N // (CHUNK * 8)) * 8, 8) * CHUNK
+        keys_p = _pad_and_desentinel(skeys, C)
+        mj_h = suggest_maxj(keys_p, segment_bands(strides), per_band=True)
+        mj_f = suggest_maxj(keys_p, segment_bands(strides, full=True),
+                            half=False, per_band=True)
+        packed, ok = tile_count_pairs(shi, skeys, strides, csq, MAXJ=mj_h)
+        assert bool(ok), f"per-band count coverage MAXJ={mj_h}"
+        check(f"tile_count_perband[{boxname}]",
+              abs(combine_count(np.asarray(packed)) - n_ref) / n_ref, 0.0,
+              extra=f"(integer-exact, MAXJ={mj_h})")
+        f, ok = tile_pair_forces(shi, skeys, strides, csq, slo, MAXJ=mj_f)
+        assert bool(ok), f"per-band forces coverage MAXJ={mj_f}"
+        check(f"tile_forces_perband[{boxname}]",
+              np.abs(np.asarray(f, np.float64) - f_ref).max() / fscale,
+              2e-6)
+
+        # differentiable potential: jax.grad == -forces ON HARDWARE
+        from zelll_tpu.ops.autodiff import make_pair_potential
+
+        f_ref_in32 = ref_forces(np.asarray(hi, np.float64), CUTOFF)
+        for pname, pkw in [("lag", dict(M=4096, L=1024)),
+                           ("tile", dict(MAXJ=24))]:
+            pot = make_pair_potential(CUTOFF, path=pname, **pkw)
+            (e, okp), g = jax.value_and_grad(pot, has_aux=True)(hi)
+            assert bool(okp)
+            check(f"pot_grad_{pname}[{boxname}]",
+                  np.abs(np.asarray(g, np.float64) + f_ref_in32).max()
+                  / fscale, f32_tol)
+
         grid = build(hi, CUTOFF)
         e = pair_sum(grid, lj, K=64, cutoff_sq=csq)
         check(f"xla_pair_sum[{boxname}]",
