@@ -246,14 +246,18 @@ def main():
     S1 = e1.sum(1)
     S2 = (e3 * radii).sum(1)
     S3 = e3.sum(1)
-    sig = S2 / S3
-    v_ref = -sig * np.log(S1)
+    # guard empty queries (S1 = S3 = 0): masked out via `defined` below
+    S1s = np.where(S1 > 0, S1, 1.0)
+    S3s = np.where(S3 > 0, S3, 1.0)
+    sig = S2 / S3s
+    logS1 = np.log(S1s)
+    v_ref = -sig * logS1
     u = dvec / d[..., None]
     A1 = ((e1 / radii)[..., None] * u).sum(1)
     A2 = ((e3 * radii)[..., None] * u).sum(1)
     A3 = (e3[..., None] * u).sum(1)
-    g_ref = (np.log(S1) * (A2 * S3[:, None] - S2[:, None] * A3)
-             / (S3**2)[:, None] + (sig / S1)[:, None] * A1)
+    g_ref = (logS1[:, None] * (A2 * S3[:, None] - S2[:, None] * A3)
+             / (S3s**2)[:, None] + (sig / S1s)[:, None] * A1)
 
     defined = valid & (S3 > 0)
     check("sdf_join_value",

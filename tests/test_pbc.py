@@ -1,0 +1,194 @@
+"""Periodic boundary conditions (ops.pbc) vs a minimum-image brute-force
+oracle. An extension beyond the reference (zelll is free-boundary only,
+more_benches/in.zelllbench.txt pins ``boundary f f f``); correctness is
+defined by the standard orthorhombic minimum-image convention, valid
+because the module enforces box > 2*cutoff."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zelll_tpu.ops.pbc import (
+    pbc_count_pairs,
+    pbc_extend,
+    pbc_lj_energy,
+    pbc_lj_forces,
+    suggest_pbc_capacity,
+    wrap_positions,
+)
+
+
+def lj(dsq):
+    t = 1.0 / dsq
+    t3 = t * t * t
+    return 4.0 * t3 * (t3 - 1.0)
+
+
+def oracle(pts, box, cutoff):
+    """Minimum-image energy, count, and forces (f64 numpy, O(n^2))."""
+    pts = np.asarray(pts, np.float64)
+    box = np.asarray(box, np.float64)
+    d = pts[:, None, :] - pts[None, :, :]
+    d -= box * np.round(d / box)
+    dsq = (d * d).sum(-1)
+    np.fill_diagonal(dsq, np.inf)
+    within = dsq < cutoff * cutoff
+    e = lj(np.where(within, dsq, 1.0))
+    energy = 0.5 * np.sum(np.where(within, e, 0.0))
+    count = int(np.sum(within)) // 2
+    # f_i = sum_j g(dsq) * d_ij, g = 24 t3 (2 t3 - 1) / dsq
+    t = 1.0 / np.where(within, dsq, 1.0)
+    t3 = t * t * t
+    g = np.where(within, 24.0 * t3 * (2.0 * t3 - 1.0) * t, 0.0)
+    forces = (g[:, :, None] * d).sum(axis=1)
+    return energy, count, forces
+
+
+def make_case(n=256, box=(4.3, 5.1, 6.7), cutoff=1.0, seed=0, origin=0.0):
+    rng = np.random.default_rng(seed)
+    box = np.asarray(box, np.float64)
+    pts = rng.uniform(0, 1, size=(n, 3)) * box + origin
+    return jnp.asarray(pts), jnp.full((3,), origin), jnp.asarray(box), cutoff
+
+
+@pytest.mark.parametrize("seed,box,cutoff", [
+    (0, (4.3, 5.1, 6.7), 1.0),
+    (1, (3.0, 3.0, 3.0), 1.2),          # dense cubic, many corner ghosts
+    (2, (2.5, 2.5, 40.0), 1.0),          # thin periodic slab
+])
+def test_pbc_energy_count_vs_oracle(seed, box, cutoff):
+    pts, origin, boxj, c = make_case(seed=seed, box=box, cutoff=cutoff)
+    e_ref, n_ref, _ = oracle(pts, box, c)
+
+    e, ok = pbc_lj_energy(
+        pts, origin, boxj, c, M=512, L=512, interpret=True
+    )
+    assert bool(ok)
+    assert abs(float(e) - e_ref) <= 1e-9 * max(1.0, abs(e_ref))
+
+    cnt, ok = pbc_count_pairs(
+        pts, origin, boxj, c, M=512, L=512, interpret=True
+    )
+    assert bool(ok)
+    assert cnt == n_ref
+
+
+def test_pbc_forces_vs_oracle():
+    pts, origin, box, c = make_case(seed=3)
+    _, _, f_ref = oracle(pts, box, c)
+    f, ok = pbc_lj_forces(pts, origin, box, c, M=512, L=512, interpret=True)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(f), f_ref, rtol=1e-9, atol=1e-9)
+
+
+def test_pbc_wrap_invariance():
+    """Shifting particles by whole box vectors changes nothing."""
+    pts, origin, box, c = make_case(seed=4)
+    e0, ok0 = pbc_lj_energy(pts, origin, box, c, M=512, L=512, interpret=True)
+    shift = jnp.asarray([[1.0, -2.0, 1.0]]) * box
+    e1, ok1 = pbc_lj_energy(
+        pts + shift, origin, box, c, M=512, L=512, interpret=True
+    )
+    assert bool(ok0) and bool(ok1)
+    assert abs(float(e0) - float(e1)) <= 1e-9 * abs(float(e0))
+
+
+def test_pbc_interior_matches_open_boundary():
+    """No particle near a face -> PBC energy == open-boundary energy."""
+    from zelll_tpu.ops.fused import fused_lj_rebuild_energy
+
+    rng = np.random.default_rng(5)
+    box = np.asarray([6.0, 6.0, 6.0])
+    c = 1.0
+    # keep everything >= cutoff away from every face
+    pts = jnp.asarray(c + rng.uniform(0, 1, size=(128, 3)) * (box - 2 * c))
+    e_open, ok_o = fused_lj_rebuild_energy(pts, c, M=512, L=512, interpret=True)
+    e_pbc, ok_p = pbc_lj_energy(
+        pts, jnp.zeros(3), jnp.asarray(box), c, M=512, L=512, interpret=True
+    )
+    assert bool(ok_o) and bool(ok_p)
+    assert abs(float(e_open) - float(e_pbc)) <= 1e-9 * abs(float(e_open))
+
+
+def test_pbc_capacity_flags():
+    pts, origin, box, c = make_case(seed=6)
+    # B too small for the boundary population
+    _, ok = pbc_lj_energy(
+        pts, origin, box, c, B=8, G=64, M=512, L=512, interpret=True
+    )
+    assert not bool(ok)
+    # box <= 2*cutoff is outside the minimum-image regime
+    _, ok = pbc_lj_energy(
+        pts, origin, box, jnp.asarray(3.0), M=512, L=512, interpret=True
+    )
+    assert not bool(ok)
+
+
+def test_pbc_corner_particle_seven_images():
+    """A particle in a box corner needs all 7 images; a lone pair across
+    the corner has closed-form energy."""
+    box = jnp.asarray([5.0, 6.0, 7.0])
+    c = 1.0
+    eps = 0.05
+    # p0 tucked in the low corner, p1 in the high corner: min-image
+    # separation (2*eps, 2*eps, 2*eps)
+    pts = jnp.asarray([
+        [eps, eps, eps],
+        [5.0 - eps, 6.0 - eps, 7.0 - eps],
+        [2.5, 3.0, 3.5],  # interior spectator
+    ])
+    dsq = 3 * (2 * eps) ** 2
+    e_ref = float(lj(dsq))
+    e, ok = pbc_lj_energy(
+        pts, jnp.zeros(3), box, c, B=128, G=896, M=512, L=512, interpret=True
+    )
+    assert bool(ok)
+    assert abs(float(e) - e_ref) <= 1e-9 * abs(e_ref)
+    cnt, ok = pbc_count_pairs(
+        pts, jnp.zeros(3), box, c, B=128, G=896, M=512, L=512, interpret=True
+    )
+    assert bool(ok) and cnt == 1
+
+
+def test_pbc_split_extension_exact():
+    """Ghost (hi, lo) planes reconstruct the exact f64 image positions."""
+    from zelll_tpu.ops.pallas_pairs import split_f64
+
+    rng = np.random.default_rng(7)
+    box64 = np.float32([10000.0, 10000.0, 10000.0]).astype(np.float64)
+    pts64 = rng.uniform(0, 1, size=(64, 3)) * box64
+    hi, lo = split_f64(jnp.asarray(pts64))
+    B, G = 64, 448
+    ext, ext_lo, w, valid, ok = pbc_extend(
+        hi, jnp.zeros(3, jnp.float32), jnp.asarray(box64, jnp.float32),
+        jnp.float32(10.0), B=B, G=G, positions_lo=lo,
+    )
+    assert bool(ok)
+    # true f64 images: for every valid ghost row, hi+lo must equal the
+    # exact f64 parent + shift*box for some parent and admissible shift
+    recon = np.asarray(ext, np.float64) + np.asarray(ext_lo, np.float64)
+    n = pts64.shape[0]
+    ghosts = recon[n:][np.asarray(valid)[n:]]
+    exact = {tuple(np.round(r, 6)) for r in pts64}
+    boxf = np.asarray(box64)
+    for g in ghosts:
+        # subtract the implied shift (sign of out-of-box coordinate)
+        shift = np.where(g < 0, -1.0, np.where(g >= boxf, 1.0, 0.0))
+        parent = g - shift * boxf
+        assert tuple(np.round(parent, 6)) in exact, g
+
+
+def test_wrap_positions_identity_and_wrap():
+    pts = jnp.asarray([[0.0, 2.5, 4.999], [-0.5, 5.1, 10.0]])
+    box = jnp.asarray([5.0, 5.0, 5.0])
+    w = wrap_positions(pts, jnp.zeros(3), box)
+    np.testing.assert_allclose(np.asarray(w[0]), [0.0, 2.5, 4.999])
+    assert np.all(np.asarray(w[1]) >= 0) and np.all(np.asarray(w[1]) < 5.0)
+    np.testing.assert_allclose(np.asarray(w[1]), [4.5, 0.1, 0.0], atol=1e-12)
+
+
+def test_suggest_pbc_capacity_covers():
+    pts, origin, box, c = make_case(seed=8, n=512)
+    B, G = suggest_pbc_capacity(512, np.asarray(box), c)
+    _, _, _, _, ok = pbc_extend(pts, origin, box, c, B=B, G=G)
+    assert bool(ok)

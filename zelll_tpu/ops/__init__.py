@@ -10,6 +10,15 @@ from .fused import (
     fused_pair_sum,
 )
 from .lj import lj, lj_energy, lj_force_factor, lj_forces
+from .pbc import (
+    pbc_count_pairs,
+    pbc_extend,
+    pbc_lj_energy,
+    pbc_lj_forces,
+    pbc_pair_sum,
+    suggest_pbc_capacity,
+    wrap_positions,
+)
 from .tile_pairs import (
     tile_count_pairs,
     tile_lj_energy,
@@ -54,4 +63,11 @@ __all__ = [
     "split_f64",
     "lj_term",
     "count_term",
+    "pbc_pair_sum",
+    "pbc_lj_energy",
+    "pbc_count_pairs",
+    "pbc_lj_forces",
+    "pbc_extend",
+    "wrap_positions",
+    "suggest_pbc_capacity",
 ]
