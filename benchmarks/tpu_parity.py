@@ -217,6 +217,73 @@ def main():
         check(f"xla_pair_sum[{boxname}]",
               abs(float(e) - e_ref) / abs(e_ref), f32_tol)
 
+        # PBC (ops.pbc): ghost-image extension over the unchanged lag
+        # kernel — energy/count masked via the shift-sign payload plane,
+        # forces via dropped ghost rows. Oracle: f64 minimum image.
+        from zelll_tpu.ops.pbc import (
+            pbc_count_pairs, pbc_lj_energy, pbc_lj_forces,
+        )
+
+        # the device's periodic length is the f32 box; the oracle must use
+        # the same value, and points must sit strictly inside it (wrap of
+        # an out-of-box particle is mod-rounded and not split-exact)
+        boxa = np.asarray(box, np.float32).astype(np.float64)
+        pts_p = rng.uniform(0, 1, (N, 3)) * boxa * (1 - 1e-6)
+        hi_p = jnp.asarray(pts_p, jnp.float32)
+        lo_p = jnp.asarray(pts_p - np.asarray(hi_p, np.float64), jnp.float32)
+        dmi = pts_p[:, None] - pts_p[None, :]
+        dmi -= boxa * np.round(dmi / boxa)
+        dsq_mi = (dmi * dmi).sum(-1)
+        np.fill_diagonal(dsq_mi, np.inf)
+        wmi = dsq_mi < csq
+        tmi = np.where(wmi, 1.0 / np.where(wmi, dsq_mi, 1.0), 0.0) ** 3
+        e_mi = float(np.where(wmi, 4 * tmi * (tmi - 1), 0.0).sum() / 2)
+        n_mi = int(wmi.sum()) // 2
+        g_mi = np.where(wmi, 24 * tmi * (2 * tmi - 1)
+                        / np.where(wmi, dsq_mi, 1.0), 0.0)
+        f_mi = (g_mi[..., None] * dmi).sum(axis=1)
+        fscale_mi = np.abs(f_mi).max() + 1e-30
+        boxj = jnp.asarray(boxa, jnp.float32)
+        org = jnp.zeros(3, jnp.float32)
+
+        e, ok = pbc_lj_energy(hi_p, org, boxj, CUTOFF, M=4096, L=1024)
+        assert bool(ok)
+        check(f"pbc_energy_f32[{boxname}]",
+              abs(float(e) - e_mi) / abs(e_mi), f32_tol)
+
+        e, ok = pbc_lj_energy(hi_p, org, boxj, CUTOFF, M=4096, L=1024,
+                              positions_lo=lo_p)
+        assert bool(ok)
+        check(f"pbc_energy_split[{boxname}]",
+              abs(float(e) - e_mi) / abs(e_mi), 2e-6)
+
+        cnt, ok = pbc_count_pairs(hi_p, org, boxj, CUTOFF, M=4096, L=1024,
+                                  positions_lo=lo_p)
+        assert bool(ok)
+        check(f"pbc_count_split[{boxname}]",
+              abs(cnt - n_mi) / n_mi, 1e-6)
+
+        f, ok = pbc_lj_forces(hi_p, org, boxj, CUTOFF, M=4096, L=1024,
+                              positions_lo=lo_p)
+        assert bool(ok)
+        check(f"pbc_forces_split[{boxname}]",
+              np.abs(np.asarray(f, np.float64) - f_mi).max() / fscale_mi,
+              2e-6)
+
+        # tile path: payload plane on the packed blocks' free row
+        e, ok = pbc_lj_energy(hi_p, org, boxj, CUTOFF, path="tile",
+                              MAXJ=24, positions_lo=lo_p)
+        assert bool(ok)
+        check(f"pbc_energy_tile_split[{boxname}]",
+              abs(float(e) - e_mi) / abs(e_mi), 2e-6)
+
+        f, ok = pbc_lj_forces(hi_p, org, boxj, CUTOFF, path="tile",
+                              MAXJ=24, positions_lo=lo_p)
+        assert bool(ok)
+        check(f"pbc_forces_tile_split[{boxname}]",
+              np.abs(np.asarray(f, np.float64) - f_mi).max() / fscale_mi,
+              2e-6)
+
     # SDF join kernel (ops.sdf_join) vs f64 numpy brute force: the
     # psssh-batch query path. Uses exps + rsqrt + the join windows —
     # a hardware-only failure here (e.g. a transcendental or dynamic-

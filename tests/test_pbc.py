@@ -192,3 +192,78 @@ def test_suggest_pbc_capacity_covers():
     B, G = suggest_pbc_capacity(512, np.asarray(box), c)
     _, _, _, _, ok = pbc_extend(pts, origin, box, c, B=B, G=G)
     assert bool(ok)
+
+
+def test_pbc_forces_tile_path():
+    """Cubic-box PBC forces through the segment-tile kernel (full
+    mirrored bands, i-side accumulation: ghost rows never receive
+    reactions, so dropping them is trivially safe)."""
+    pts, origin, box, c = make_case(seed=9, box=(4.0, 4.5, 5.0))
+    _, _, f_ref = oracle(pts, box, c)
+    f, ok = pbc_lj_forces(
+        pts, origin, box, c, path="tile", MAXJ=12, interpret=True
+    )
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(f), f_ref, rtol=1e-9, atol=1e-9)
+
+
+def test_md_step_pbc_matches_numpy():
+    """A few MD steps under PBC track a numpy minimum-image integrator."""
+    from zelll_tpu.ops.pbc import md_step_pbc
+
+    rng = np.random.default_rng(10)
+    box = np.asarray([5.0, 5.5, 6.0])
+    n, c, dt = 128, 1.0, 1e-5
+    pts = rng.uniform(0, 1, size=(n, 3)) * box
+    vel = rng.normal(0, 0.1, size=(n, 3))
+
+    p_np, v_np = pts.copy(), vel.copy()
+    for _ in range(3):
+        _, _, f = oracle(p_np, box, c)
+        v_np = v_np + dt * f
+        p_np = np.mod(p_np + dt * v_np, box)
+
+    p, v = jnp.asarray(pts), jnp.asarray(vel)
+    o, bj = jnp.zeros(3), jnp.asarray(box)
+    for _ in range(3):
+        p, v, ok = md_step_pbc(p, v, o, bj, c, dt, M=512, L=512,
+                               interpret=True)
+        assert bool(ok)
+    np.testing.assert_allclose(np.asarray(p), p_np, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(v), v_np, rtol=1e-9, atol=1e-9)
+
+
+def test_pbc_energy_count_tile_path():
+    """PBC energy/count through the packed tile kernel: the shift-sign
+    plane rides the packed blocks' free row (D+1)."""
+    pts, origin, box, c = make_case(seed=11, box=(4.0, 4.5, 5.0))
+    e_ref, n_ref, _ = oracle(pts, box, c)
+    e, ok = pbc_lj_energy(
+        pts, origin, box, c, path="tile", MAXJ=12, interpret=True
+    )
+    assert bool(ok)
+    assert abs(float(e) - e_ref) <= 1e-9 * abs(e_ref)
+    cnt, ok = pbc_count_pairs(
+        pts, origin, box, c, path="tile", MAXJ=12, interpret=True
+    )
+    assert bool(ok) and cnt == n_ref
+
+
+def test_pbc_energy_tile_split_plane_roundtrip():
+    """Split (hi, lo) planes + payload row coexist in the packed layout
+    (6 coords + key + payload = exactly 8 rows)."""
+    from zelll_tpu.ops.pallas_pairs import split_f64
+
+    rng = np.random.default_rng(12)
+    box = np.asarray([4.0, 4.5, 5.0])
+    pts64 = rng.uniform(0, 1, size=(256, 3)) * box
+    e_ref, _, _ = oracle(pts64, box, 1.0)
+    hi, lo = split_f64(jnp.asarray(pts64))
+    e, ok = pbc_lj_energy(
+        hi.astype(jnp.float64), jnp.zeros(3), jnp.asarray(box), 1.0,
+        path="tile", MAXJ=12, interpret=True,
+        positions_lo=lo.astype(jnp.float64),
+    )
+    assert bool(ok)
+    # hi+lo reconstructs pts64; f64 interpret arithmetic -> tight parity
+    assert abs(float(e) - e_ref) <= 1e-6 * abs(e_ref)

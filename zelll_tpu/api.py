@@ -77,8 +77,18 @@ def _pad_far(pts: np.ndarray, n_pad: int) -> np.ndarray:
     padded = np.empty((n_pad, 3), pts.dtype)
     padded[:n] = pts
     if n_pad > n:
-        spread = 1e12 + 1e5 * np.arange(1, n_pad - n + 1, dtype=np.float64)
-        padded[n:] = spread[:, None]
+        # 2D spread grid: spacing 2^17 is an exact multiple of the f32 ulp
+        # at 1e12 (2^16), so rows stay >= 2^17 apart after f32 rounding
+        # (1e5 spacing quantizes to as little as 3.4e4), and the grid keeps
+        # the family's extent ~sqrt(n_pad)*2^17 — far below the kernels'
+        # 7e12 tail-padding family even at n_pad = 1e8 (a linear 1D spread
+        # would cross it at ~6e7 rows).
+        k = np.arange(1, n_pad - n + 1, dtype=np.float64)
+        side = int(np.ceil(np.sqrt(n_pad - n))) + 1
+        s = 2.0**17
+        padded[n:, 0] = 1e12 + (k % side) * s
+        padded[n:, 1] = 1e12 + (k // side + 1) * s
+        padded[n:, 2] = 1e12
     return padded
 
 

@@ -11,6 +11,7 @@ from .fused import (
 )
 from .lj import lj, lj_energy, lj_force_factor, lj_forces
 from .pbc import (
+    md_step_pbc,
     pbc_count_pairs,
     pbc_extend,
     pbc_lj_energy,
@@ -68,6 +69,7 @@ __all__ = [
     "pbc_count_pairs",
     "pbc_lj_forces",
     "pbc_extend",
+    "md_step_pbc",
     "wrap_positions",
     "suggest_pbc_capacity",
 ]

@@ -67,12 +67,30 @@ LANES = 128
 _PAD_KEY_BASE = jnp.iinfo(jnp.int32).max // 2
 
 # Coordinate value family for kernel tail-padding rows. Distinct from every
-# other padding family in the repo (api._pad_far and partition_by_slab use
-# 1e12 + 1e5*k, halo spread ghosts use 2e12/2.1e12 + 1e5*k) so padding rows
-# from different stages can never coincide at dsq == 0 — the energy kernel
-# has no dsq > 0 exclusion (coincident *real* particles are counted,
-# matching the reference's iterator semantics).
+# other padding family in the repo (api._pad_far uses a 2D spread grid at
+# 1e12 + 2^17*k spanning < 2e12; ops.pbc invalid-ghost rows use a 2D grid
+# at 4e12 + 2^20*k; partition_by_slab pads just beyond sup instead) so
+# padding rows from different stages can never coincide at dsq == 0 — the
+# energy kernel has no dsq > 0 exclusion (coincident *real* particles are
+# counted, matching the reference's iterator semantics).
 _PAD_COORD_BASE = 7e12
+# Spread spacing must survive f32 quantization at the base: ulp(7e12) is
+# 2^19, so any spacing below that rounds consecutive padding rows onto the
+# SAME f32 value — dsq == 0 — and whenever the padding-key spacing
+# ((2^31/2)/ntot, see _pad_and_desentinel) is smaller than the key window
+# those rows pair up and put lj(0) = inf into the sum. 2^20 is an exact
+# multiple of the ulp (rows stay >= 2^20 apart, far above any cutoff) and
+# tail <= M keeps the family inside its binade.
+_PAD_COORD_SPACING = 2.0**20
+
+
+def _tail_spread(tail: int, dtype) -> jax.Array:
+    """(tail,) strictly-increasing f32-exact padding coordinates."""
+    return (
+        jnp.arange(1, tail + 1, dtype=dtype)
+        * jnp.asarray(_PAD_COORD_SPACING, dtype)
+        + jnp.asarray(_PAD_COORD_BASE, dtype)
+    )
 
 
 def lj_term(dsq):
@@ -469,10 +487,7 @@ def pair_lag_per_particle(
     P = -(-n // M)
     tail = P * M - n
     keys_p = _pad_and_desentinel(sorted_keys, P * M)
-    spread = (
-        jnp.arange(1, tail + 1, dtype=dtype) * jnp.asarray(1e5, dtype)
-        + jnp.asarray(_PAD_COORD_BASE, dtype)
-    )
+    spread = _tail_spread(tail, dtype)
     planes = [
         jnp.concatenate([sorted_pos[:, a], spread]).reshape(-1, LANES)
         for a in range(3)
@@ -719,10 +734,7 @@ def pair_lag_forces(
     P = -(-n // M)
     tail = P * M - n
     keys_p = _pad_and_desentinel(sorted_keys, P * M)
-    spread = (
-        jnp.arange(1, tail + 1, dtype=dtype) * jnp.asarray(1e5, dtype)
-        + jnp.asarray(_PAD_COORD_BASE, dtype)
-    )
+    spread = _tail_spread(tail, dtype)
     planes = [
         jnp.concatenate([sorted_pos[:, a], spread]).reshape(-1, LANES)
         for a in range(3)
@@ -838,10 +850,7 @@ def pair_lag_reduce(
     # _pad_and_desentinel) with spread-out coordinates so every padded dsq
     # exceeds any cutoff.
     keys_p = _pad_and_desentinel(sorted_keys, P * M)
-    spread = (
-        jnp.arange(1, tail + 1, dtype=dtype) * jnp.asarray(1e5, dtype)
-        + jnp.asarray(_PAD_COORD_BASE, dtype)
-    )
+    spread = _tail_spread(tail, dtype)
     dim = sorted_pos.shape[1]
     planes = [
         jnp.concatenate([sorted_pos[:, a], spread]).reshape(-1, LANES)

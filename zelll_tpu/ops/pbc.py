@@ -50,7 +50,6 @@ import jax.numpy as jnp
 
 from ..core.binning import bin_and_sort
 from .pallas_pairs import (
-    _PAD_COORD_BASE,
     combine_count,
     count_term,
     lag_coverage_ok,
@@ -67,6 +66,7 @@ __all__ = [
     "pbc_lj_energy",
     "pbc_count_pairs",
     "pbc_lj_forces",
+    "md_step_pbc",
 ]
 
 # the 7 non-empty subsets of {x, y, z}: which of a particle's adjacent
@@ -227,12 +227,23 @@ def pbc_extend(
 
     # invalid ghost rows carry stale (real-looking) coordinates; replace
     # with far-apart spread values so no padding row can pair with
-    # anything (the kernels' own tail padding uses the same scheme)
-    spread = (
-        jnp.arange(1, G + 1, dtype=dtype) * jnp.asarray(1e5, dtype)
-        + jnp.asarray(_PAD_COORD_BASE, dtype)
-    )
-    gpos = jnp.where(gvalid[:, None], gpos, spread[:, None])
+    # anything. A 2D spread grid in this module's OWN coordinate family
+    # (base 4e12 — the kernels' tail padding owns 7e12, api._pad_far owns
+    # 1e12; families must never coincide at dsq == 0 because the energy
+    # kernel has no dsq > 0 exclusion). Spacing 2^20 is an exact multiple
+    # of the f32 ulp at 4e12 (2^19): rows stay >= 2^20 apart after
+    # rounding instead of quantizing onto each other, and the grid extent
+    # sqrt(G)*2^20 stays far inside the binade.
+    k = jnp.arange(1, G + 1, dtype=dtype)
+    side = float(int(G**0.5) + 2)
+    s = jnp.asarray(2.0**20, dtype)
+    base = jnp.asarray(4e12, dtype)
+    gx = base + jnp.mod(k, side) * s
+    gy = base + (jnp.floor_divide(k, side) + 1) * s
+    gz = jnp.full((G,), base, dtype)
+    spread = jnp.stack([gx, gy, gz], axis=-1)
+    gpos = jnp.where(gvalid[:, None], gpos, spread)
+    ok &= 4 * cutoff <= 2.0**20
 
     ext_pos = jnp.concatenate([pos, gpos])
     w = jnp.concatenate(
@@ -276,6 +287,9 @@ def pbc_pair_sum(
     G: int | None = None,
     M: int = 4096,
     L: int = 256,
+    path: str = "lag",
+    CB: int = 8,
+    MAXJ: int | tuple = 8,
     interpret: bool = False,
     out_dtype=None,
     positions_lo: jax.Array | None = None,
@@ -283,10 +297,12 @@ def pbc_pair_sum(
     """Sum ``term(dsq)`` over unique minimum-image cutoff pairs under
     orthorhombic PBC. Returns (total, ok).
 
-    ``ok`` folds the ghost capacity/regime flags with `lag_coverage_ok`;
-    False means grow B/G/L and rerun (never silently dropped pairs).
-    B and G default to `suggest_pbc_capacity` (host-side; pass them
-    explicitly inside jit).
+    ``ok`` folds the ghost capacity/regime flags with the kernel coverage
+    flag; False means grow B/G/L (or MAXJ) and rerun (never silently
+    dropped pairs). B and G default to `suggest_pbc_capacity` (host-side;
+    pass them explicitly inside jit). ``path="lag"`` suits thin boxes,
+    ``"tile"`` cubic/wide ones (the shift-sign plane rides the packed
+    blocks' free row).
     """
     n = positions.shape[0]
     if B is None or G is None:
@@ -306,15 +322,27 @@ def pbc_pair_sum(
     )
     sp = sorted_cols[:, :3]
     slo = sorted_cols[:, 3:6] if ext_lo is not None else None
-    sw = sorted_cols[:, -1:]
-    total = pair_lag_reduce(
-        sp, bins.sorted_keys, bins.info.strides,
-        jnp.asarray(cutoff, positions.dtype) ** 2, slo,
-        sorted_payload=sw,
-        M=M, L=L, term=_pbc_term(term), interpret=interpret,
-        out_dtype=out_dtype,
-    )
-    ok &= lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
+    csq = jnp.asarray(cutoff, positions.dtype) ** 2
+    if path == "tile":
+        from .tile_pairs import tile_pair_reduce
+
+        total, cov = tile_pair_reduce(
+            sp, bins.sorted_keys, bins.info.strides, csq, slo,
+            sorted_cols[:, -1],
+            CB=CB, MAXJ=MAXJ, term=_pbc_term(term), interpret=interpret,
+            out_dtype=out_dtype,
+        )
+        ok &= cov
+    elif path == "lag":
+        total = pair_lag_reduce(
+            sp, bins.sorted_keys, bins.info.strides, csq, slo,
+            sorted_payload=sorted_cols[:, -1:],
+            M=M, L=L, term=_pbc_term(term), interpret=interpret,
+            out_dtype=out_dtype,
+        )
+        ok &= lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
+    else:
+        raise ValueError(f"unknown path {path!r} (lag | tile)")
     return total, ok
 
 
@@ -344,6 +372,9 @@ def pbc_lj_forces(
     G: int | None = None,
     M: int = 1024,
     L: int = 256,
+    path: str = "lag",
+    CB: int = 8,
+    MAXJ: int | tuple = 8,
     interpret: bool = False,
     positions_lo: jax.Array | None = None,
 ):
@@ -351,7 +382,11 @@ def pbc_lj_forces(
 
     No pair masking is needed (see module docstring): ghosts are included
     in the kernel, each real row accumulates its complete force, and
-    ghost rows are discarded by the un-sort. Returns ((n, 3) forces, ok).
+    ghost rows are discarded by the un-sort. ``path="lag"`` (thin boxes:
+    half-space + Newton reactions, M/L capacities) or ``"tile"``
+    (cubic/wide boxes: full mirrored bands, i-side accumulation, CB/MAXJ
+    capacities — ghost reactions were never computed to begin with).
+    Returns ((n, 3) forces, ok).
     """
     n = positions.shape[0]
     if B is None or G is None:
@@ -368,16 +403,53 @@ def pbc_lj_forces(
     )
     sp = sorted_cols[:, :3]
     slo = sorted_cols[:, 3:6] if ext_lo is not None else None
-    f = pair_lag_forces(
-        sp, bins.sorted_keys, bins.info.strides,
-        jnp.asarray(cutoff, positions.dtype) ** 2, slo,
-        M=M, L=L, gfn=gfn, interpret=interpret,
-    )
+    csq = jnp.asarray(cutoff, positions.dtype) ** 2
+    if path == "tile":
+        from .tile_pairs import tile_pair_forces
+
+        f, cov = tile_pair_forces(
+            sp, bins.sorted_keys, bins.info.strides, csq, slo,
+            CB=CB, MAXJ=MAXJ, gfn=gfn, interpret=interpret,
+        )
+        ok &= cov
+    elif path == "lag":
+        f = pair_lag_forces(
+            sp, bins.sorted_keys, bins.info.strides, csq, slo,
+            M=M, L=L, gfn=gfn, interpret=interpret,
+        )
+        ok &= lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
+    else:
+        raise ValueError(f"unknown path {path!r} (lag | tile)")
     # un-sort with a second multi-operand sort (never an n-sized gather);
     # ghosts carry perm >= n and land beyond the [:n] slice
     _, fx, fy, fz = jax.lax.sort(
         (bins.perm, f[:, 0], f[:, 1], f[:, 2]), num_keys=1, is_stable=False
     )
     forces = jnp.stack([fx[:n], fy[:n], fz[:n]], axis=-1)
-    ok &= lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
     return forces, ok
+
+
+def md_step_pbc(
+    positions: jax.Array,
+    velocities: jax.Array,
+    origin,
+    box,
+    cutoff,
+    dt,
+    *,
+    B: int | None = None,
+    G: int | None = None,
+    path: str = "lag",
+    **kw,
+):
+    """One LJ MD step (semi-implicit Euler: v += dt f; x += dt v) under
+    orthorhombic PBC, positions wrapped back into the box. State stays in
+    input order (the ghost un-sort is the price of PBC). Returns
+    (positions, velocities, ok). Keyword args forward to `pbc_lj_forces`.
+    """
+    f, ok = pbc_lj_forces(
+        positions, origin, box, cutoff, B=B, G=G, path=path, **kw
+    )
+    vel_new = velocities + dt * f
+    pos_new = wrap_positions(positions + dt * vel_new, origin, box)
+    return pos_new, vel_new, ok

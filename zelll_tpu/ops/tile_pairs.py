@@ -257,7 +257,8 @@ def _norm_maxj(MAXJ, S: int, nc_pad: int) -> tuple:
 
 def _make_tile_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                              term: Callable, dtype, out_dtype, split: bool,
-                             kahan: bool, distributed: bool):
+                             kahan: bool, distributed: bool,
+                             n_payload: int = 0):
     """Packed-layout variant of `_make_tile_kernel`: each j chunk is ONE
     8-row f32 block [coords (D rows), key-as-f32, zero padding] in a flat
     (nc*8, 128) array, so a tile is one aligned dynamic sublane slice
@@ -333,6 +334,11 @@ def _make_tile_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
             ]
             own_k = jnp.broadcast_to(blkT[:, D : D + 1],
                                      (CHUNK, CHUNK))  # f32 keys
+            if n_payload:
+                # payload row D+1; the own-side column broadcast is
+                # hoisted with the others (per chunk, not per tile)
+                own_w = jnp.broadcast_to(blkT[:, D + 1 : D + 2],
+                                         (CHUNK, CHUNK))
             if distributed:
                 gslot0 = (p * CB + oc) * CHUNK
                 owned = (row_i[:, 0:1] + gslot0) >= min_islot
@@ -351,7 +357,8 @@ def _make_tile_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                 gjnum = bounds_ref[oc, 3 * s + 2]
 
                 def tile(t, _, s=s, w0=w0, jlo=jlo, lo_s=lo_s, hi_s=hi_s,
-                         own_cols=own_cols, own_k=own_k, oc=oc):
+                         own_cols=own_cols, own_k=own_k, oc=oc,
+                         own_w=own_w if n_payload else None):
                     blk = jbuf[pl.ds((w0 + t) * RB, RB), :]  # (8, 128)
                     jk = blk[D : D + 1, :]
 
@@ -374,9 +381,14 @@ def _make_tile_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                                      - blk[a + ncoord : a + ncoord + 1, :])
                         dsq = dsq + d * d
                     m = m & (dsq < csq)
-                    v = jnp.where(m,
-                                  term(jnp.where(m, dsq, jnp.ones_like(dsq))),
-                                  jnp.zeros((CHUNK, CHUNK), dtype)).astype(out_dtype)
+                    safe = jnp.where(m, dsq, jnp.ones_like(dsq))
+                    if n_payload:
+                        tv = term(safe, own_w, blk[D + 1 : D + 2, :])
+                    else:
+                        tv = term(safe)
+                    v = jnp.where(
+                        m, tv, jnp.zeros((CHUNK, CHUNK), dtype)
+                    ).astype(out_dtype)
                     if kahan:
                         acc, comp = acc_s[...], comp_s[...]
                         y = v - comp
@@ -538,14 +550,18 @@ def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
     return kernel
 
 
-def _pack_blocks(planes, keys_p, cutoff_sq, n, C, dtype):
+def _pack_blocks(planes, keys_p, cutoff_sq, n, C, dtype, payload=None):
     """Pad the coordinate planes and interleave them with the f32 keys
     into 8-row blocks: (nc, RB, CHUNK) flattened to (nc*RB, CHUNK).
 
     Padding coordinates carry a spread so every pair touching a padding
     row fails the cutoff (packed keys are f32 and rounded for padding
     rows, so key windows alone cannot exclude padding-padding pairs);
-    spacing > cutoff, base 1e6 keeps the f32 ulp far below the spacing."""
+    spacing > cutoff, base 1e6 keeps the f32 ulp far below the spacing.
+
+    ``payload`` (one optional (n,) plane) lands at row D+1 — the layout
+    has exactly one free row even in the split-3D case (6 coords + key).
+    """
     D = len(planes)
     nc = C // CHUNK
     npad = C - n
@@ -562,6 +578,10 @@ def _pack_blocks(planes, keys_p, cutoff_sq, n, C, dtype):
     for a, pa in enumerate(planes_p):
         blocks = blocks.at[:, a].set(pa.reshape(nc, CHUNK))
     blocks = blocks.at[:, D].set(keys_p.astype(dtype).reshape(nc, CHUNK))
+    if payload is not None:
+        assert D + 1 < RB, "packed layout has no free row for a payload"
+        pay = jnp.concatenate([payload.astype(dtype), zpad])
+        blocks = blocks.at[:, D + 1].set(pay.reshape(nc, CHUNK))
     return blocks.reshape(nc * RB, CHUNK)
 
 
@@ -742,11 +762,14 @@ def _make_tile_forces_kernel(CB: int, S: int, MAXJ: int, D: int,
 
 
 def _packed_core(planes, sorted_keys, strides, cutoff_sq, *, CB, MAXJ, term,
-                 interpret, out_dtype, min_islot, kahan, distributed, split):
+                 interpret, out_dtype, min_islot, kahan, distributed, split,
+                 payload=None):
     """Shared packed-layout pipeline: pad planes -> window bounds -> 8-row
     blocks -> kernel. ``planes`` is a list of D sorted (n,) coordinate
     planes (hi planes then lo planes when split) — the sort's native form,
-    so no (n, D) stack/transpose round-trips through HBM."""
+    so no (n, D) stack/transpose round-trips through HBM. ``payload`` is
+    one optional sorted (n,) plane packed at block row D+1; ``term`` then
+    receives (dsq, own_payload (128,128), j_payload (1,128))."""
     n = planes[0].shape[0]
     dtype = planes[0].dtype
     D = len(planes)
@@ -765,12 +788,14 @@ def _packed_core(planes, sorted_keys, strides, cutoff_sq, *, CB, MAXJ, term,
     jlo, toff, jnum, cov_ok = chunk_bounds(keys_p, bands, MAXJ)
     bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(nc_pad, 3 * S)
 
-    jarr8 = _pack_blocks(planes, keys_p, cutoff_sq, n, C, dtype)
+    jarr8 = _pack_blocks(planes, keys_p, cutoff_sq, n, C, dtype,
+                         payload=payload)
     if dtype == jnp.float32:
         cov_ok = _key_exact_f32(keys_p, cov_ok)
 
     kernel = _make_tile_kernel_packed(
-        CB, S, MAXJ, D, term, dtype, out_dtype, split, kahan, distributed
+        CB, S, MAXJ, D, term, dtype, out_dtype, split, kahan, distributed,
+        n_payload=0 if payload is None else 1,
     )
     out = pl.pallas_call(
         kernel,
@@ -970,6 +995,7 @@ def tile_pair_reduce(
     strides: jax.Array,
     cutoff_sq,
     sorted_pos_lo: jax.Array | None = None,
+    sorted_payload: jax.Array | None = None,
     *,
     CB: int = 8,
     MAXJ: int = 4,
@@ -983,6 +1009,11 @@ def tile_pair_reduce(
 ):
     """Sum ``term(dsq)`` over all unique cutoff-filtered pairs, any box
     shape (the shape-robust sibling of `pair_lag_reduce`).
+
+    ``sorted_payload`` (one (n,) plane in sorted order, packed layout
+    only) rides block row D+1; ``term`` then receives
+    (dsq, own_payload, j_payload) — the tile sibling of
+    `pair_lag_reduce(sorted_payload=...)` (e.g. the PBC shift-sign mask).
 
     Returns (total, coverage_ok): coverage_ok is False iff some chunk's
     partner window needs more than MAXJ j-chunks — re-jit with a larger
@@ -1003,6 +1034,7 @@ def tile_pair_reduce(
     distributed = not (isinstance(min_islot, (int,)) and min_islot == 0)
     return _tile_pair_reduce_impl(
         sorted_pos, sorted_keys, strides, cutoff_sq, sorted_pos_lo,
+        sorted_payload,
         CB=CB, MAXJ=MAXJ, term=term, interpret=interpret,
         out_dtype=out_dtype, min_islot=jnp.asarray(min_islot, jnp.int32),
         kahan=kahan, distributed=distributed, OH=OH, packed=packed,
@@ -1020,6 +1052,7 @@ def _tile_pair_reduce_impl(
     strides: jax.Array,  # (dim,) grid strides (ascending)
     cutoff_sq,
     sorted_pos_lo: jax.Array | None = None,  # (n, dim) f32x2 low parts
+    sorted_payload: jax.Array | None = None,  # (n,) payload plane (packed)
     *,
     CB: int = 8,
     MAXJ: int = 4,
@@ -1033,6 +1066,8 @@ def _tile_pair_reduce_impl(
     packed: bool = False,
 ):
     n, dim = sorted_pos.shape
+    if sorted_payload is not None and not packed:
+        raise ValueError("sorted_payload needs the packed layout")
     split = sorted_pos_lo is not None
     dtype = sorted_pos.dtype
     out_dtype = out_dtype or dtype
@@ -1058,7 +1093,7 @@ def _tile_pair_reduce_impl(
             planes, sorted_keys, strides, cutoff_sq,
             CB=CB, MAXJ=MAXJ, term=term, interpret=interpret,
             out_dtype=out_dtype, min_islot=min_islot, kahan=kahan,
-            distributed=distributed, split=split,
+            distributed=distributed, split=split, payload=sorted_payload,
         )
 
     nc_pad = max(-(-n // (CHUNK * CB)) * CB, CB)
