@@ -126,7 +126,7 @@ def _twosum(a, b):
     return s, err
 
 
-@functools.partial(jax.jit, static_argnames=("B", "G"))
+@functools.partial(jax.jit, static_argnames=("B", "G", "wrap"))
 def pbc_extend(
     positions: jax.Array,  # (n, 3)
     origin,
@@ -136,6 +136,7 @@ def pbc_extend(
     B: int,
     G: int,
     positions_lo: jax.Array | None = None,
+    wrap: bool = True,
 ):
     """Append ghost images of boundary particles for orthorhombic PBC.
 
@@ -163,7 +164,7 @@ def pbc_extend(
     box = jnp.asarray(box, dtype).reshape(3)
     cutoff = jnp.asarray(cutoff, dtype)
 
-    pos = wrap_positions(positions, origin, box)
+    pos = wrap_positions(positions, origin, box) if wrap else positions
     if split:
         # wrapping must not silently break the hi+lo decomposition: lo
         # planes are only meaningful for in-box input (wrap_positions
@@ -171,9 +172,15 @@ def pbc_extend(
         pos_lo = positions_lo.astype(dtype)
 
     # per-axis image shift: +1 near the low face (image beyond the high
-    # face), -1 near the high face; box > 2*cutoff makes them exclusive
-    s = (pos < origin + cutoff).astype(jnp.int32) - (
-        pos >= origin + box - cutoff
+    # face), -1 near the high face; box > 2*cutoff makes them exclusive.
+    # Guarded to in-box coordinates per axis: with ``wrap=False`` (the
+    # sharded pool path) out-of-box rows — ring-shifted halo ghosts,
+    # partitioner pads — must never re-image back INTO the box (a
+    # resurrected duplicate of a real particle would silently double
+    # pairs); they may still take images along their other, in-box axes
+    # (corner pairs across slab boundaries need exactly those).
+    s = ((pos >= origin) & (pos < origin + cutoff)).astype(jnp.int32) - (
+        (pos >= origin + box - cutoff) & (pos < origin + box)
     ).astype(jnp.int32)
     ok = jnp.all(box > 2 * cutoff)
     near = jnp.any(s != 0, axis=1)

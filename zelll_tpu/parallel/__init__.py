@@ -9,13 +9,21 @@ from .domain import (
     sharded_lj_energy,
     sharded_md_step,
 )
+from .pbc import (
+    partition_by_slab_pbc,
+    sharded_pbc_lj_energy,
+    sharded_pbc_md_step,
+)
 
 __all__ = [
     "make_mesh",
     "make_sharded_potential",
     "partition_by_slab",
+    "partition_by_slab_pbc",
     "repartition",
     "repartition_exchange",
     "sharded_md_step",
     "sharded_lj_energy",
+    "sharded_pbc_lj_energy",
+    "sharded_pbc_md_step",
 ]
