@@ -327,9 +327,13 @@ def main():
              / (S3s**2)[:, None] + (sig / S1s)[:, None] * A1)
 
     defined = valid & (S3 > 0)
+    # tolerance is set by the TPU's f32 transcendental approximations,
+    # not the kernel: measured (round 6 diag) join == xla gather path ==
+    # 3.43e-5 max rel, while an all-numpy f32 replica of the formula is
+    # 1.6e-7 — the gap is exp/log lowering on hardware
     check("sdf_join_value",
           np.abs(v[defined] - v_ref[defined]).max()
-          / np.abs(v_ref[defined]).max(), 1e-5)
+          / np.abs(v_ref[defined]).max(), 1e-4)
     check("sdf_join_grad",
           np.abs(g[defined] - g_ref[defined]).max()
           / (np.abs(g_ref[defined]).max() + 1e-30), 1e-4)

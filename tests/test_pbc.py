@@ -267,3 +267,45 @@ def test_pbc_energy_tile_split_plane_roundtrip():
     assert bool(ok)
     # hi+lo reconstructs pts64; f64 interpret arithmetic -> tight parity
     assert abs(float(e) - e_ref) <= 1e-6 * abs(e_ref)
+
+
+def oracle2d(pts, box, cutoff):
+    pts = np.asarray(pts, np.float64)
+    box = np.asarray(box, np.float64)
+    d = pts[:, None, :] - pts[None, :, :]
+    d -= box * np.round(d / box)
+    dsq = (d * d).sum(-1)
+    np.fill_diagonal(dsq, np.inf)
+    within = dsq < cutoff * cutoff
+    t = np.where(within, 1.0 / np.where(within, dsq, 1.0), 0.0) ** 3
+    e = float(np.where(within, 4 * t * (t - 1), 0.0).sum() / 2)
+    g = np.where(within, 24 * t * (2 * t - 1)
+                 / np.where(within, dsq, 1.0), 0.0)
+    return e, int(within.sum()) // 2, (g[..., None] * d).sum(axis=1)
+
+
+def test_pbc_2d():
+    """2D periodic boxes route to the XLA per-particle path (the
+    reference is generic over N, lib.rs:132-135)."""
+    rng = np.random.default_rng(13)
+    box = np.asarray([5.0, 7.0])
+    pts = rng.uniform(0, 1, size=(200, 2)) * box
+    c = 1.0
+    e_ref, n_ref, f_ref = oracle2d(pts, box, c)
+
+    p, o, bj = jnp.asarray(pts), jnp.zeros(2), jnp.asarray(box)
+    e, ok = pbc_lj_energy(p, o, bj, c, K=32)
+    assert bool(ok)
+    assert abs(float(e) - e_ref) <= 1e-9 * abs(e_ref)
+    f, ok = pbc_lj_forces(p, o, bj, c, K=32)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(f), f_ref, rtol=1e-9, atol=1e-9)
+
+
+def test_pbc_xla_path_matches_lag_3d():
+    pts, origin, box, c = make_case(seed=14)
+    e_lag, ok1 = pbc_lj_energy(pts, origin, box, c, M=512, L=512,
+                               interpret=True)
+    e_xla, ok2 = pbc_lj_energy(pts, origin, box, c, path="xla", K=48)
+    assert bool(ok1) and bool(ok2)
+    assert abs(float(e_lag) - float(e_xla)) <= 1e-9 * abs(float(e_lag))

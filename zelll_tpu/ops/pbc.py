@@ -38,6 +38,12 @@ rows get far-apart spread coordinates so they cannot pair with anything
 (their keys are SENTINEL and sort last, but padding keys are only
 guaranteed non-pairing against *real* keys — coordinates are the
 backstop for padding-vs-padding).
+
+Dimensions: the fused kernel paths ("lag", "tile") are 3D; 2D periodic
+boxes route to the XLA per-particle path automatically (``path="xla"``,
+per-particle half-energies summed over real rows — the reference is
+generic over N, lib.rs:132-135). `parallel.pbc` scales the 3D paths
+over a device mesh.
 """
 
 from __future__ import annotations
@@ -69,13 +75,12 @@ __all__ = [
     "md_step_pbc",
 ]
 
-# the 7 non-empty subsets of {x, y, z}: which of a particle's adjacent
-# faces contribute to this image's shift vector
-_SUBSETS = (
-    (1, 0, 0), (0, 1, 0), (0, 0, 1),
-    (1, 1, 0), (1, 0, 1), (0, 1, 1),
-    (1, 1, 1),
-)
+def _subsets(dim: int):
+    """Non-empty subsets of the axes (2^dim - 1): which of a particle's
+    adjacent faces contribute to this image's shift vector."""
+    from itertools import product
+
+    return tuple(m for m in product((0, 1), repeat=dim) if any(m))
 
 
 def wrap_positions(positions, origin, box):
@@ -112,10 +117,11 @@ def suggest_pbc_capacity(
     frac_any = 1.0 - np.prod(1.0 - frac_face)
     # expected images per particle: one per adjacent-face subset
     exp_images = np.prod(1.0 + frac_face) - 1.0
+    n_img = 2 ** len(box) - 1
     B = int(np.ceil(n * min(1.0, frac_any * safety))) + 8
-    G = int(np.ceil(n * min(7.0, exp_images * safety))) + 8
+    G = int(np.ceil(n * min(float(n_img), exp_images * safety))) + 8
     round_up = lambda v: max(128, -(-v // 128) * 128)
-    return min(round_up(B), n), min(round_up(G), 7 * n)
+    return min(round_up(B), n), min(round_up(G), n_img * n)
 
 
 def _twosum(a, b):
@@ -154,14 +160,16 @@ def pbc_extend(
     f64-grade across the boundary.
     """
     n, dim = positions.shape
-    assert dim == 3, "pbc_extend is 3D-only (XLA core.pairs covers other N)"
+    assert dim in (2, 3), "pbc_extend supports dim 2 and 3"
+    subsets = _subsets(dim)
+    n_img = len(subsets)  # 3 (2D) or 7 (3D)
     assert B >= 1 and G >= 1
     B = min(B, n)  # stage 1 slices the n-row boundary sort
-    G = min(G, 7 * B)  # ghosts only come from the B boundary rows
+    G = min(G, n_img * B)  # ghosts only come from the B boundary rows
     dtype = positions.dtype
     split = positions_lo is not None
-    origin = jnp.asarray(origin, dtype).reshape(3)
-    box = jnp.asarray(box, dtype).reshape(3)
+    origin = jnp.asarray(origin, dtype).reshape(dim)
+    box = jnp.asarray(box, dtype).reshape(dim)
     cutoff = jnp.asarray(cutoff, dtype)
 
     pos = wrap_positions(positions, origin, box) if wrap else positions
@@ -188,30 +196,37 @@ def pbc_extend(
 
     # stage 1: compact boundary particles to the front (one multi-operand
     # sort; gathers at n scale are ~7 ns/element — never gather)
-    s_packed = (s[:, 0] + 1) * 16 + (s[:, 1] + 1) * 4 + (s[:, 2] + 1)
+    s_packed = jnp.zeros((n,), jnp.int32)
+    for a in range(dim):
+        s_packed = s_packed * 4 + (s[:, a] + 1)
     key1 = (~near).astype(jnp.int32)
-    ops1 = (key1, pos[:, 0], pos[:, 1], pos[:, 2], s_packed)
+    ops1 = (key1,) + tuple(pos[:, a] for a in range(dim)) + (s_packed,)
     if split:
-        ops1 = ops1 + (pos_lo[:, 0], pos_lo[:, 1], pos_lo[:, 2])
+        ops1 = ops1 + tuple(pos_lo[:, a] for a in range(dim))
     out1 = jax.lax.sort(ops1, num_keys=1, is_stable=False)
     bvalid = out1[0][:B] == 0
-    bpos = jnp.stack([out1[1][:B], out1[2][:B], out1[3][:B]], axis=-1)
-    bsp = out1[4][:B]
+    bpos = jnp.stack([out1[1 + a][:B] for a in range(dim)], axis=-1)
+    bsp = out1[1 + dim][:B]
     if split:
-        blo = jnp.stack([out1[5][:B], out1[6][:B], out1[7][:B]], axis=-1)
-    bs = jnp.stack(
-        [bsp // 16 - 1, (bsp % 16) // 4 - 1, bsp % 4 - 1], axis=-1
-    )
+        blo = jnp.stack(
+            [out1[2 + dim + a][:B] for a in range(dim)], axis=-1
+        )
+    digs = []
+    for a in range(dim - 1, -1, -1):
+        digs.append(bsp % 4 - 1)
+        bsp = bsp // 4
+    bs = jnp.stack(digs[::-1], axis=-1)
 
-    # stage 2: the <= 7 images per boundary particle, then compact to G
+    # stage 2: the <= 2^dim - 1 images per boundary particle, compact to G
+    lex = jnp.asarray([3 ** (dim - 1 - a) for a in range(dim)], jnp.int32)
     cand_pos, cand_lo, cand_sign, cand_valid = [], [], [], []
-    for m in _SUBSETS:
+    for m in subsets:
         mv = jnp.asarray(m, jnp.int32)
-        sv = bs * mv  # (B, 3) this image's shift vector
+        sv = bs * mv  # (B, dim) this image's shift vector
         v = bvalid & jnp.all((bs != 0) | (mv == 0), axis=1)
         shift = sv.astype(dtype) * box
         img, err = _twosum(bpos, shift)
-        t = sv[:, 0] * 9 + sv[:, 1] * 3 + sv[:, 2]  # lex order, != 0 when v
+        t = sv @ lex  # lexicographic order statistic, != 0 when v
         cand_pos.append(img)
         if split:
             cand_lo.append(blo + err)
@@ -223,14 +238,14 @@ def pbc_extend(
     ok &= jnp.sum(cvalid, dtype=jnp.int32) <= G
 
     key2 = (~cvalid).astype(jnp.int32)
-    ops2 = (key2, cpos[:, 0], cpos[:, 1], cpos[:, 2], csign)
+    ops2 = (key2,) + tuple(cpos[:, a] for a in range(dim)) + (csign,)
     if split:
         clo = jnp.concatenate(cand_lo)
-        ops2 = ops2 + (clo[:, 0], clo[:, 1], clo[:, 2])
+        ops2 = ops2 + tuple(clo[:, a] for a in range(dim))
     out2 = jax.lax.sort(ops2, num_keys=1, is_stable=False)
     gvalid = out2[0][:G] == 0
-    gpos = jnp.stack([out2[1][:G], out2[2][:G], out2[3][:G]], axis=-1)
-    gsign = jnp.where(gvalid, out2[4][:G], 0)
+    gpos = jnp.stack([out2[1 + a][:G] for a in range(dim)], axis=-1)
+    gsign = jnp.where(gvalid, out2[1 + dim][:G], 0)
 
     # invalid ghost rows carry stale (real-looking) coordinates; replace
     # with far-apart spread values so no padding row can pair with
@@ -247,8 +262,8 @@ def pbc_extend(
     base = jnp.asarray(4e12, dtype)
     gx = base + jnp.mod(k, side) * s
     gy = base + (jnp.floor_divide(k, side) + 1) * s
-    gz = jnp.full((G,), base, dtype)
-    spread = jnp.stack([gx, gy, gz], axis=-1)
+    rest = [jnp.full((G,), base, dtype)] * (dim - 2)
+    spread = jnp.stack([gx, gy, *rest], axis=-1)
     gpos = jnp.where(gvalid[:, None], gpos, spread)
     ok &= 4 * cutoff <= 2.0**20
 
@@ -258,7 +273,9 @@ def pbc_extend(
     )
     valid = jnp.concatenate([jnp.ones((n,), jnp.bool_), gvalid])
     if split:
-        glo = jnp.stack([out2[5][:G], out2[6][:G], out2[7][:G]], axis=-1)
+        glo = jnp.stack(
+            [out2[2 + dim + a][:G] for a in range(dim)], axis=-1
+        )
         glo = jnp.where(gvalid[:, None], glo, jnp.zeros_like(glo))
         ext_lo = jnp.concatenate([pos_lo, glo])
     else:
@@ -297,6 +314,8 @@ def pbc_pair_sum(
     path: str = "lag",
     CB: int = 8,
     MAXJ: int | tuple = 8,
+    K: int = 32,
+    chunk: int = 64,
     interpret: bool = False,
     out_dtype=None,
     positions_lo: jax.Array | None = None,
@@ -305,13 +324,18 @@ def pbc_pair_sum(
     orthorhombic PBC. Returns (total, ok).
 
     ``ok`` folds the ghost capacity/regime flags with the kernel coverage
-    flag; False means grow B/G/L (or MAXJ) and rerun (never silently
+    flag; False means grow B/G/L (or MAXJ/K) and rerun (never silently
     dropped pairs). B and G default to `suggest_pbc_capacity` (host-side;
     pass them explicitly inside jit). ``path="lag"`` suits thin boxes,
     ``"tile"`` cubic/wide ones (the shift-sign plane rides the packed
-    blocks' free row).
+    blocks' free row), ``"xla"`` any platform AND dim 2 (per-particle
+    half-energies summed over real rows — no mask plane needed; the
+    reference is generic over N, lib.rs:132-135). 2D inputs route to
+    "xla" automatically.
     """
-    n = positions.shape[0]
+    n, dim = positions.shape
+    if dim != 3:
+        path = "xla"
     if B is None or G is None:
         Bd, Gd = suggest_pbc_capacity(n, box, cutoff)
         B = Bd if B is None else B
@@ -319,6 +343,18 @@ def pbc_pair_sum(
     ext, ext_lo, w, valid, ok = pbc_extend(
         positions, origin, box, cutoff, B=B, G=G, positions_lo=positions_lo
     )
+    csq = jnp.asarray(cutoff, positions.dtype) ** 2
+    if path == "xla":
+        from ..core.grid import build
+        from ..core.pairs import pair_energy_per_particle
+
+        grid = build(ext, cutoff, valid=valid)
+        e_pp = pair_energy_per_particle(
+            grid, term, K=K, chunk=chunk, cutoff_sq=csq
+        )
+        ok &= grid.bins.max_cell_count() <= K
+        total = jnp.sum(e_pp[:n], dtype=out_dtype)
+        return total, ok
     cols = [ext]
     if ext_lo is not None:
         cols.append(ext_lo)
@@ -329,7 +365,6 @@ def pbc_pair_sum(
     )
     sp = sorted_cols[:, :3]
     slo = sorted_cols[:, 3:6] if ext_lo is not None else None
-    csq = jnp.asarray(cutoff, positions.dtype) ** 2
     if path == "tile":
         from .tile_pairs import tile_pair_reduce
 
@@ -349,7 +384,7 @@ def pbc_pair_sum(
         )
         ok &= lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
     else:
-        raise ValueError(f"unknown path {path!r} (lag | tile)")
+        raise ValueError(f"unknown path {path!r} (lag | tile | xla)")
     return total, ok
 
 
@@ -382,6 +417,8 @@ def pbc_lj_forces(
     path: str = "lag",
     CB: int = 8,
     MAXJ: int | tuple = 8,
+    K: int = 32,
+    chunk: int = 64,
     interpret: bool = False,
     positions_lo: jax.Array | None = None,
 ):
@@ -395,7 +432,9 @@ def pbc_lj_forces(
     capacities — ghost reactions were never computed to begin with).
     Returns ((n, 3) forces, ok).
     """
-    n = positions.shape[0]
+    n, dim = positions.shape
+    if dim != 3:
+        path = "xla"
     if B is None or G is None:
         Bd, Gd = suggest_pbc_capacity(n, box, cutoff)
         B = Bd if B is None else B
@@ -403,6 +442,18 @@ def pbc_lj_forces(
     ext, ext_lo, _w, valid, ok = pbc_extend(
         positions, origin, box, cutoff, B=B, G=G, positions_lo=positions_lo
     )
+    csq = jnp.asarray(cutoff, positions.dtype) ** 2
+    if path == "xla":
+        from ..core.grid import build
+        from ..core.pairs import pair_forces
+        from .lj import lj_force_factor
+
+        grid = build(ext, cutoff, valid=valid)
+        f = pair_forces(
+            grid, gfn or lj_force_factor, K=K, chunk=chunk, cutoff_sq=csq
+        )
+        ok &= grid.bins.max_cell_count() <= K
+        return f[:n], ok
     cols = [ext] if ext_lo is None else [ext, ext_lo]
     bins, sorted_cols = bin_and_sort(
         jnp.concatenate(cols, axis=1) if len(cols) > 1 else ext,
@@ -410,7 +461,6 @@ def pbc_lj_forces(
     )
     sp = sorted_cols[:, :3]
     slo = sorted_cols[:, 3:6] if ext_lo is not None else None
-    csq = jnp.asarray(cutoff, positions.dtype) ** 2
     if path == "tile":
         from .tile_pairs import tile_pair_forces
 
@@ -426,7 +476,7 @@ def pbc_lj_forces(
         )
         ok &= lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
     else:
-        raise ValueError(f"unknown path {path!r} (lag | tile)")
+        raise ValueError(f"unknown path {path!r} (lag | tile | xla)")
     # un-sort with a second multi-operand sort (never an n-sized gather);
     # ghosts carry perm >= n and land beyond the [:n] slice
     _, fx, fy, fz = jax.lax.sort(
