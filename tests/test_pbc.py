@@ -309,3 +309,62 @@ def test_pbc_xla_path_matches_lag_3d():
     e_xla, ok2 = pbc_lj_energy(pts, origin, box, c, path="xla", K=48)
     assert bool(ok1) and bool(ok2)
     assert abs(float(e_lag) - float(e_xla)) <= 1e-9 * abs(float(e_lag))
+
+
+@pytest.mark.parametrize("steps,skin,vscale,want_rebuild", [
+    (12, 0.4, 0.05, False),   # inside the skin window: zero rebuilds
+    (40, 0.08, 0.2, True),    # drift exceeds skin/2: rebuild branch runs
+])
+def test_md_run_skin_pbc_matches_stepwise(steps, skin, vscale, want_rebuild):
+    """The Verlet-skin PBC loop reproduces the rebuild-every-step PBC
+    trajectory (compared as sorted position sets: the skin loop returns
+    build-sorted order) and rebuilds exactly when drift demands it."""
+    from zelll_tpu.models.lj_md import MDState, md_run_skin_pbc
+    from zelll_tpu.ops.pbc import md_step_pbc, suggest_pbc_capacity
+
+    rng = np.random.default_rng(15)
+    spacing = 1.3
+    grid = np.stack(np.meshgrid(
+        np.arange(3), np.arange(4), np.arange(5), indexing="ij"
+    ), -1).reshape(-1, 3).astype(np.float64)
+    pts = grid * spacing + 0.5 * spacing
+    pts += rng.uniform(-0.05, 0.05, size=pts.shape)
+    box = np.asarray([3 * spacing, 4 * spacing, 5 * spacing])
+    c, dt = 1.0, 2e-3
+    vel0 = rng.normal(0, vscale, size=pts.shape)
+
+    p1, v1 = jnp.asarray(pts), jnp.asarray(vel0)
+    o, bj = jnp.zeros(3), jnp.asarray(box)
+    for _ in range(steps):
+        p1, v1, ok = md_step_pbc(p1, v1, o, bj, c, dt, M=512, L=512,
+                                 interpret=True)
+        assert bool(ok)
+
+    B, G = suggest_pbc_capacity(len(pts), box, c + skin)
+    st, ok, energy, nrb = md_run_skin_pbc(
+        MDState(positions=jnp.asarray(pts), velocities=jnp.asarray(vel0)),
+        o, bj, c, dt, steps=steps, B=B, G=G, skin=skin, M=512, L=512,
+        interpret=True,
+    )
+    assert bool(ok)
+    assert int(nrb) < steps  # the skin window actually skipped rebuilds
+    if want_rebuild:
+        assert int(nrb) >= 1  # the in-scan rebuild branch really ran
+    else:
+        assert int(nrb) == 0
+    ref = np.asarray(p1)
+    # stepwise positions may sit just outside the box (wrap happens on
+    # the NEXT step's extend); normalize both sides
+    ref = np.mod(ref, box)
+    got = np.mod(np.asarray(st.positions), box)
+    np.testing.assert_allclose(
+        got[np.lexsort(got.T)], ref[np.lexsort(ref.T)],
+        rtol=1e-8, atol=1e-8,
+    )
+    # energy finite and consistent with a direct evaluation
+    from zelll_tpu.ops.pbc import pbc_lj_energy
+
+    e2, ok2 = pbc_lj_energy(st.positions, o, bj, c, M=512, L=512,
+                            interpret=True)
+    assert bool(ok2)
+    assert abs(float(energy) - float(e2)) <= 1e-9 * max(1.0, abs(float(e2)))

@@ -36,6 +36,7 @@ __all__ = [
     "md_run",
     "md_step_split",
     "md_run_skin",
+    "md_run_skin_pbc",
     "md_run_skin_tile",
     "md_step_cubic",
     "md_step_cubic_tile",
@@ -478,3 +479,141 @@ def md_step_cubic_tile(
         ),
         ok,
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("steps", "B", "G", "M", "L", "interpret"),
+)
+def md_run_skin_pbc(
+    state: MDState,
+    origin,
+    box,
+    cutoff,
+    dt,
+    *,
+    steps: int,
+    B: int,
+    G: int,
+    skin: float = 0.5,
+    M: int = 4096,
+    L: int = 256,
+    interpret: bool = False,
+):
+    """Verlet-skin MD under orthorhombic PBC, fully on device.
+
+    `md_run_skin`'s periodic sibling: the grid AND the ghost images are
+    built with margin ``cutoff + skin`` and reused while no real particle
+    drifted more than ``skin/2``; steps between rebuilds are sort-free.
+    Ghost rows track their parents exactly (one G-sized gather + scatter
+    per step — G ~ the boundary population, far below the n-gather the
+    no-gather rule forbids): ``ghost = parent + (image - parent)_build``,
+    so the skin coverage argument of `md_run_skin` applies verbatim to
+    cross-boundary pairs (any pair within cutoff now was within
+    cutoff+skin at build, when its image existed by the margin rule).
+
+    Velocities of ghost rows are pinned to zero so integration leaves
+    them to the tracking update. Rebuilds extract the real rows with one
+    n-gather (amortized over the skin window), wrap, and re-extend.
+
+    Returns (state (positions in build-sorted real order), all_covered,
+    energy, n_rebuilds).
+    """
+    from ..core.binning import compute_keys
+    from ..core.geometry import GridInfo, aabb_from_positions
+    from ..ops.pbc import pbc_extend, pbc_pair_sum, wrap_positions
+
+    pos0, vel0 = state.positions, state.velocities
+    n = pos0.shape[0]
+    dtp = pos0.dtype
+    org = jnp.asarray(origin, dtp).reshape(3)
+    bx = jnp.asarray(box, dtp).reshape(3)
+    edge = jnp.asarray(cutoff, dtp) + jnp.asarray(skin, dtp)
+    csq = jnp.asarray(cutoff, dtp) ** 2
+    half_skin_sq = (jnp.asarray(skin, dtp) / 2) ** 2
+
+    def do_build(p, v):
+        p = wrap_positions(p, org, bx)
+        ext, _, _w, valid, okg, gparent = pbc_extend(
+            p, org, bx, edge, B=B, G=G, return_parents=True
+        )
+        nG = ext.shape[0]
+        vin = jnp.concatenate([v, jnp.zeros((nG - n, 3), dtp)])
+        isg = jnp.concatenate([
+            jnp.zeros((n,), jnp.int32), jnp.ones((nG - n,), jnp.int32)
+        ])
+        par_in = jnp.concatenate(
+            [jnp.arange(n, dtype=jnp.int32), gparent]
+        )
+        info = GridInfo.create(
+            aabb_from_positions(ext, valid), edge, auto_order=True
+        )
+        keys = compute_keys(ext, info, valid)
+        iota = jnp.arange(nG, dtype=jnp.int32)
+        out = jax.lax.sort(
+            (keys, ext[:, 0], ext[:, 1], ext[:, 2],
+             vin[:, 0], vin[:, 1], vin[:, 2], isg, par_in, iota),
+            num_keys=1, is_stable=True,
+        )
+        skeys = out[0]
+        spos = jnp.stack(out[1:4], axis=-1)
+        svel = jnp.stack(out[4:7], axis=-1)
+        sisg, spar, sinput = out[7], out[8], out[9]
+        slot = jnp.arange(nG, dtype=jnp.int32)
+        # inverse permutation and real/ghost slot lists — sort-based
+        _, slot_by_input = jax.lax.sort((sinput, slot), num_keys=1)
+        _, slots_by_flag = jax.lax.sort(
+            (sisg, slot), num_keys=1, is_stable=True
+        )
+        real_slots = slots_by_flag[:n]
+        ghost_slots = slots_by_flag[n:]
+        gpar_slot = slot_by_input[spar[ghost_slots]]  # (G,) gathers
+        gshift = spos[ghost_slots] - spos[gpar_slot]
+        real_mask = (sisg == 0)[:, None]
+        ok = okg & lag_coverage_ok(skeys, info.strides, L)
+        return (spos, svel, spos, skeys, info.strides.astype(jnp.int32),
+                real_mask, real_slots, ghost_slots, gpar_slot, gshift, ok)
+
+    built = do_build(pos0, vel0)
+
+    def body(carry, _):
+        (spos, svel, ref, keys, strides, real_mask, real_slots,
+         ghost_slots, gpar_slot, gshift, okacc, nrb) = carry
+        d = jnp.where(real_mask, spos - ref, 0.0)
+        need = jnp.max(jnp.sum(d * d, axis=-1)) > half_skin_sq
+
+        def rebuilt(_):
+            R = spos[real_slots]
+            V = svel[real_slots]
+            return do_build(R, V) + (nrb + 1,)
+
+        def reuse(_):
+            return (spos, svel, ref, keys, strides, real_mask, real_slots,
+                    ghost_slots, gpar_slot, gshift,
+                    jnp.asarray(True), nrb)
+
+        (spos2, svel2, ref2, keys2, strides2, rm2, rs2, gs2, gp2, gsh2,
+         ok, nrb2) = jax.lax.cond(need, rebuilt, reuse, None)
+
+        f = pair_lag_forces(
+            spos2, keys2, strides2, csq,
+            M=M, L=L, gfn=lj_force_factor, interpret=interpret,
+        )
+        svel3 = svel2 + dt * jnp.where(rm2, f, 0.0)
+        spos3 = spos2 + dt * svel3  # ghost velocities are pinned to zero
+        spos3 = spos3.at[gs2].set(spos3[gp2] + gsh2)
+        return (spos3, svel3, ref2, keys2, strides2, rm2, rs2, gs2, gp2,
+                gsh2, okacc & ok, nrb2), None
+
+    init = built + (jnp.asarray(0, jnp.int32),)
+    (spos, svel, *_rest, ok, nrb), _ = jax.lax.scan(
+        body, init, None, length=steps
+    )
+    real_slots = _rest[4]
+    R = wrap_positions(spos[real_slots], org, bx)
+    V = svel[real_slots]
+    energy, oke = pbc_pair_sum(
+        R, org, bx, cutoff, term=lj_term, B=B, G=G, M=M, L=L,
+        interpret=interpret,
+    )
+    return MDState(positions=R, velocities=V), ok & oke, energy, nrb

@@ -132,9 +132,11 @@ def _twosum(a, b):
     return s, err
 
 
-@functools.partial(jax.jit, static_argnames=("B", "G", "wrap"))
+@functools.partial(
+    jax.jit, static_argnames=("B", "G", "wrap", "return_parents")
+)
 def pbc_extend(
-    positions: jax.Array,  # (n, 3)
+    positions: jax.Array,  # (n, dim)
     origin,
     box,
     cutoff,
@@ -143,6 +145,7 @@ def pbc_extend(
     G: int,
     positions_lo: jax.Array | None = None,
     wrap: bool = True,
+    return_parents: bool = False,
 ):
     """Append ghost images of boundary particles for orthorhombic PBC.
 
@@ -158,6 +161,10 @@ def pbc_extend(
     propagates split precision: ghost low parts absorb the exact two-sum
     residual of ``hi + shift * box``, so split pair separations stay
     f64-grade across the boundary.
+
+    ``return_parents=True`` appends a (G,) int32 array of each ghost's
+    parent INPUT index (garbage for invalid rows) — the Verlet-skin PBC
+    loop uses it to track ghost positions between rebuilds.
     """
     n, dim = positions.shape
     assert dim in (2, 3), "pbc_extend supports dim 2 and 3"
@@ -200,16 +207,19 @@ def pbc_extend(
     for a in range(dim):
         s_packed = s_packed * 4 + (s[:, a] + 1)
     key1 = (~near).astype(jnp.int32)
-    ops1 = (key1,) + tuple(pos[:, a] for a in range(dim)) + (s_packed,)
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    ops1 = (key1,) + tuple(pos[:, a] for a in range(dim)) + (s_packed,
+                                                             iota_n)
     if split:
         ops1 = ops1 + tuple(pos_lo[:, a] for a in range(dim))
     out1 = jax.lax.sort(ops1, num_keys=1, is_stable=False)
     bvalid = out1[0][:B] == 0
     bpos = jnp.stack([out1[1 + a][:B] for a in range(dim)], axis=-1)
     bsp = out1[1 + dim][:B]
+    bpar = out1[2 + dim][:B]
     if split:
         blo = jnp.stack(
-            [out1[2 + dim + a][:B] for a in range(dim)], axis=-1
+            [out1[3 + dim + a][:B] for a in range(dim)], axis=-1
         )
     digs = []
     for a in range(dim - 1, -1, -1):
@@ -235,10 +245,11 @@ def pbc_extend(
     cpos = jnp.concatenate(cand_pos)
     csign = jnp.concatenate(cand_sign)
     cvalid = jnp.concatenate(cand_valid)
+    cpar = jnp.tile(bpar, len(subsets))
     ok &= jnp.sum(cvalid, dtype=jnp.int32) <= G
 
     key2 = (~cvalid).astype(jnp.int32)
-    ops2 = (key2,) + tuple(cpos[:, a] for a in range(dim)) + (csign,)
+    ops2 = (key2,) + tuple(cpos[:, a] for a in range(dim)) + (csign, cpar)
     if split:
         clo = jnp.concatenate(cand_lo)
         ops2 = ops2 + tuple(clo[:, a] for a in range(dim))
@@ -246,6 +257,7 @@ def pbc_extend(
     gvalid = out2[0][:G] == 0
     gpos = jnp.stack([out2[1 + a][:G] for a in range(dim)], axis=-1)
     gsign = jnp.where(gvalid, out2[1 + dim][:G], 0)
+    gparent = out2[2 + dim][:G]
 
     # invalid ghost rows carry stale (real-looking) coordinates; replace
     # with far-apart spread values so no padding row can pair with
@@ -274,12 +286,14 @@ def pbc_extend(
     valid = jnp.concatenate([jnp.ones((n,), jnp.bool_), gvalid])
     if split:
         glo = jnp.stack(
-            [out2[2 + dim + a][:G] for a in range(dim)], axis=-1
+            [out2[3 + dim + a][:G] for a in range(dim)], axis=-1
         )
         glo = jnp.where(gvalid[:, None], glo, jnp.zeros_like(glo))
         ext_lo = jnp.concatenate([pos_lo, glo])
     else:
         ext_lo = None
+    if return_parents:
+        return ext_pos, ext_lo, w, valid, ok, gparent
     return ext_pos, ext_lo, w, valid, ok
 
 
