@@ -162,3 +162,74 @@ def test_sharded_pbc_capacity_flag():
     )
     _, ok = efn(pos)
     assert not bool(ok)
+
+
+def test_repartition_pbc_restores_slab_invariant():
+    """Scrambled (drifted) blocks are restored to the static-grid global
+    sort; the result matches a fresh host partition as a set, and the
+    sharded PBC energy on it is flag-clean and exact."""
+    from zelll_tpu.parallel.pbc import repartition_pbc
+
+    pts, origin, box, c = make_case(n=512, seed=6)
+    e_ref = oracle_energy(pts, box, c)
+    mesh = make_mesh(ND)
+    parts, n_local = partition_by_slab_pbc(pts, origin, box, c, ND)
+    shard = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("z", None)
+    )
+    # scramble: roll across block boundaries + unwrap some rows by a box
+    scr = np.roll(np.asarray(parts), 3 * n_local + 7, axis=0)
+    scr[:50] += np.asarray(box)  # out-of-box drift the wrap must fix
+    pos = jax.device_put(jnp.asarray(scr), shard)
+    vel = jax.device_put(jnp.zeros_like(pos), shard)
+
+    rp = repartition_pbc(mesh, origin=origin, box=box, cutoff=c)
+    pos2, vel2 = rp(pos, vel)
+
+    got = np.asarray(pos2)
+    want = np.asarray(parts)
+    np.testing.assert_allclose(
+        got[np.lexsort(got.T)], want[np.lexsort(want.T)], atol=1e-9
+    )
+
+    efn = sharded_pbc_lj_energy(
+        mesh, origin=origin, box=box, cutoff=c, H=n_local, M=512, L=512,
+        interpret=True,
+    )
+    e, ok = efn(pos2)
+    assert bool(ok)
+    assert abs(float(e) - e_ref) <= 1e-9 * abs(e_ref)
+
+
+def test_repartition_pbc_preserves_pads():
+    """With n not divisible by the mesh, partitioner pads must survive a
+    repartition un-wrapped (wrapping would resurrect them in the box)."""
+    from zelll_tpu.parallel.pbc import repartition_pbc
+
+    pts, origin, box, c = make_case(n=500, seed=7)  # 500 % 8 != 0
+    e_ref = oracle_energy(pts, box, c)
+    mesh = make_mesh(ND)
+    parts, n_local = partition_by_slab_pbc(pts, origin, box, c, ND)
+    shard = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("z", None)
+    )
+    scr = np.asarray(parts).copy()
+    scr[:40] -= np.asarray(box)  # drift below the box
+    pos = jax.device_put(jnp.asarray(scr), shard)
+    vel = jax.device_put(jnp.zeros_like(pos), shard)
+
+    rp = repartition_pbc(mesh, origin=origin, box=box, cutoff=c,
+                         n_valid=len(pts))
+    pos2, _ = rp(pos, vel)
+    out = np.asarray(pos2)
+    # pads (rows beyond the box) survive, count preserved
+    out_of_box = np.any((out < 0) | (out >= np.asarray(box)), axis=1)
+    assert out_of_box.sum() == len(parts) - len(pts)
+
+    efn = sharded_pbc_lj_energy(
+        mesh, origin=origin, box=box, cutoff=c, H=n_local, M=512, L=512,
+        interpret=True,
+    )
+    e, ok = efn(pos2)
+    assert bool(ok)
+    assert abs(float(e) - e_ref) <= 1e-9 * abs(e_ref)

@@ -11,6 +11,7 @@ from .domain import (
 )
 from .pbc import (
     partition_by_slab_pbc,
+    repartition_pbc,
     sharded_pbc_lj_energy,
     sharded_pbc_md_step,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "make_sharded_potential",
     "partition_by_slab",
     "partition_by_slab_pbc",
+    "repartition_pbc",
     "repartition",
     "repartition_exchange",
     "sharded_md_step",

@@ -67,6 +67,7 @@ from .domain import AXIS, _all_ok, _halo_exchange, _h_eff, halo_coverage_ok
 
 __all__ = [
     "partition_by_slab_pbc",
+    "repartition_pbc",
     "sharded_pbc_lj_energy",
     "sharded_pbc_md_step",
 ]
@@ -330,6 +331,73 @@ def sharded_pbc_md_step(
             mesh=mesh,
             in_specs=(P(AXIS, None), P(AXIS, None)),
             out_specs=(P(AXIS, None), P(AXIS, None), P()),
+            check_vma=False,
+        )
+    )
+
+
+def repartition_pbc(
+    mesh: Mesh, *, origin, box, cutoff: float, n_valid: int | None = None
+):
+    """Jitted global repartition for a periodic box: wrap, re-key with
+    the STATIC extended grid (the same one `partition_by_slab_pbc` and
+    the sharded PBC steps use), globally sort, slice equal blocks.
+
+    The open-boundary `repartition` keys on the data AABB, which drifts
+    under PBC (wrapped coordinates span the box, pads sit beyond it) —
+    here the grid is a parameter, so no pmin/pmax collective is needed
+    and the result matches a fresh `partition_by_slab_pbc` up to
+    wrap rounding. ``n_valid`` (the true particle count) guards the
+    partitioner pads: pads are the globally LAST rows by construction
+    (maximal keys, zero velocity — every sharded step re-sorts them to
+    the tail of the last block) and a full mod-wrap would resurrect
+    them inside the box as fake particles, so only the first ``n_valid``
+    gathered rows are wrapped. Default None wraps everything (no pads:
+    n divisible by the device count). all_gather-based (O(n)
+    replicated, like `repartition`).
+
+    Returns step(positions, velocities) -> (positions, velocities) with
+    slab shardings.
+    """
+
+    def local(pos, vel):
+        dt = pos.dtype
+        org = jnp.asarray(origin, dt).reshape(3)
+        bx = jnp.asarray(box, dt).reshape(3)
+        info = _static_info(org, bx, cutoff, dt)
+        allp = jax.lax.all_gather(pos, AXIS, tiled=True)
+        allv = jax.lax.all_gather(vel, AXIS, tiled=True)
+        n_tot = allp.shape[0]
+        wrapped = wrap_positions(allp, org, bx)
+        if n_valid is not None and n_valid < n_tot:
+            real = jnp.arange(n_tot) < n_valid
+            allp = jnp.where(real[:, None], wrapped, allp)
+        else:
+            allp = wrapped
+        from ..core.binning import compute_keys
+
+        keys = compute_keys(allp, info)
+        cols = tuple(allp[:, a] for a in range(3)) + tuple(
+            allv[:, a] for a in range(3)
+        )
+        out = jax.lax.sort((keys, *cols), num_keys=1, is_stable=True)
+        sp = jnp.stack(out[1:4], axis=-1)
+        sv = jnp.stack(out[4:7], axis=-1)
+        idx = jax.lax.axis_index(AXIS)
+        n_loc = pos.shape[0]
+        start = (idx * n_loc).astype(jnp.int32)
+        zero = jnp.zeros((), jnp.int32)
+        return (
+            jax.lax.dynamic_slice(sp, (start, zero), (n_loc, 3)),
+            jax.lax.dynamic_slice(sv, (start, zero), (n_loc, 3)),
+        )
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS, None)),
+            out_specs=(P(AXIS, None), P(AXIS, None)),
             check_vma=False,
         )
     )
