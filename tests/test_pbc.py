@@ -368,3 +368,60 @@ def test_md_run_skin_pbc_matches_stepwise(steps, skin, vscale, want_rebuild):
                             interpret=True)
     assert bool(ok2)
     assert abs(float(energy) - float(e2)) <= 1e-9 * max(1.0, abs(float(e2)))
+
+
+@pytest.mark.parametrize("steps,skin,vscale,want_rebuild", [
+    (10, 0.4, 0.05, False),   # inside the skin window: zero rebuilds
+    (40, 0.08, 0.2, True),    # drift exceeds skin/2: rebuild branch runs
+])
+def test_md_run_skin_tile_pbc_matches_stepwise(steps, skin, vscale,
+                                               want_rebuild):
+    """The tile-kernel Verlet-skin PBC loop (cubic/wide boxes) reproduces
+    the rebuild-every-step tile-path PBC trajectory and rebuilds exactly
+    when drift demands it."""
+    from zelll_tpu.models.lj_md import MDState, md_run_skin_tile_pbc
+    from zelll_tpu.ops.pbc import md_step_pbc, suggest_pbc_capacity
+
+    rng = np.random.default_rng(21)
+    spacing = 1.3
+    grid = np.stack(np.meshgrid(
+        np.arange(4), np.arange(4), np.arange(4), indexing="ij"
+    ), -1).reshape(-1, 3).astype(np.float64)
+    pts = grid * spacing + 0.5 * spacing
+    pts += rng.uniform(-0.05, 0.05, size=pts.shape)
+    box = np.asarray([4 * spacing, 4 * spacing, 4 * spacing])
+    c, dt = 1.0, 2e-3
+    vel0 = rng.normal(0, vscale, size=pts.shape)
+
+    p1, v1 = jnp.asarray(pts), jnp.asarray(vel0)
+    o, bj = jnp.zeros(3), jnp.asarray(box)
+    for _ in range(steps):
+        p1, v1, ok = md_step_pbc(p1, v1, o, bj, c, dt, path="tile",
+                                 MAXJ=16, interpret=True)
+        assert bool(ok)
+
+    B, G = suggest_pbc_capacity(len(pts), box, c + skin)
+    st, ok, energy, nrb = md_run_skin_tile_pbc(
+        MDState(positions=jnp.asarray(pts), velocities=jnp.asarray(vel0)),
+        o, bj, c, dt, steps=steps, B=B, G=G, skin=skin, MAXJ=16,
+        interpret=True,
+    )
+    assert bool(ok)
+    assert int(nrb) < steps  # the skin window actually skipped rebuilds
+    if want_rebuild:
+        assert int(nrb) >= 1  # the in-scan rebuild branch really ran
+    else:
+        assert int(nrb) == 0
+    ref = np.mod(np.asarray(p1), box)
+    got = np.mod(np.asarray(st.positions), box)
+    np.testing.assert_allclose(
+        got[np.lexsort(got.T)], ref[np.lexsort(ref.T)],
+        rtol=1e-8, atol=1e-8,
+    )
+    # energy consistent with a direct tile-path evaluation
+    from zelll_tpu.ops.pbc import pbc_lj_energy
+
+    e2, ok2 = pbc_lj_energy(st.positions, o, bj, c, path="tile", MAXJ=16,
+                            interpret=True)
+    assert bool(ok2)
+    assert abs(float(energy) - float(e2)) <= 1e-9 * max(1.0, abs(float(e2)))

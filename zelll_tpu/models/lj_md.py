@@ -38,6 +38,7 @@ __all__ = [
     "md_run_skin",
     "md_run_skin_pbc",
     "md_run_skin_tile",
+    "md_run_skin_tile_pbc",
     "md_step_cubic",
     "md_step_cubic_tile",
 ]
@@ -615,5 +616,173 @@ def md_run_skin_pbc(
     energy, oke = pbc_pair_sum(
         R, org, bx, cutoff, term=lj_term, B=B, G=G, M=M, L=L,
         interpret=interpret,
+    )
+    return MDState(positions=R, velocities=V), ok & oke, energy, nrb
+
+
+@partial(
+    jax.jit,
+    static_argnames=("steps", "B", "G", "CB", "MAXJ", "MAXJ_E",
+                     "interpret", "fast"),
+)
+def md_run_skin_tile_pbc(
+    state: MDState,
+    origin,
+    box,
+    cutoff,
+    dt,
+    *,
+    steps: int,
+    B: int,
+    G: int,
+    skin: float = 0.5,
+    CB: int = 8,
+    MAXJ: int | tuple = 8,
+    MAXJ_E: int | None = None,
+    interpret: bool = False,
+    fast: bool = False,
+):
+    """Verlet-skin MD under orthorhombic PBC on the segment-tile kernel —
+    `md_run_skin_pbc`'s cubic/wide-box sibling (the lag kernel's key
+    window degenerates on cubic grids; the tile kernel's per-chunk
+    searchsorted windows do not).
+
+    Identical contract: grid AND ghost images are built with margin
+    ``cutoff + skin`` and reused while no real particle drifted more than
+    ``skin/2`` (any pair within cutoff now was within cutoff+skin at
+    build, when its image existed by the margin rule). Steps between
+    rebuilds are sort-free; state is carried as per-coordinate planes so
+    steady steps feed the packed forces kernel directly (no (n, 3)
+    stack/transpose). Ghost rows track parents exactly — one G-sized
+    gather + scatter per plane per step — with velocities pinned to zero.
+
+    The tile forces kernel accumulates i-side only, so ghost forces are
+    simply never applied (no reaction bookkeeping); per-step tile window
+    coverage (``MAXJ``, 9 full bands — tuple accepted) folds into the
+    returned flag. ``MAXJ_E`` sizes the final one-shot energy's 5 half
+    bands (defaults to max(MAXJ)).
+
+    Returns (state (real rows, build-sorted order, wrapped), all_covered,
+    energy, n_rebuilds).
+    """
+    from ..core.binning import compute_keys
+    from ..core.geometry import GridInfo, aabb_from_positions
+    from ..ops.lj import lj_force_factor_fast
+    from ..ops.pbc import pbc_extend, pbc_pair_sum, wrap_positions
+    from ..ops.tile_pairs import _packed_forces_core
+
+    gfn = lj_force_factor_fast if fast else lj_force_factor
+    pos0, vel0 = state.positions, state.velocities
+    n, dim = pos0.shape
+    assert dim == 3, "md_run_skin_tile_pbc is 3D (2D PBC routes to XLA)"
+    dtp = pos0.dtype
+    org = jnp.asarray(origin, dtp).reshape(3)
+    bx = jnp.asarray(box, dtp).reshape(3)
+    edge = jnp.asarray(cutoff, dtp) + jnp.asarray(skin, dtp)
+    csq = jnp.asarray(cutoff, dtp) ** 2
+    half_skin_sq = (jnp.asarray(skin, dtp) / 2) ** 2
+
+    def do_build(p_pl, v_pl):
+        p = wrap_positions(jnp.stack(p_pl, axis=-1), org, bx)
+        ext, _, _w, valid, okg, gparent = pbc_extend(
+            p, org, bx, edge, B=B, G=G, return_parents=True
+        )
+        nG = ext.shape[0]
+        vin = [
+            jnp.concatenate([v_pl[a], jnp.zeros((nG - n,), dtp)])
+            for a in range(3)
+        ]
+        isg = jnp.concatenate([
+            jnp.zeros((n,), jnp.int32), jnp.ones((nG - n,), jnp.int32)
+        ])
+        par_in = jnp.concatenate(
+            [jnp.arange(n, dtype=jnp.int32), gparent]
+        )
+        info = GridInfo.create(
+            aabb_from_positions(ext, valid), edge, auto_order=True
+        )
+        keys = compute_keys(ext, info, valid)
+        iota = jnp.arange(nG, dtype=jnp.int32)
+        out = jax.lax.sort(
+            (keys, ext[:, 0], ext[:, 1], ext[:, 2],
+             vin[0], vin[1], vin[2], isg, par_in, iota),
+            num_keys=1, is_stable=True,
+        )
+        skeys = out[0]
+        spos = tuple(out[1:4])
+        svel = tuple(out[4:7])
+        sisg, spar, sinput = out[7], out[8], out[9]
+        slot = jnp.arange(nG, dtype=jnp.int32)
+        _, slot_by_input = jax.lax.sort((sinput, slot), num_keys=1)
+        _, slots_by_flag = jax.lax.sort(
+            (sisg, slot), num_keys=1, is_stable=True
+        )
+        real_slots = slots_by_flag[:n]
+        ghost_slots = slots_by_flag[n:]
+        gpar_slot = slot_by_input[spar[ghost_slots]]  # (G,) gathers
+        gshift = tuple(
+            spos[a][ghost_slots] - spos[a][gpar_slot] for a in range(3)
+        )
+        real_mask = sisg == 0
+        return (spos, svel, spos, skeys, info.strides.astype(jnp.int32),
+                real_mask, real_slots, ghost_slots, gpar_slot, gshift, okg)
+
+    pos_pl = tuple(pos0[:, a] for a in range(3))
+    vel_pl = tuple(vel0[:, a] for a in range(3))
+    built = do_build(pos_pl, vel_pl)
+
+    def body(carry, _):
+        (spos, svel, ref, keys, strides, real_mask, real_slots,
+         ghost_slots, gpar_slot, gshift, okacc, nrb) = carry
+        drift_sq = sum(
+            jnp.where(real_mask, spos[a] - ref[a], 0.0) ** 2
+            for a in range(3)
+        )
+        need = jnp.max(drift_sq) > half_skin_sq
+
+        def rebuilt(_):
+            R = tuple(spos[a][real_slots] for a in range(3))
+            V = tuple(svel[a][real_slots] for a in range(3))
+            return do_build(R, V) + (nrb + 1,)
+
+        def reuse(_):
+            return (spos, svel, ref, keys, strides, real_mask, real_slots,
+                    ghost_slots, gpar_slot, gshift, jnp.asarray(True), nrb)
+
+        (spos2, svel2, ref2, keys2, strides2, rm2, rs2, gs2, gp2, gsh2,
+         ok, nrb2) = jax.lax.cond(need, rebuilt, reuse, None)
+
+        f_pl, okc = _packed_forces_core(
+            list(spos2), keys2, strides2, csq,
+            CB=CB, MAXJ=MAXJ, gfn=gfn, interpret=interpret, split=False,
+        )
+        svel3 = tuple(
+            svel2[a] + dt * jnp.where(rm2, f_pl[a], 0.0) for a in range(3)
+        )
+        # ghost velocities are pinned to zero; ghosts move only via the
+        # parent-tracking scatter below
+        spos3 = tuple(spos2[a] + dt * svel3[a] for a in range(3))
+        spos3 = tuple(
+            spos3[a].at[gs2].set(spos3[a][gp2] + gsh2[a]) for a in range(3)
+        )
+        return (spos3, svel3, ref2, keys2, strides2, rm2, rs2, gs2, gp2,
+                gsh2, okacc & ok & okc, nrb2), None
+
+    init = built + (jnp.asarray(0, jnp.int32),)
+    (spos, svel, *_rest, ok, nrb), _ = jax.lax.scan(
+        body, init, None, length=steps
+    )
+    real_slots = _rest[4]
+    R = wrap_positions(
+        jnp.stack([spos[a][real_slots] for a in range(3)], axis=-1),
+        org, bx,
+    )
+    V = jnp.stack([svel[a][real_slots] for a in range(3)], axis=-1)
+    mj_e = MAXJ_E if MAXJ_E is not None else (
+        MAXJ if isinstance(MAXJ, int) else max(MAXJ)
+    )
+    energy, oke = pbc_pair_sum(
+        R, org, bx, cutoff, term=lj_term, B=B, G=G, path="tile",
+        CB=CB, MAXJ=mj_e, interpret=interpret,
     )
     return MDState(positions=R, velocities=V), ok & oke, energy, nrb
