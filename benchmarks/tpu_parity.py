@@ -284,6 +284,49 @@ def main():
               np.abs(np.asarray(f, np.float64) - f_mi).max() / fscale_mi,
               2e-6)
 
+        if boxname == "cubic":
+            # Verlet-skin PBC MD on the tile kernel vs the rebuild-every-
+            # step trajectory, both ON HARDWARE: catches Mosaic-only
+            # divergence in the composed loop (ghost parent tracking +
+            # packed forces on reused grids). Lattice workload so the
+            # trajectory is physical.
+            from zelll_tpu.models.lj_md import MDState, md_run_skin_tile_pbc
+            from zelll_tpu.ops.pbc import md_step_pbc, suggest_pbc_capacity
+
+            k = max(2, int(round(N ** (1 / 3))))
+            spacing = np.float32(boxa[0] / k)
+            gl = np.stack(np.meshgrid(*([np.arange(k)] * 3),
+                                      indexing="ij"), -1).reshape(-1, 3)
+            pts_l = (gl * spacing + 0.5 * spacing).astype(np.float64)
+            pts_l += rng.uniform(-0.03, 0.03, pts_l.shape) * spacing
+            vel_l = rng.normal(0, 0.02 * spacing, pts_l.shape)
+            box_l = np.asarray([k * spacing] * 3, np.float64)
+            cut_l = float(spacing) * 1.2  # nearest neighbors interact
+            dt_l, steps_l, skin_l = 1e-4, 6, 0.3 * float(spacing)
+            p1 = jnp.asarray(pts_l, jnp.float32)
+            v1 = jnp.asarray(vel_l, jnp.float32)
+            orgl = jnp.zeros(3, jnp.float32)
+            bxl = jnp.asarray(box_l, jnp.float32)
+            for _ in range(steps_l):
+                p1, v1, ok = md_step_pbc(p1, v1, orgl, bxl, cut_l, dt_l,
+                                         path="tile", MAXJ=16)
+                assert bool(ok)
+            Bl, Gl = suggest_pbc_capacity(len(pts_l), box_l, cut_l + skin_l)
+            st, ok, e_loop, nrb = md_run_skin_tile_pbc(
+                MDState(positions=jnp.asarray(pts_l, jnp.float32),
+                        velocities=jnp.asarray(vel_l, jnp.float32)),
+                orgl, bxl, cut_l, dt_l, steps=steps_l, B=Bl, G=Gl,
+                skin=skin_l, MAXJ=16,
+            )
+            assert bool(ok)
+            ref_t = np.mod(np.asarray(p1, np.float64), box_l)
+            got_t = np.mod(np.asarray(st.positions, np.float64), box_l)
+            ref_t = ref_t[np.lexsort(ref_t.T)]
+            got_t = got_t[np.lexsort(got_t.T)]
+            check("pbc_skin_tile_md[cubic]",
+                  float(np.abs(got_t - ref_t).max() / box_l[0]), 1e-6,
+                  extra=f"rebuilds={int(nrb)}/{steps_l}")
+
     # SDF join kernel (ops.sdf_join) vs f64 numpy brute force: the
     # psssh-batch query path. Uses exps + rsqrt + the join windows —
     # a hardware-only failure here (e.g. a transcendental or dynamic-

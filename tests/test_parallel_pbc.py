@@ -233,3 +233,208 @@ def test_repartition_pbc_preserves_pads():
     e, ok = efn(pos2)
     assert bool(ok)
     assert abs(float(e) - e_ref) <= 1e-9 * abs(e_ref)
+
+
+def test_sharded_pbc_md_run_matches_stepwise():
+    """The one-dispatch scanned trajectory (`sharded_pbc_md_run`)
+    reproduces K calls of `sharded_pbc_md_step` exactly, and its fused
+    final energy matches `sharded_pbc_lj_energy` on the final state."""
+    from zelll_tpu.parallel.pbc import sharded_pbc_md_run
+
+    rng = np.random.default_rng(11)
+    spacing = 1.3
+    grid = np.stack(np.meshgrid(
+        np.arange(3), np.arange(3), np.arange(22), indexing="ij"
+    ), -1).reshape(-1, 3).astype(np.float64)
+    pts = grid * spacing + 0.5 * spacing
+    pts += rng.uniform(-0.05, 0.05, size=pts.shape)
+    box = np.asarray([3 * spacing, 3 * spacing, 22 * spacing])
+    origin, c, dt, steps = np.zeros(3), 1.0, 1e-4, 4
+    vel0 = rng.normal(0, 0.05, size=pts.shape)
+
+    mesh = make_mesh(ND)
+    parts, n_local = partition_by_slab_pbc(pts, origin, box, c, ND)
+    # velocities follow the partition permutation (see md test above)
+    perm, used = [], set()
+    for row in np.asarray(parts)[: len(pts)]:
+        cand = np.where(np.all(np.isclose(pts, row[None]), axis=1))[0]
+        pick = next(i for i in cand if i not in used)
+        used.add(pick)
+        perm.append(pick)
+    vparts = np.zeros_like(parts)
+    vparts[: len(pts)] = vel0[np.asarray(perm)]
+
+    shard = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("z", None)
+    )
+    pos = jax.device_put(jnp.asarray(parts), shard)
+    vel = jax.device_put(jnp.asarray(vparts), shard)
+
+    step = sharded_pbc_md_step(
+        mesh, origin=origin, box=box, cutoff=c, H=n_local, dt=dt,
+        M=512, L=512, interpret=True,
+    )
+    p_ref, v_ref = pos, vel
+    for _ in range(steps):
+        p_ref, v_ref, ok = step(p_ref, v_ref)
+        assert bool(ok)
+    efn = sharded_pbc_lj_energy(
+        mesh, origin=origin, box=box, cutoff=c, H=n_local, M=512, L=512,
+        interpret=True,
+    )
+    e_ref, oke = efn(p_ref)
+    assert bool(oke)
+
+    run = sharded_pbc_md_run(
+        mesh, origin=origin, box=box, cutoff=c, H=n_local, steps=steps,
+        dt=dt, M=512, L=512, interpret=True,
+    )
+    p, v, ok, e = run(pos, vel)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                               rtol=1e-12, atol=1e-12)
+    assert abs(float(e) - float(e_ref)) <= 1e-9 * max(1.0, abs(float(e_ref)))
+
+
+def test_sharded_pbc_energy_tile_matches_oracle():
+    """use_tile=True (segment-tile kernel + ownership payload plane)
+    reproduces the minimum-image oracle and the lag-path energy exactly,
+    including with partitioner pads in play (n % ND != 0)."""
+    pts, origin, box, c = make_case(n=500, seed=9)
+    e_ref = oracle_energy(pts, box, c)
+    mesh = make_mesh(ND)
+    parts, n_local = partition_by_slab_pbc(pts, origin, box, c, ND)
+    pos = jax.device_put(
+        jnp.asarray(parts),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("z", None)),
+    )
+    e_lag, ok1 = sharded_pbc_lj_energy(
+        mesh, origin=origin, box=box, cutoff=c, H=n_local, M=512, L=512,
+        interpret=True,
+    )(pos)
+    e_tile, ok2 = sharded_pbc_lj_energy(
+        mesh, origin=origin, box=box, cutoff=c, H=n_local, use_tile=True,
+        MAXJ=16, interpret=True,
+    )(pos)
+    assert bool(ok1) and bool(ok2)
+    assert abs(float(e_tile) - e_ref) <= 1e-9 * abs(e_ref)
+    assert abs(float(e_tile) - float(e_lag)) <= 1e-12 * abs(float(e_lag))
+
+
+def test_sharded_pbc_md_tile_matches_lag():
+    """The tile-backend sharded PBC MD step follows the lag-backend
+    trajectory exactly (same halos, same ownership; only the pair kernel
+    differs), and the scanned run agrees too."""
+    from zelll_tpu.parallel.pbc import sharded_pbc_md_run
+
+    rng = np.random.default_rng(13)
+    spacing = 1.3
+    grid = np.stack(np.meshgrid(
+        np.arange(3), np.arange(3), np.arange(22), indexing="ij"
+    ), -1).reshape(-1, 3).astype(np.float64)
+    pts = grid * spacing + 0.5 * spacing
+    pts += rng.uniform(-0.05, 0.05, size=pts.shape)
+    box = np.asarray([3 * spacing, 3 * spacing, 22 * spacing])
+    origin, c, dt, steps = np.zeros(3), 1.0, 1e-4, 3
+    vel0 = rng.normal(0, 0.05, size=pts.shape)
+
+    mesh = make_mesh(ND)
+    parts, n_local = partition_by_slab_pbc(pts, origin, box, c, ND)
+    perm, used = [], set()
+    for row in np.asarray(parts)[: len(pts)]:
+        cand = np.where(np.all(np.isclose(pts, row[None]), axis=1))[0]
+        pick = next(i for i in cand if i not in used)
+        used.add(pick)
+        perm.append(pick)
+    vparts = np.zeros_like(parts)
+    vparts[: len(pts)] = vel0[np.asarray(perm)]
+    shard = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("z", None)
+    )
+    pos0 = jax.device_put(jnp.asarray(parts), shard)
+    vel0j = jax.device_put(jnp.asarray(vparts), shard)
+
+    kw = dict(origin=origin, box=box, cutoff=c, H=n_local, dt=dt,
+              interpret=True)
+    step_lag = sharded_pbc_md_step(mesh, M=512, L=512, **kw)
+    step_tile = sharded_pbc_md_step(mesh, use_tile=True, MAXJ=16, **kw)
+    pl_, vl_ = pos0, vel0j
+    pt_, vt_ = pos0, vel0j
+    for _ in range(steps):
+        pl_, vl_, ok1 = step_lag(pl_, vl_)
+        pt_, vt_, ok2 = step_tile(pt_, vt_)
+        assert bool(ok1) and bool(ok2)
+    np.testing.assert_allclose(np.asarray(pt_), np.asarray(pl_),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(vt_), np.asarray(vl_),
+                               rtol=1e-12, atol=1e-12)
+
+    run = sharded_pbc_md_run(
+        mesh, steps=steps, use_tile=True, MAXJ=16, M=512, L=512, **kw
+    )
+    pr, vr, okr, er = run(pos0, vel0j)
+    assert bool(okr)
+    np.testing.assert_allclose(np.asarray(pr), np.asarray(pt_),
+                               rtol=1e-12, atol=1e-12)
+    assert np.isfinite(float(er))
+
+
+def test_repartition_exchange_pbc_matches_allgather():
+    """The distributed (ppermute) PBC repartition is bit-identical to the
+    all_gather `repartition_pbc` for adjacent-slab drift (the flagged
+    contract), including wrap of out-drifted rows and pad preservation."""
+    from zelll_tpu.parallel.pbc import repartition_exchange_pbc, \
+        repartition_pbc
+
+    pts, origin, box, c = make_case(n=500, seed=15)  # 500 % 8 != 0: pads
+    mesh = make_mesh(ND)
+    parts, n_local = partition_by_slab_pbc(pts, origin, box, c, ND)
+    shard = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("z", None)
+    )
+    rng = np.random.default_rng(16)
+    scr = np.asarray(parts).copy()
+    # adjacent-slab drift: nudge along the major axis by up to ~1 cell
+    scr[: len(pts)] += rng.uniform(-0.5, 0.5, size=(len(pts), 3)) * c
+    # a few rows drift just past the low periodic face (< cutoff beyond,
+    # per the halo/wrap contract) — must wrap, unlike the pads
+    scr[:10, 2] = -0.3 * c
+    vel = rng.normal(size=scr.shape)
+
+    pos_j = jax.device_put(jnp.asarray(scr), shard)
+    vel_j = jax.device_put(jnp.asarray(vel), shard)
+
+    p_ref, v_ref = repartition_pbc(
+        mesh, origin=origin, box=box, cutoff=c, n_valid=len(pts)
+    )(pos_j, vel_j)
+    p_ex, v_ex, ok = repartition_exchange_pbc(
+        mesh, origin=origin, box=box, cutoff=c
+    )(pos_j, vel_j)
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(p_ex), np.asarray(p_ref))
+    np.testing.assert_array_equal(np.asarray(v_ex), np.asarray(v_ref))
+
+
+def test_repartition_exchange_pbc_capacity_flag():
+    """Out-drifting more than one slab trips the flag (never silent)."""
+    from zelll_tpu.parallel.pbc import repartition_exchange_pbc
+
+    pts, origin, box, c = make_case(n=512, seed=17)
+    mesh = make_mesh(ND)
+    parts, n_local = partition_by_slab_pbc(pts, origin, box, c, ND)
+    shard = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("z", None)
+    )
+    scr = np.asarray(parts).copy()
+    # teleport one first-slab row to the box middle: non-adjacent both
+    # linearly AND on the periodic ring (a far-end move would be a legal
+    # ring-adjacent wrap)
+    scr[0, 2] = 0.5 * box[2]
+    pos_j = jax.device_put(jnp.asarray(scr), shard)
+    vel_j = jax.device_put(jnp.zeros_like(pos_j), shard)
+    _, _, ok = repartition_exchange_pbc(
+        mesh, origin=origin, box=box, cutoff=c
+    )(pos_j, vel_j)
+    assert not bool(ok)

@@ -13,6 +13,7 @@ from .pbc import (
     partition_by_slab_pbc,
     repartition_pbc,
     sharded_pbc_lj_energy,
+    sharded_pbc_md_run,
     sharded_pbc_md_step,
 )
 
@@ -27,5 +28,6 @@ __all__ = [
     "sharded_md_step",
     "sharded_lj_energy",
     "sharded_pbc_lj_energy",
+    "sharded_pbc_md_run",
     "sharded_pbc_md_step",
 ]

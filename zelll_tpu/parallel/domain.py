@@ -462,86 +462,11 @@ def repartition_exchange(mesh: Mesh, *, cutoff: float, A: int | None = None):
     """
 
     def local(pos, vel):
-        nd = jax.lax.axis_size(AXIS)
-        idx = jax.lax.axis_index(AXIS)
         n_loc = pos.shape[0]
         cap = A if A is not None else max(n_loc // 4, 1)
         cap = min(cap, n_loc)
         info = _global_grid_info(pos, cutoff)
-        stacked = jnp.concatenate([pos, vel], axis=1)
-        bins, cols = bin_and_sort(
-            stacked, cutoff, max_cells=1, info=info, need_perm=False
-        )
-        keys = bins.sorted_keys  # (n_loc,) ascending
-        k2 = keys * nd + idx
-        ok_enc = jnp.max(keys) <= (jnp.iinfo(jnp.int32).max - nd) // nd
-
-        # --- exact splitter order statistics (distributed binary search)
-        r = jnp.arange(1, nd, dtype=jnp.int32) * jnp.int32(n_loc)
-
-        def bs_body(_, carry):
-            lo, hi = carry
-            mid = lo + (hi - lo) // 2
-            c_le = jax.lax.psum(
-                jnp.searchsorted(k2, mid, side="right").astype(jnp.int32),
-                AXIS,
-            )
-            found = c_le >= r + 1
-            return jnp.where(found, lo, mid + 1), jnp.where(found, mid, hi)
-
-        lo0 = jnp.zeros((nd - 1,), jnp.int32)
-        hi0 = jnp.full((nd - 1,), jnp.iinfo(jnp.int32).max, jnp.int32)
-        v, _ = jax.lax.fori_loop(0, 32, bs_body, (lo0, hi0))
-        cnt_lt = jax.lax.psum(
-            jnp.searchsorted(k2, v, side="left").astype(jnp.int32), AXIS
-        )
-        t = r - cnt_lt  # tie-run elements going to the left side
-
-        # --- destination slab per particle (monotone in sorted order)
-        iota = jnp.arange(n_loc, dtype=jnp.int32)
-        tie_pos = iota - jnp.searchsorted(k2, k2, side="left").astype(
-            jnp.int32
-        )
-        past_cut = (k2[:, None] > v[None, :]) | (
-            (k2[:, None] == v[None, :]) & (tie_pos[:, None] >= t[None, :])
-        )
-        dest = jnp.sum(past_cut.astype(jnp.int32), axis=1)
-        jump = dest - idx
-        ok_jump = jnp.all((jump >= -1) & (jump <= 1))
-        cl = jnp.sum((dest < idx).astype(jnp.int32))
-        cr = jnp.sum((dest > idx).astype(jnp.int32))
-        ok_cap = (cl <= cap) & (cr <= cap)
-
-        # --- fixed-capacity adjacent exchange (7th column: validity)
-        data7 = jnp.concatenate(
-            [cols, jnp.ones((n_loc, 1), cols.dtype)], axis=1
-        )
-        ia = jnp.arange(cap, dtype=jnp.int32)
-        lbuf = jnp.where((ia < cl)[:, None], data7[:cap], 0.0)
-        rbuf = jnp.where((ia >= cap - cr)[:, None], data7[-cap:], 0.0)
-        recv_r = jax.lax.ppermute(
-            lbuf, AXIS, [(d, d - 1) for d in range(1, nd)]
-        )
-        recv_l = jax.lax.ppermute(
-            rbuf, AXIS, [(d, d + 1) for d in range(nd - 1)]
-        )
-        vkeep = (iota >= cl) & (iota < n_loc - cr)
-        kept = jnp.where(vkeep[:, None], data7, 0.0)
-
-        ext = jnp.concatenate([recv_l, kept, recv_r], axis=0)
-        valid_ext = ext[:, 6] > 0.5
-        keys_ext = compute_keys(ext[:, :3], info, valid_ext)
-        out = jax.lax.sort(
-            (keys_ext, *(ext[:, a] for a in range(6))),
-            num_keys=1,
-            is_stable=True,
-        )
-        new_pos = jnp.stack(out[1:4], axis=-1)[:n_loc]
-        new_vel = jnp.stack(out[4:7], axis=-1)[:n_loc]
-        ok = jax.lax.pmin(
-            (ok_enc & ok_jump & ok_cap).astype(jnp.int32), AXIS
-        )
-        return new_pos, new_vel, ok > 0
+        return _repartition_exchange_local(pos, vel, info, cutoff, cap)
 
     return jax.jit(
         shard_map(
@@ -552,6 +477,140 @@ def repartition_exchange(mesh: Mesh, *, cutoff: float, A: int | None = None):
             check_vma=False,
         )
     )
+
+
+def _repartition_exchange_local(pos, vel, info, cutoff, cap, ring=False):
+    """Per-device body of the distributed repartition (inside shard_map):
+    splitter selection by distributed binary search + fixed-capacity
+    adjacent ppermute exchange. ``info`` fixes the key grid (data-AABB
+    for open boundaries, the static extended grid under PBC).
+
+    ``ring=True`` (PBC) treats the slab topology as a ring: a particle
+    crossing a periodic face wraps to the opposite end of the key range,
+    so its destination is linearly distant (|dest - idx| = nd - 1) but
+    ring-adjacent. Destination classes are contiguous runs in the local
+    sorted order (dest is monotone in key), so the outgoing buffers are
+    fixed-capacity dynamic slices at searchsorted offsets — never a
+    gather — and the two ppermutes use full ring permutations. With
+    nd <= 2 the linear transport already covers the ring (each device
+    has at most one distinct neighbor)."""
+    nd = jax.lax.axis_size(AXIS)
+    idx = jax.lax.axis_index(AXIS)
+    n_loc = pos.shape[0]
+    stacked = jnp.concatenate([pos, vel], axis=1)
+    bins, cols = bin_and_sort(
+        stacked, cutoff, max_cells=1, info=info, need_perm=False
+    )
+    keys = bins.sorted_keys  # (n_loc,) ascending
+    k2 = keys * nd + idx
+    ok_enc = jnp.max(keys) <= (jnp.iinfo(jnp.int32).max - nd) // nd
+
+    # --- exact splitter order statistics (distributed binary search)
+    r = jnp.arange(1, nd, dtype=jnp.int32) * jnp.int32(n_loc)
+
+    def bs_body(_, carry):
+        lo, hi = carry
+        mid = lo + (hi - lo) // 2
+        c_le = jax.lax.psum(
+            jnp.searchsorted(k2, mid, side="right").astype(jnp.int32),
+            AXIS,
+        )
+        found = c_le >= r + 1
+        return jnp.where(found, lo, mid + 1), jnp.where(found, mid, hi)
+
+    lo0 = jnp.zeros((nd - 1,), jnp.int32)
+    hi0 = jnp.full((nd - 1,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    v, _ = jax.lax.fori_loop(0, 32, bs_body, (lo0, hi0))
+    cnt_lt = jax.lax.psum(
+        jnp.searchsorted(k2, v, side="left").astype(jnp.int32), AXIS
+    )
+    t = r - cnt_lt  # tie-run elements going to the left side
+
+    # --- destination slab per particle (monotone in sorted order)
+    iota = jnp.arange(n_loc, dtype=jnp.int32)
+    tie_pos = iota - jnp.searchsorted(k2, k2, side="left").astype(
+        jnp.int32
+    )
+    past_cut = (k2[:, None] > v[None, :]) | (
+        (k2[:, None] == v[None, :]) & (tie_pos[:, None] >= t[None, :])
+    )
+    dest = jnp.sum(past_cut.astype(jnp.int32), axis=1)
+    # columns 0:6 payload, 6 source device (tie key: ring traffic arrives
+    # out of device order, but the global tie order is (key, device,
+    # slot) — the all_gather repartition's gathered order), 7 validity
+    data7 = jnp.concatenate(
+        [
+            cols,
+            jnp.full((n_loc, 1), idx, cols.dtype),
+            jnp.ones((n_loc, 1), cols.dtype),
+        ],
+        axis=1,
+    )
+    ia = jnp.arange(cap, dtype=jnp.int32)
+    if ring and nd > 2:
+        # ring transport: destination classes (contiguous runs in the
+        # monotone dest vector) extracted by padded dynamic slices
+        tl = (idx - 1) % nd
+        tr = (idx + 1) % nd
+        ok_jump = jnp.all(
+            (dest == idx) | (dest == tl) | (dest == tr)
+        )
+        sl = jnp.searchsorted(dest, tl, side="left").astype(jnp.int32)
+        cl = jnp.searchsorted(dest, tl, side="right").astype(jnp.int32) - sl
+        sr = jnp.searchsorted(dest, tr, side="left").astype(jnp.int32)
+        cr = jnp.searchsorted(dest, tr, side="right").astype(jnp.int32) - sr
+        ok_cap = (cl <= cap) & (cr <= cap)
+        dpad = jnp.concatenate(
+            [data7, jnp.zeros((cap, 8), data7.dtype)], axis=0
+        )
+        zero = jnp.zeros((), jnp.int32)
+        lbuf = jnp.where(
+            (ia < cl)[:, None],
+            jax.lax.dynamic_slice(dpad, (sl, zero), (cap, 8)), 0.0,
+        )
+        rbuf = jnp.where(
+            (ia < cr)[:, None],
+            jax.lax.dynamic_slice(dpad, (sr, zero), (cap, 8)), 0.0,
+        )
+        recv_r = jax.lax.ppermute(
+            lbuf, AXIS, [(d, (d - 1) % nd) for d in range(nd)]
+        )
+        recv_l = jax.lax.ppermute(
+            rbuf, AXIS, [(d, (d + 1) % nd) for d in range(nd)]
+        )
+        vkeep = dest == idx
+    else:
+        # --- fixed-capacity adjacent exchange
+        jump = dest - idx
+        ok_jump = jnp.all((jump >= -1) & (jump <= 1))
+        cl = jnp.sum((dest < idx).astype(jnp.int32))
+        cr = jnp.sum((dest > idx).astype(jnp.int32))
+        ok_cap = (cl <= cap) & (cr <= cap)
+        lbuf = jnp.where((ia < cl)[:, None], data7[:cap], 0.0)
+        rbuf = jnp.where((ia >= cap - cr)[:, None], data7[-cap:], 0.0)
+        recv_r = jax.lax.ppermute(
+            lbuf, AXIS, [(d, d - 1) for d in range(1, nd)]
+        )
+        recv_l = jax.lax.ppermute(
+            rbuf, AXIS, [(d, d + 1) for d in range(nd - 1)]
+        )
+        vkeep = (iota >= cl) & (iota < n_loc - cr)
+    kept = jnp.where(vkeep[:, None], data7, 0.0)
+
+    ext = jnp.concatenate([recv_l, kept, recv_r], axis=0)
+    valid_ext = ext[:, 7] > 0.5
+    keys_ext = compute_keys(ext[:, :3], info, valid_ext)
+    out = jax.lax.sort(
+        (keys_ext, ext[:, 6], *(ext[:, a] for a in range(6))),
+        num_keys=2,
+        is_stable=True,
+    )
+    new_pos = jnp.stack(out[2:5], axis=-1)[:n_loc]
+    new_vel = jnp.stack(out[5:8], axis=-1)[:n_loc]
+    ok = jax.lax.pmin(
+        (ok_enc & ok_jump & ok_cap).astype(jnp.int32), AXIS
+    )
+    return new_pos, new_vel, ok > 0
 
 
 def sharded_lj_energy(

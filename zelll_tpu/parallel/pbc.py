@@ -63,13 +63,16 @@ from ..ops.pallas_pairs import lag_coverage_ok, lj_term, pair_lag_forces, \
     pair_lag_reduce
 from ..ops.lj import lj_force_factor
 from ..ops.pbc import pbc_extend, suggest_pbc_capacity, wrap_positions
-from .domain import AXIS, _all_ok, _halo_exchange, _h_eff, halo_coverage_ok
+from .domain import AXIS, _all_ok, _halo_exchange, _h_eff, \
+    _repartition_exchange_local, halo_coverage_ok
 
 __all__ = [
     "partition_by_slab_pbc",
+    "repartition_exchange_pbc",
     "repartition_pbc",
     "sharded_pbc_lj_energy",
     "sharded_pbc_md_step",
+    "sharded_pbc_md_run",
 ]
 
 
@@ -237,27 +240,24 @@ def sharded_pbc_lj_energy(
     M: int = 4096,
     L: int = 256,
     term: Callable = lj_term,
+    use_tile: bool = False,
+    MAXJ: int = 8,
     interpret: bool = False,
 ):
     """Jitted global pair energy of a periodic box over slab-sharded
-    positions (`partition_by_slab_pbc` order). Returns (energy, ok)."""
+    positions (`partition_by_slab_pbc` order). ``use_tile=True`` runs the
+    segment-tile kernel (cubic/wide boxes, where the lag kernel's key
+    window degenerates; ``MAXJ`` = per-chunk partner-window capacity) —
+    the ownership payload plane composes identically on both kernels.
+    Returns (energy, ok)."""
     major = _major_axis(box, cutoff)
 
     def local(pos):
-        n_loc = pos.shape[0]
-        Bv = B or suggest_pbc_capacity(n_loc + 2 * min(H, n_loc), box, cutoff)[0]
-        Gv = G or suggest_pbc_capacity(n_loc + 2 * min(H, n_loc), box, cutoff)[1]
-        _, bins, sp, so, ok, n_loc, _, _ = _pool_and_extend(
-            pos, origin, box, cutoff, H, Bv, Gv, major
+        return _energy_local(
+            pos, origin=origin, box=box, cutoff=cutoff, H=H, B=B, G=G,
+            M=M, L=L, term=term, use_tile=use_tile, MAXJ=MAXJ,
+            interpret=interpret,
         )
-        csq = jnp.asarray(cutoff, pos.dtype) ** 2
-        e_loc = pair_lag_reduce(
-            sp, bins.sorted_keys, bins.info.strides, csq,
-            sorted_payload=so[:, None],
-            M=M, L=L, term=_own_term(term), interpret=interpret,
-        )
-        ok &= lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
-        return jax.lax.psum(e_loc, AXIS), _all_ok(ok)
 
     return jax.jit(
         shard_map(
@@ -268,6 +268,34 @@ def sharded_pbc_lj_energy(
             check_vma=False,
         )
     )
+
+
+def _energy_local(pos, *, origin, box, cutoff, H, B, G, M, L, term,
+                  interpret, use_tile=False, MAXJ=8):
+    """Per-device body of the sharded PBC energy (inside shard_map)."""
+    n_loc = pos.shape[0]
+    Bv = B or suggest_pbc_capacity(n_loc + 2 * min(H, n_loc), box, cutoff)[0]
+    Gv = G or suggest_pbc_capacity(n_loc + 2 * min(H, n_loc), box, cutoff)[1]
+    _, bins, sp, so, ok, n_loc, _, _ = _pool_and_extend(
+        pos, origin, box, cutoff, H, Bv, Gv, _major_axis(box, cutoff)
+    )
+    csq = jnp.asarray(cutoff, pos.dtype) ** 2
+    if use_tile:
+        from ..ops.tile_pairs import tile_pair_reduce
+
+        e_loc, cov = tile_pair_reduce(
+            sp, bins.sorted_keys, bins.info.strides, csq, None, so,
+            MAXJ=MAXJ, term=_own_term(term), interpret=interpret,
+        )
+        ok &= cov
+    else:
+        e_loc = pair_lag_reduce(
+            sp, bins.sorted_keys, bins.info.strides, csq,
+            sorted_payload=so[:, None],
+            M=M, L=L, term=_own_term(term), interpret=interpret,
+        )
+        ok &= lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
+    return jax.lax.psum(e_loc, AXIS), _all_ok(ok)
 
 
 def sharded_pbc_md_step(
@@ -282,48 +310,24 @@ def sharded_pbc_md_step(
     dt: float = 1e-4,
     M: int = 4096,
     L: int = 256,
+    use_tile: bool = False,
+    MAXJ: int = 8,
     interpret: bool = False,
 ):
     """Jitted LJ MD step of a periodic box over the mesh: forces from the
     ghost-extended block (every owned row sees its full minimum-image
-    neighborhood), semi-implicit Euler, wrap. State stays slab-sharded in
-    block-sorted order. Returns step(positions, velocities) ->
-    (positions, velocities, ok)."""
+    neighborhood), semi-implicit Euler, wrap. ``use_tile=True`` uses the
+    segment-tile kernels (cubic/wide periodic boxes). State stays
+    slab-sharded in block-sorted order. Returns
+    step(positions, velocities) -> (positions, velocities, ok)."""
     major = _major_axis(box, cutoff)
 
     def local(pos, vel):
-        n_loc = pos.shape[0]
-        Bv = B or suggest_pbc_capacity(n_loc + 2 * min(H, n_loc), box, cutoff)[0]
-        Gv = G or suggest_pbc_capacity(n_loc + 2 * min(H, n_loc), box, cutoff)[1]
-        vel_s, bins, sp, _so, ok, n_loc, H_eff, pos_s = _pool_and_extend(
-            pos, origin, box, cutoff, H, Bv, Gv, major, extra=vel
+        return _md_step_local(
+            pos, vel, origin=origin, box=box, cutoff=cutoff, H=H, B=B,
+            G=G, dt=dt, M=M, L=L, major=major, use_tile=use_tile,
+            MAXJ=MAXJ, interpret=interpret,
         )
-        dtp = pos.dtype
-        csq = jnp.asarray(cutoff, dtp) ** 2
-        f = pair_lag_forces(
-            sp, bins.sorted_keys, bins.info.strides, csq,
-            M=M, L=L, gfn=lj_force_factor, interpret=interpret,
-        )
-        ok &= lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
-        # un-sort to pool order, slice the owned run [H_eff, H_eff+n_loc)
-        _, fx, fy, fz = jax.lax.sort(
-            (bins.perm, f[:, 0], f[:, 1], f[:, 2]), num_keys=1
-        )
-        f_own = jnp.stack(
-            [fx[H_eff : H_eff + n_loc], fy[H_eff : H_eff + n_loc],
-             fz[H_eff : H_eff + n_loc]], axis=-1
-        )
-        vel_new = vel_s + dt * f_own
-        moved = pos_s + dt * vel_new
-        # wrap only rows near the box (real particles drift <= cutoff per
-        # step under the halo assumptions); partitioner pads sit beyond
-        # origin + box + cutoff and must NEVER wrap back into the box
-        org = jnp.asarray(origin, dtp).reshape(3)
-        bx = jnp.asarray(box, dtp).reshape(3)
-        c = jnp.asarray(cutoff, dtp)
-        near = (moved >= org - c) & (moved < org + bx + c)
-        pos_new = jnp.where(near, wrap_positions(moved, org, bx), moved)
-        return pos_new, vel_new, _all_ok(ok)
 
     return jax.jit(
         shard_map(
@@ -331,6 +335,114 @@ def sharded_pbc_md_step(
             mesh=mesh,
             in_specs=(P(AXIS, None), P(AXIS, None)),
             out_specs=(P(AXIS, None), P(AXIS, None), P()),
+            check_vma=False,
+        )
+    )
+
+
+def _md_step_local(pos, vel, *, origin, box, cutoff, H, B, G, dt, M, L,
+                   major, interpret, use_tile=False, MAXJ=8):
+    """Per-device body of one sharded PBC MD step (inside shard_map)."""
+    n_loc = pos.shape[0]
+    Bv = B or suggest_pbc_capacity(n_loc + 2 * min(H, n_loc), box, cutoff)[0]
+    Gv = G or suggest_pbc_capacity(n_loc + 2 * min(H, n_loc), box, cutoff)[1]
+    vel_s, bins, sp, _so, ok, n_loc, H_eff, pos_s = _pool_and_extend(
+        pos, origin, box, cutoff, H, Bv, Gv, major, extra=vel
+    )
+    dtp = pos.dtype
+    csq = jnp.asarray(cutoff, dtp) ** 2
+    if use_tile:
+        from ..ops.tile_pairs import tile_pair_forces
+
+        f, cov = tile_pair_forces(
+            sp, bins.sorted_keys, bins.info.strides, csq,
+            MAXJ=MAXJ, gfn=lj_force_factor, interpret=interpret,
+        )
+        ok &= cov
+    else:
+        f = pair_lag_forces(
+            sp, bins.sorted_keys, bins.info.strides, csq,
+            M=M, L=L, gfn=lj_force_factor, interpret=interpret,
+        )
+        ok &= lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
+    # un-sort to pool order, slice the owned run [H_eff, H_eff+n_loc)
+    _, fx, fy, fz = jax.lax.sort(
+        (bins.perm, f[:, 0], f[:, 1], f[:, 2]), num_keys=1
+    )
+    f_own = jnp.stack(
+        [fx[H_eff : H_eff + n_loc], fy[H_eff : H_eff + n_loc],
+         fz[H_eff : H_eff + n_loc]], axis=-1
+    )
+    vel_new = vel_s + dt * f_own
+    moved = pos_s + dt * vel_new
+    # wrap only rows near the box (real particles drift <= cutoff per
+    # step under the halo assumptions); partitioner pads sit beyond
+    # origin + box + cutoff and must NEVER wrap back into the box
+    org = jnp.asarray(origin, dtp).reshape(3)
+    bx = jnp.asarray(box, dtp).reshape(3)
+    c = jnp.asarray(cutoff, dtp)
+    near = (moved >= org - c) & (moved < org + bx + c)
+    pos_new = jnp.where(near, wrap_positions(moved, org, bx), moved)
+    return pos_new, vel_new, _all_ok(ok)
+
+
+def sharded_pbc_md_run(
+    mesh: Mesh,
+    *,
+    origin,
+    box,
+    cutoff: float,
+    H: int,
+    steps: int,
+    B: int | None = None,
+    G: int | None = None,
+    dt: float = 1e-4,
+    M: int = 4096,
+    L: int = 256,
+    use_tile: bool = False,
+    MAXJ: int = 8,
+    interpret: bool = False,
+):
+    """Jitted ``steps``-step LJ MD trajectory of a periodic box over the
+    mesh, scanned inside ONE shard_map dispatch — `sharded_pbc_md_step`
+    pays a host round-trip per step (~30 ms through the axon tunnel),
+    which dominates below ~1e6 particles/device; here the whole
+    trajectory plus a final global energy is a single XLA program.
+
+    Same per-step body as `sharded_pbc_md_step` (ring halos are
+    re-exchanged every step, so slab drift up to the halo depth is
+    absorbed and coverage-flagged, never silent). State stays
+    slab-sharded in block-sorted order. Returns
+    run(positions, velocities) -> (positions, velocities, ok, energy).
+    """
+    major = _major_axis(box, cutoff)
+
+    def local(pos, vel):
+        def body(carry, _):
+            p, v, ok = carry
+            p2, v2, ok2 = _md_step_local(
+                p, v, origin=origin, box=box, cutoff=cutoff, H=H, B=B,
+                G=G, dt=dt, M=M, L=L, major=major, use_tile=use_tile,
+                MAXJ=MAXJ, interpret=interpret,
+            )
+            return (p2, v2, ok & ok2), None
+
+        (p, v, ok), _ = jax.lax.scan(
+            body, (pos, vel, jnp.asarray(True)), None, length=steps
+        )
+        e, oke = _energy_local(
+            p, origin=origin, box=box, cutoff=cutoff, H=H, B=B, G=G,
+            M=M, L=L, term=lj_term, use_tile=use_tile, MAXJ=MAXJ,
+            interpret=interpret,
+        )
+        return p, v, ok & oke, e
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS, None)),
+            out_specs=(P(AXIS, None), P(AXIS, None), P(), P()),
             check_vma=False,
         )
     )
@@ -398,6 +510,61 @@ def repartition_pbc(
             mesh=mesh,
             in_specs=(P(AXIS, None), P(AXIS, None)),
             out_specs=(P(AXIS, None), P(AXIS, None)),
+            check_vma=False,
+        )
+    )
+
+def repartition_exchange_pbc(
+    mesh: Mesh, *, origin, box, cutoff: float, A: int | None = None
+):
+    """Distributed repartition for a periodic box: restore the slab
+    invariant WITHOUT replicating the particle array — the PBC sibling of
+    `domain.repartition_exchange` (same exact splitter binary search +
+    fixed-capacity adjacent ppermute exchange, O(A) traffic).
+
+    PBC differences: rows are wrapped into the box first, and keys come
+    from the STATIC extended grid (the one `partition_by_slab_pbc` and
+    every sharded PBC step use), so no pmin/pmax collective and the
+    result is bit-identical to `repartition_pbc`'s global sort. The wrap
+    is guarded by the near-box coordinate test (rows in
+    [origin - cutoff, origin + box + cutoff)): real particles drift less
+    than a cutoff past a face between repartitions (the halo assumption),
+    while partitioner pads sit >= 2*cutoff beyond the high face and must
+    NEVER wrap back into the box as fake particles — unwrapped they keep
+    maximal keys and stay pinned to the tail of the last block.
+
+    Slab adjacency is a RING here (``ring=True``): a particle crossing a
+    periodic face wraps to the opposite end of the key range, which is
+    linearly distant but ring-adjacent — the transport uses full ring
+    ppermutes and contiguous-run buffer extraction (see
+    `_repartition_exchange_local`).
+
+    Returns step(positions, velocities) -> (positions, velocities, ok);
+    ``ok`` False iff a particle out-drifted a ring-adjacent slab, a run
+    exceeded A, or keys overflow — fall back to `repartition_pbc`,
+    never trust outputs with a False flag.
+    """
+
+    def local(pos, vel):
+        dtp = pos.dtype
+        org = jnp.asarray(origin, dtp).reshape(3)
+        bx = jnp.asarray(box, dtp).reshape(3)
+        c = jnp.asarray(cutoff, dtp)
+        info = _static_info(org, bx, cutoff, dtp)
+        near = (pos >= org - c) & (pos < org + bx + c)
+        pos = jnp.where(near, wrap_positions(pos, org, bx), pos)
+        n_loc = pos.shape[0]
+        cap = A if A is not None else max(n_loc // 4, 1)
+        cap = min(cap, n_loc)
+        return _repartition_exchange_local(pos, vel, info, cutoff, cap,
+                                           ring=True)
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS, None)),
+            out_specs=(P(AXIS, None), P(AXIS, None), P()),
             check_vma=False,
         )
     )
