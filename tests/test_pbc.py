@@ -425,3 +425,23 @@ def test_md_run_skin_tile_pbc_matches_stepwise(steps, skin, vscale,
                             interpret=True)
     assert bool(ok2)
     assert abs(float(energy) - float(e2)) <= 1e-9 * max(1.0, abs(float(e2)))
+
+
+def test_pbc_count_xla_path_odd_rows():
+    """Regression: `pbc_count_pairs(path="xla")` truncated every
+    half-integral per-particle count (jnp.sum(dtype=int32) casts elements
+    BEFORE summing), silently under-counting with ok=True (found by a
+    hardware drive: 13527/21582/21963 across paths on one input). The xla
+    branch must accumulate doubled integral counts and halve exactly."""
+    pts, origin, boxj, c = make_case(n=700, box=(6.0, 6.0, 6.0), seed=42)
+    _, n_ref, _ = oracle(pts, np.asarray(boxj), c)
+    for path, kw in (
+        ("xla", dict(K=48)),
+        ("lag", dict(M=1024, L=1024)),
+        ("tile", dict(MAXJ=24)),
+    ):
+        cnt, ok = pbc_count_pairs(
+            pts, origin, boxj, c, path=path, interpret=True, **kw
+        )
+        assert bool(ok), path
+        assert int(cnt) == n_ref, (path, int(cnt), n_ref)

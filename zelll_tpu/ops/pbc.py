@@ -367,6 +367,19 @@ def pbc_pair_sum(
             grid, term, K=K, chunk=chunk, cutoff_sq=csq
         )
         ok &= grid.bins.max_cell_count() <= K
+        if out_dtype is not None and jnp.issubdtype(out_dtype, jnp.integer):
+            # Integer counting: the per-particle halves are half-integral,
+            # and `jnp.sum(..., dtype=int)` casts ELEMENTS before summing —
+            # truncating 0.5 for every odd per-row count (silently low
+            # totals). Doubled per-row counts are exact in the float dtype
+            # (< 2^24 per row); accumulate them as (hi, lo) int32 planes
+            # like the kernels and halve the 48-bit value so
+            # `combine_count` reconstructs the pair count.
+            cnt = jnp.round(2.0 * e_pp[:n]).astype(jnp.int32)
+            lo = jnp.sum(cnt & 0xFFFF)
+            hi = jnp.sum(cnt >> 16)
+            half_lo = ((lo + ((hi & 1) << 16)) >> 1).astype(jnp.int32)
+            return jnp.stack([hi >> 1, half_lo]), ok
         total = jnp.sum(e_pp[:n], dtype=out_dtype)
         return total, ok
     cols = [ext]
