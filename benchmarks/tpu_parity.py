@@ -217,6 +217,29 @@ def main():
         check(f"xla_pair_sum[{boxname}]",
               abs(float(e) - e_ref) / abs(e_ref), f32_tol)
 
+        # fused pair-distance histogram (split): cumulative counts vs the
+        # f64 brute force. Bin-boundary ties under f32x2 distance rounding
+        # can flip a handful of pairs between adjacent shells, so the
+        # check is on the max cumulative deviation relative to the total,
+        # not exact equality (Mosaic-class bugs are wholesale, not ±ulp).
+        from zelll_tpu.ops.rdf import pair_distance_histogram
+
+        edges = np.linspace(0.0, CUTOFF, 17)
+        dall = spos64[:, None] - spos64[None, :]
+        dist = np.sqrt((dall * dall).sum(-1))
+        hist_ref, _ = np.histogram(
+            dist[np.triu_indices(N, 1)], bins=edges
+        )
+        counts, ok = pair_distance_histogram(
+            hi, edges, positions_lo=lo, M=4096, L=1024
+        )
+        assert bool(ok)
+        cum = np.cumsum(np.asarray(counts, np.float64))
+        cum_ref = np.cumsum(hist_ref.astype(np.float64))
+        check(f"hist_split[{boxname}]",
+              float(np.abs(cum - cum_ref).max()) / max(cum_ref[-1], 1),
+              1e-4, extra=f"(total {int(cum_ref[-1])})")
+
         # PBC (ops.pbc): ghost-image extension over the unchanged lag
         # kernel — energy/count masked via the shift-sign payload plane,
         # forces via dropped ghost rows. Oracle: f64 minimum image.
@@ -269,6 +292,24 @@ def main():
         check(f"pbc_forces_split[{boxname}]",
               np.abs(np.asarray(f, np.float64) - f_mi).max() / fscale_mi,
               2e-6)
+
+        # PBC histogram: the shift-sign payload mask composes with the
+        # hist kernel exactly like the energy term
+        from zelll_tpu.ops.rdf import rdf, rdf_normalize
+
+        edges_p = np.linspace(0.2, CUTOFF, 15)
+        hmi, _ = np.histogram(
+            np.sqrt(dsq_mi[np.triu_indices(N, 1)]), bins=edges_p
+        )
+        _, g_hw, ok = rdf(hi_p, org, boxj, edges_p, positions_lo=lo_p,
+                          M=4096, L=1024)
+        assert bool(ok)
+        _, g_mi_ref = rdf_normalize(hmi, edges_p, N, float(boxa.prod()))
+        cum_hw = np.cumsum(g_hw * np.diff(edges_p**3))
+        cum_mi = np.cumsum(g_mi_ref * np.diff(edges_p**3))
+        check(f"pbc_rdf_split[{boxname}]",
+              float(np.abs(cum_hw - cum_mi).max())
+              / max(abs(cum_mi[-1]), 1e-30), 1e-4)
 
         # tile path: payload plane on the packed blocks' free row
         e, ok = pbc_lj_energy(hi_p, org, boxj, CUTOFF, path="tile",

@@ -148,3 +148,15 @@ def test_coordination_numbers():
     dsq = (d * d).sum(-1)
     want = ((dsq < 1.0) & ~np.eye(300, dtype=bool)).sum(1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_distance_histogram():
+    rng = np.random.default_rng(13)
+    pts = rng.random((250, 3)) * 4.0
+    cg = CellGrid(pts, 1.0)
+    edges = np.linspace(0.0, 2.5, 11)  # beyond the grid cutoff on purpose
+    got = cg.distance_histogram(edges)
+    d = pts[:, None] - pts[None]
+    dist = np.sqrt((d * d).sum(-1))
+    want, _ = np.histogram(dist[np.triu_indices(250, 1)], bins=edges)
+    np.testing.assert_array_equal(got, want)

@@ -489,3 +489,26 @@ def test_sharded_potential_custom_term():
     assert bool(ok)
     np.testing.assert_allclose(float(e), e_ref, rtol=1e-9)
     np.testing.assert_allclose(np.asarray(g), g_ref, rtol=1e-8, atol=1e-12)
+
+
+def test_sharded_pair_hist_matches_bruteforce():
+    from zelll_tpu.ops.pallas_pairs import combine_count_vec
+    from zelll_tpu.parallel import sharded_pair_hist
+
+    pts = _cloud(n=700, seed=3)
+    edges = np.linspace(0.0, 1.0, 9)
+    mesh = make_mesh(8)
+    parts, n_local = partition_by_slab(pts, edges[-1], 8)
+    sharding = NamedSharding(mesh, P("z", None))
+    positions = jax.device_put(jnp.asarray(parts), sharding)
+
+    hfn = sharded_pair_hist(mesh, edges, H=n_local, L=256, interpret=True)
+    packed, ok = hfn(positions)
+    assert bool(ok)
+    cum = combine_count_vec(np.asarray(packed))
+    got = cum[1:] - cum[:-1]
+
+    d = pts[:, None, :] - pts[None, :, :]
+    dist = np.sqrt((d * d).sum(-1))
+    want, _ = np.histogram(dist[np.triu_indices(len(pts), 1)], bins=edges)
+    np.testing.assert_array_equal(got, want)

@@ -402,6 +402,32 @@ class CellGrid:
         unsorted = np.asarray(g.unsort(out)).astype(np.int64)
         return unsorted[: len(self._pts)]
 
+    def distance_histogram(self, edges) -> np.ndarray:
+        """Histogram of unique pair distances over shells
+        ``edges[k] <= r < edges[k+1]`` (one fused device pass — no pair
+        list, see `ops.rdf`). ``edges[-1]`` may exceed the grid cutoff
+        (the histogram re-bins at its own range). Returns (K-1,) int64."""
+        edges = np.asarray(edges, np.float64).reshape(-1)
+        if self._grid is None or len(self._pts) < 2:
+            return np.zeros(max(len(edges) - 1, 0), np.int64)
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.rdf import pair_distance_histogram
+
+        interpret = jax.default_backend() == "cpu"
+        pos = jnp.asarray(self._pts, self._grid.sorted_pos.dtype)
+        cap = _round_capacity(len(self._pts))
+        L = 256
+        while True:
+            counts, ok = pair_distance_histogram(
+                pos, edges, M=max(1024, L), L=L, interpret=interpret
+            )
+            if ok or L >= cap:
+                break
+            L *= 2
+        return np.asarray(counts, np.int64)
+
     def lj_energy(self) -> float:
         """Total LJ potential over cutoff-filtered pairs (fused on device)."""
         if self._grid is None or len(self._pts) < 2:

@@ -3,3 +3,9 @@ surface sampling (psssh), samplers."""
 
 from .lj_md import MDState, md_run, md_step
 from .sdf import ELEMENT_RADII, SmoothDistanceField
+from .thermostats import (
+    berendsen_rescale,
+    kinetic_temperature,
+    md_run_langevin,
+    ou_step,
+)

@@ -20,6 +20,7 @@ from .pbc import (
     suggest_pbc_capacity,
     wrap_positions,
 )
+from .rdf import pair_distance_histogram, rdf
 from .tile_pairs import (
     tile_count_pairs,
     tile_lj_energy,
@@ -64,6 +65,8 @@ __all__ = [
     "split_f64",
     "lj_term",
     "count_term",
+    "pair_distance_histogram",
+    "rdf",
     "pbc_pair_sum",
     "pbc_lj_energy",
     "pbc_count_pairs",

@@ -51,12 +51,14 @@ from ..core.geometry import SENTINEL_KEY, key_window
 
 __all__ = [
     "pair_lag_reduce",
+    "pair_lag_hist",
     "lag_coverage_ok",
     "suggest_lag",
     "split_f64",
     "lj_term",
     "count_term",
     "combine_count",
+    "combine_count_vec",
 ]
 
 LANES = 128
@@ -921,3 +923,226 @@ def combine_count(packed) -> int:
     if v.ndim == 0:
         return int(round(float(v)))
     return (int(v[0]) << 16) + int(v[1])
+
+
+def combine_count_vec(packed):
+    """Vector sibling of `combine_count`: (2, K) int32 (hi, lo) planes ->
+    (K,) int64 counts (overflow-safe past 2^31 per bin)."""
+    import numpy as np
+
+    v = np.asarray(packed, np.int64)
+    return (v[0] << 16) + v[1]
+
+
+def _make_hist_kernel(M: int, L: int, K: int, n_planes: int, split: bool,
+                      dtype, n_payload: int, pair_mask):
+    """Pair-distance histogram kernel: per lag, one masked candidate tile
+    is classified against K ascending squared-distance edges and counted
+    CUMULATIVELY (count_k = #pairs with dsq < edges[k]); the caller diffs
+    adjacent bins for shell counts. Cumulative counting needs one compare
+    per bin (a two-sided bin test would need two), and the K per-bin
+    accumulator planes live directly in the revisited VMEM output block
+    (rows [k*Mr, (k+1)*Mr)), so cost is linear in K with no extra scratch.
+
+    Same rolling-window / shift machinery as `_make_kernel`; the pair mask
+    (key window, cutoff = edges[-1], slot ownership, optional payload rule
+    ``pair_mask``) is identical, so every masking invariant (PBC image
+    dedup, halo ownership, padding exclusion) composes unchanged.
+
+    The reference has no histogram support — users bin pairs in their own
+    iterator closure (`/root/reference/src/cellgrid.rs:338-340`); here the
+    bins accumulate inside the fused kernel so the pair list never exists.
+    """
+    Mr, Lr = M // LANES, L // LANES
+    Wr = Mr + Lr
+    NP = n_planes + n_payload + 1  # + key plane
+
+    def kernel(*refs):
+        # refs: wkey, edges (K,), min_islot, blocks (NP), out (K*Mr, LANES),
+        #       window scratch (NP)
+        wkey_ref, edges_ref, mislot_ref = refs[0], refs[1], refs[2]
+        blocks = refs[3 : 3 + NP]
+        out_ref = refs[3 + NP]
+        wins = refs[4 + NP : 4 + 2 * NP]
+        kw = wins[-1]
+
+        p = pl.program_id(0)
+        w_key = wkey_ref[0]
+        csq = edges_ref[K - 1]
+        min_islot = mislot_ref[0]
+
+        @pl.when(p == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+            kw[0:Lr] = jnp.full(
+                (Lr, LANES), jnp.iinfo(jnp.int32).min // 2, jnp.int32
+            )
+            for w in wins[:-1]:
+                w[0:Lr] = jnp.zeros((Lr, LANES), dtype)
+
+        @pl.when(p != 0)
+        def _():
+            for w in wins:
+                w[0:Lr] = w[Wr - Lr : Wr]
+
+        for w, b in zip(wins, blocks):
+            w[Lr:Wr] = b[...]
+
+        own = [w[Lr:Wr] for w in wins]
+        own_k = own[-1]
+        own_slot = (
+            jax.lax.broadcasted_iota(jnp.int32, (Mr, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (Mr, LANES), 1)
+            + p * M
+        )
+        own_owned = own_slot >= min_islot
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Wr, LANES), 1)
+        is_lane0 = lane == 0
+
+        def shift_right_one(v):
+            a = pltpu.roll(v, 1, axis=1)
+            return jnp.where(is_lane0, pltpu.roll(a, 1, axis=0), a)
+
+        ncoord = n_planes // 2 if split else n_planes
+        big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+        def cond(carry):
+            lag, active = carry[0], carry[1]
+            return (lag <= L) & active
+
+        def lag_body(carry):
+            lag, active, *shifted = carry
+            shifted = [shift_right_one(s) for s in shifted]
+            j = [s[Lr:Wr] for s in shifted]
+            jk = j[-1]
+            dsq = jnp.zeros((Mr, LANES), dtype)
+            for a in range(ncoord):
+                d = own[a] - j[a]
+                if split:
+                    d = d + (own[a + ncoord] - j[a + ncoord])
+                dsq = dsq + d * d
+            keymask = jk >= own_k - w_key
+            mask = keymask & (dsq < csq) & own_owned
+            if n_payload:
+                mask = mask & pair_mask(
+                    *own[n_planes : n_planes + n_payload],
+                    *j[n_planes : n_planes + n_payload],
+                )
+            # masked-out candidates compare above every edge
+            safe = jnp.where(mask, dsq, big)
+            for k in range(K):
+                out_ref[k * Mr : (k + 1) * Mr] += (
+                    safe < edges_ref[k]
+                ).astype(jnp.int32)
+            return (lag + 1, jnp.any(keymask), *shifted)
+
+        init = (
+            jnp.asarray(1, jnp.int32),
+            jnp.asarray(True),
+            *(w[...] for w in wins),
+        )
+        jax.lax.while_loop(cond, lag_body, init)
+
+    return kernel
+
+
+def pair_lag_hist(
+    sorted_pos: jax.Array,
+    sorted_keys: jax.Array,
+    strides: jax.Array,
+    edges_sq: jax.Array,  # (K,) ascending squared distance edges
+    sorted_pos_lo: jax.Array | None = None,
+    sorted_payload: jax.Array | None = None,
+    *,
+    M: int = 1024,
+    L: int = 256,
+    interpret: bool = False,
+    min_islot=0,
+    pair_mask=None,
+):
+    """Cumulative pair-distance histogram over unique cutoff pairs:
+    ``out[k] = #pairs with dsq < edges_sq[k]`` (shell counts = adjacent
+    diffs). The effective cutoff is ``sqrt(edges_sq[-1])`` — the grid the
+    keys were built with must use a cutoff >= that. Returns (2, K) int32
+    (hi, lo) 16-bit planes; reconstruct with `combine_count_vec`
+    (overflow-safe past 2^31 pairs per bin).
+
+    ``K = len(edges_sq)`` is static; kernel cost is linear in K (one
+    compare + one accumulate per bin per lag), so a 64-bin histogram costs
+    a few energy passes — still no pair list anywhere. ``pair_mask`` +
+    ``sorted_payload`` mask candidate pairs exactly like the payload terms
+    of `pair_lag_reduce` (PBC image dedup, species filters); ``min_islot``
+    is the distributed halo ownership rule.
+    """
+    n = sorted_pos.shape[0]
+    split = sorted_pos_lo is not None
+    dtype = sorted_pos.dtype
+    K = edges_sq.shape[0]
+    assert M % LANES == 0 and L % LANES == 0 and L >= LANES
+    assert L <= M, "rolling window requires L <= M"
+    if not interpret:
+        assert M % (8 * LANES) == 0, "compiled mode requires M % 1024 == 0"
+
+    P = -(-n // M)
+    tail = P * M - n
+
+    keys_p = _pad_and_desentinel(sorted_keys, P * M)
+    spread = _tail_spread(tail, dtype)
+    dim = sorted_pos.shape[1]
+    planes = [
+        jnp.concatenate([sorted_pos[:, a], spread]).reshape(-1, LANES)
+        for a in range(dim)
+    ]
+    if split:
+        planes += [
+            jnp.concatenate(
+                [sorted_pos_lo[:, a], jnp.zeros_like(spread)]
+            ).reshape(-1, LANES)
+            for a in range(dim)
+        ]
+    n_planes = len(planes)
+    n_payload = 0 if sorted_payload is None else sorted_payload.shape[1]
+    assert (n_payload == 0) == (pair_mask is None), (
+        "pair_mask and sorted_payload go together"
+    )
+    for a in range(n_payload):
+        planes.append(
+            jnp.concatenate(
+                [sorted_payload[:, a].astype(dtype), jnp.zeros_like(spread)]
+            ).reshape(-1, LANES)
+        )
+    kp = keys_p.reshape(-1, LANES)
+
+    w_key = key_window(strides).astype(jnp.int32).reshape(1)
+    edges = jnp.asarray(edges_sq, dtype).reshape(K)
+    mislot = jnp.asarray(min_islot, jnp.int32).reshape(1)
+
+    Mr = M // LANES
+    kernel = _make_hist_kernel(
+        M, L, K, n_planes, split, dtype, n_payload, pair_mask
+    )
+    bs = lambda: pl.BlockSpec((Mr, LANES), lambda p, s1, s2, s3: (p, 0))
+    win = lambda dt: pltpu.VMEM((Mr + L // LANES, LANES), dt)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(P,),
+        in_specs=[bs() for _ in range(n_planes + n_payload + 1)],
+        out_specs=pl.BlockSpec(
+            (K * Mr, LANES),
+            lambda p, s1, s2, s3: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[win(dtype) for _ in range(n_planes + n_payload)]
+        + [win(jnp.int32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((K * Mr, LANES), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(w_key, edges, mislot, *planes, kp)
+    per_bin = out.reshape(K, Mr, LANES)
+    lo = jnp.sum(per_bin & 0xFFFF, axis=(1, 2))
+    hi = jnp.sum(per_bin >> 16, axis=(1, 2))
+    return jnp.stack([hi, lo])

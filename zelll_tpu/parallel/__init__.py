@@ -8,6 +8,7 @@ from .domain import (
     repartition_exchange,
     sharded_lj_energy,
     sharded_md_step,
+    sharded_pair_hist,
 )
 from .pbc import (
     partition_by_slab_pbc,
@@ -27,6 +28,7 @@ __all__ = [
     "repartition_exchange",
     "sharded_md_step",
     "sharded_lj_energy",
+    "sharded_pair_hist",
     "sharded_pbc_lj_energy",
     "sharded_pbc_md_run",
     "sharded_pbc_md_step",

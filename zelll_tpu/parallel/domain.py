@@ -686,6 +686,61 @@ def sharded_lj_energy(
     )
 
 
+def sharded_pair_hist(
+    mesh: Mesh,
+    edges,
+    *,
+    H: int,
+    M: int = 1024,
+    L: int = 256,
+    interpret: bool = False,
+):
+    """Jitted global pair-distance histogram over slab-sharded positions:
+    cumulative counts of unique pairs with ``dsq < edges[k]^2``, every
+    pair counted exactly once globally (larger-slot ownership over the
+    left-ghost halo, `pair_lag_hist` ``min_islot`` — the same rule as the
+    sharded energies). ``edges[-1]`` is the effective cutoff and sets the
+    grid geometry. Returns fn(positions) -> ((2, K) int32 hi/lo planes,
+    coverage_ok); reconstruct with `pallas_pairs.combine_count_vec` and
+    diff for shell counts (`ops.rdf` has the normalization)."""
+    import numpy as np
+
+    from ..ops.pallas_pairs import pair_lag_hist
+
+    cutoff = float(np.asarray(edges)[-1])
+    edges_sq = jnp.asarray(np.asarray(edges, np.float64) ** 2, jnp.float32)
+
+    def local(pos):
+        H_eff = _h_eff(H, pos.shape[0])
+        info = _global_grid_info(pos, cutoff)
+        bins, pos_s = bin_and_sort(pos, cutoff, max_cells=1, info=info)
+        gl, gr, *_ = _halo_exchange(pos_s, H_eff)
+        n_loc = pos_s.shape[0]
+        halo_ok = halo_coverage_ok(
+            bins.sorted_keys, info.strides, H_eff, both_sides=False
+        )
+        ext = jnp.concatenate([gl, pos_s], axis=0)
+        keys_ext = compute_keys(ext, info)
+        packed = pair_lag_hist(
+            ext, keys_ext, info.strides, edges_sq.astype(pos.dtype),
+            M=M, L=L, interpret=interpret, min_islot=H_eff,
+        )
+        cap_ok = _lag_ok_ext(keys_ext, info.strides, L, H_eff, n_loc)
+        # per-device (hi, lo) 16-bit plane sums are < 2^27 each; a psum
+        # over any realistic mesh stays far from int32 overflow
+        return jax.lax.psum(packed, AXIS), _all_ok(halo_ok & cap_ok)
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(AXIS, None),),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+
+
 def _sharded_forces(
     mesh: Mesh,
     *,
