@@ -240,6 +240,15 @@ def main():
               float(np.abs(cum - cum_ref).max()) / max(cum_ref[-1], 1),
               1e-4, extra=f"(total {int(cum_ref[-1])})")
 
+        counts, ok = pair_distance_histogram(
+            hi, edges, positions_lo=lo, path="tile", MAXJ=24
+        )
+        assert bool(ok)
+        cum = np.cumsum(np.asarray(counts, np.float64))
+        check(f"hist_tile_split[{boxname}]",
+              float(np.abs(cum - cum_ref).max()) / max(cum_ref[-1], 1),
+              1e-4)
+
         # PBC (ops.pbc): ghost-image extension over the unchanged lag
         # kernel — energy/count masked via the shift-sign payload plane,
         # forces via dropped ghost rows. Oracle: f64 minimum image.
@@ -308,6 +317,14 @@ def main():
         cum_hw = np.cumsum(g_hw * np.diff(edges_p**3))
         cum_mi = np.cumsum(g_mi_ref * np.diff(edges_p**3))
         check(f"pbc_rdf_split[{boxname}]",
+              float(np.abs(cum_hw - cum_mi).max())
+              / max(abs(cum_mi[-1]), 1e-30), 1e-4)
+
+        _, g_hw, ok = rdf(hi_p, org, boxj, edges_p, positions_lo=lo_p,
+                          path="tile", MAXJ=24)
+        assert bool(ok)
+        cum_hw = np.cumsum(g_hw * np.diff(edges_p**3))
+        check(f"pbc_rdf_tile_split[{boxname}]",
               float(np.abs(cum_hw - cum_mi).max())
               / max(abs(cum_mi[-1]), 1e-30), 1e-4)
 

@@ -160,3 +160,17 @@ def test_distance_histogram():
     dist = np.sqrt((d * d).sum(-1))
     want, _ = np.histogram(dist[np.triu_indices(250, 1)], bins=edges)
     np.testing.assert_array_equal(got, want)
+
+
+def test_distance_histogram_wide_box():
+    """A wide/cubic box (huge lag requirement) dispatches to the tile
+    histogram path."""
+    rng = np.random.default_rng(17)
+    pts = rng.random((1500, 3)) * 30.0  # 30^3 box, cutoff range ~3
+    cg = CellGrid(pts, 1.0)
+    edges = np.linspace(0.0, 3.0, 7)
+    got = cg.distance_histogram(edges)
+    d = pts[:, None] - pts[None]
+    dist = np.sqrt((d * d).sum(-1))
+    want, _ = np.histogram(dist[np.triu_indices(len(pts), 1)], bins=edges)
+    np.testing.assert_array_equal(got, want)

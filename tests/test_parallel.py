@@ -512,3 +512,27 @@ def test_sharded_pair_hist_matches_bruteforce():
     dist = np.sqrt((d * d).sum(-1))
     want, _ = np.histogram(dist[np.triu_indices(len(pts), 1)], bins=edges)
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_pair_hist_tile_backend():
+    from zelll_tpu.ops.pallas_pairs import combine_count_vec
+    from zelll_tpu.parallel import sharded_pair_hist
+
+    pts = _cloud(n=700, seed=5)
+    edges = np.linspace(0.0, 1.0, 7)
+    mesh = make_mesh(8)
+    parts, n_local = partition_by_slab(pts, edges[-1], 8)
+    sharding = NamedSharding(mesh, P("z", None))
+    positions = jax.device_put(jnp.asarray(parts), sharding)
+
+    hfn = sharded_pair_hist(mesh, edges, H=n_local, use_tile=True,
+                            MAXJ=16, interpret=True)
+    packed, ok = hfn(positions)
+    assert bool(ok)
+    cum = combine_count_vec(np.asarray(packed))
+    got = cum[1:] - cum[:-1]
+
+    d = pts[:, None, :] - pts[None, :, :]
+    dist = np.sqrt((d * d).sum(-1))
+    want, _ = np.histogram(dist[np.triu_indices(len(pts), 1)], bins=edges)
+    np.testing.assert_array_equal(got, want)

@@ -129,3 +129,101 @@ def test_fuzz_hist(seed):
     )
     assert ok
     np.testing.assert_array_equal(np.asarray(counts), brute_hist(pts, edges))
+
+
+@pytest.mark.parametrize("boxshape", ["cubic", "thin"])
+def test_hist_tile_path(boxshape):
+    """Segment-tile histogram == brute force on both box classes."""
+    rng = np.random.default_rng(21)
+    box = (7.0, 7.0, 7.0) if boxshape == "cubic" else (2.0, 2.0, 60.0)
+    pts = rng.uniform(0, 1, size=(600, 3)) * np.asarray(box)
+    edges = np.linspace(0.0, 1.5, 13)
+    counts, ok = pair_distance_histogram(
+        jnp.asarray(pts), edges, path="tile", MAXJ=16, interpret=True
+    )
+    assert ok
+    np.testing.assert_array_equal(np.asarray(counts), brute_hist(pts, edges))
+
+
+def test_hist_tile_split_matches_lag():
+    rng = np.random.default_rng(23)
+    pts = rng.uniform(0, 1, size=(500, 3)) * np.array([5.0, 5.0, 400.0])
+    edges = np.linspace(0.0, 2.0, 9)
+    hi, lo = split_f64(jnp.asarray(pts))
+    c_tile, ok1 = pair_distance_histogram(
+        hi, edges, positions_lo=lo, path="tile", MAXJ=16, interpret=True
+    )
+    c_lag, ok2 = pair_distance_histogram(
+        hi, edges, positions_lo=lo, L=512, interpret=True
+    )
+    assert ok1 and ok2
+    np.testing.assert_array_equal(np.asarray(c_tile), np.asarray(c_lag))
+    np.testing.assert_array_equal(np.asarray(c_tile), brute_hist(pts, edges))
+
+
+def test_rdf_pbc_tile_path():
+    rng = np.random.default_rng(29)
+    box = np.array([9.0, 9.0, 9.0])
+    n = 500
+    pts = rng.uniform(0, 1, size=(n, 3)) * box
+    edges = np.linspace(0.3, 2.2, 8)
+    r_mid, g, ok = rdf(
+        jnp.asarray(pts), np.zeros(3), box, edges, path="tile", MAXJ=16,
+        interpret=True,
+    )
+    assert ok
+    ref_counts = brute_hist_pbc(pts, box, edges)
+    _, g_ref = rdf_normalize(ref_counts, edges, n, float(box.prod()))
+    np.testing.assert_allclose(g, g_ref, rtol=1e-12)
+
+
+@pytest.mark.parametrize("path", ["lag", "tile"])
+def test_hist_species_pairs(path):
+    """Partial histograms: species pair masks on both kernel paths."""
+    rng = np.random.default_rng(31)
+    n = 400
+    pts = rng.uniform(0, 5, size=(n, 3))
+    sp = rng.integers(0, 3, n)
+    edges = np.linspace(0.0, 1.3, 9)
+    d = pts[:, None] - pts[None]
+    dist = np.sqrt((d * d).sum(-1))
+    iu = np.triu_indices(n, 1)
+    for a, b in [(0, 1), (2, 2)]:
+        m = ((sp[iu[0]] == a) & (sp[iu[1]] == b)) | (
+            (sp[iu[0]] == b) & (sp[iu[1]] == a)
+        )
+        want, _ = np.histogram(dist[iu][m], bins=edges)
+        kw = dict(path="tile", MAXJ=16) if path == "tile" else dict(L=256)
+        got, ok = pair_distance_histogram(
+            jnp.asarray(pts), edges, species=sp, pair=(a, b),
+            interpret=True, **kw,
+        )
+        assert ok
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_rdf_pbc_partial():
+    from zelll_tpu.ops.rdf import rdf_normalize_partial
+
+    rng = np.random.default_rng(37)
+    box = np.array([8.0, 8.0, 8.0])
+    n = 500
+    pts = rng.uniform(0, 1, size=(n, 3)) * box
+    sp = rng.integers(0, 2, n)
+    edges = np.linspace(0.3, 2.0, 8)
+
+    r_mid, g, ok = rdf(
+        jnp.asarray(pts), np.zeros(3), box, edges, L=512,
+        species=sp, pair=(0, 1), interpret=True,
+    )
+    assert ok
+    d = pts[:, None] - pts[None]
+    d -= box * np.round(d / box)
+    dist = np.sqrt((d * d).sum(-1))
+    iu = np.triu_indices(n, 1)
+    m = sp[iu[0]] != sp[iu[1]]
+    want, _ = np.histogram(dist[iu][m], bins=edges)
+    na, nb = int((sp == 0).sum()), int((sp == 1).sum())
+    _, g_ref = rdf_normalize_partial(want, edges, na, nb,
+                                     float(box.prod()), same=False)
+    np.testing.assert_allclose(g, g_ref, rtol=1e-12)

@@ -413,19 +413,37 @@ class CellGrid:
         import jax
         import jax.numpy as jnp
 
+        from .core.binning import bin_and_sort
+        from .ops.pallas_pairs import suggest_lag
         from .ops.rdf import pair_distance_histogram
 
         interpret = jax.default_backend() == "cpu"
         pos = jnp.asarray(self._pts, self._grid.sorted_pos.dtype)
-        cap = _round_capacity(len(self._pts))
-        L = 256
-        while True:
+        # probe the lag requirement at the histogram's own range
+        # (edges[-1] is the effective cutoff) and dispatch like
+        # auto_lj_energy: tight sorted window -> lag kernel, wide/cubic
+        # box -> segment-tile kernel
+        bins, _ = bin_and_sort(
+            pos, float(edges[-1]), max_cells=1, need_perm=False,
+            auto_order=True,
+        )
+        L = suggest_lag(
+            np.asarray(bins.sorted_keys), np.asarray(bins.info.strides)
+        )
+        if L <= 2048:
             counts, ok = pair_distance_histogram(
                 pos, edges, M=max(1024, L), L=L, interpret=interpret
             )
-            if ok or L >= cap:
+            assert ok
+            return np.asarray(counts, np.int64)
+        MAXJ = 8
+        while True:
+            counts, ok = pair_distance_histogram(
+                pos, edges, path="tile", MAXJ=MAXJ, interpret=interpret
+            )
+            if ok or MAXJ >= _round_capacity(len(self._pts)) // 128:
                 break
-            L *= 2
+            MAXJ *= 2
         return np.asarray(counts, np.int64)
 
     def lj_energy(self) -> float:

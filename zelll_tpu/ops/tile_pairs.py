@@ -418,6 +418,227 @@ def _make_tile_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
     return kernel
 
 
+def _make_tile_hist_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
+                                  K: int, dtype, split: bool,
+                                  distributed: bool, n_payload: int,
+                                  pair_mask):
+    """Packed-layout histogram kernel: per tile, the masked candidate
+    matrix is classified against K ascending squared-distance edges and
+    counted CUMULATIVELY into K per-bin (128, 128) int32 planes living
+    directly in the revisited VMEM output (rows [k*CHUNK, (k+1)*CHUNK)).
+    Same windows/masking as `_make_tile_kernel_packed` — the tile sibling
+    of `pallas_pairs._make_hist_kernel` for cubic/wide boxes. Cost is
+    linear in K (one compare + one accumulate per bin per tile).
+
+    ``pair_mask(own_payload, j_payload) -> bool`` masks candidates from
+    the packed payload row (PBC shift-sign dedup)."""
+    TJ = sum(MAXJ)
+    MOFF = tuple(sum(MAXJ[:s]) for s in range(S))
+    ncoord = D // 2 if split else D
+
+    def kernel(bands_ref, edges_ref, mislot_ref, bounds_ref, own8_ref,
+               jarr_ref, out_ref, jbuf, sems):
+        p = pl.program_id(0)
+        csq = edges_ref[K - 1]
+        min_islot = mislot_ref[0]
+
+        @pl.when(p == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        def window(oc, s):
+            return (bounds_ref[oc, 3 * s], bounds_ref[oc, 3 * s + 1],
+                    bounds_ref[oc, 3 * s + 2])
+
+        def copy_obj(oc, s, jlo):
+            return pltpu.make_async_copy(
+                jarr_ref.at[pl.ds(jlo * RB, MAXJ[s] * RB), :],
+                jbuf.at[pl.ds((oc * TJ + MOFF[s]) * RB, MAXJ[s] * RB), :],
+                sems.at[oc * S + s],
+            )
+
+        for oc in range(CB):
+            for s in range(S):
+                jlo, _, jnum = window(oc, s)
+
+                @pl.when(jnum > 0)
+                def _(oc=oc, s=s, jlo=jlo):
+                    copy_obj(oc, s, jlo).start()
+
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+        lane_j = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+        tri = row_i > lane_j
+        big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+        for oc in range(CB):
+            blkT = jnp.transpose(own8_ref[oc * RB : (oc + 1) * RB, :])
+            own_cols = [
+                jnp.broadcast_to(blkT[:, a : a + 1], (CHUNK, CHUNK))
+                for a in range(D)
+            ]
+            own_k = jnp.broadcast_to(blkT[:, D : D + 1], (CHUNK, CHUNK))
+            if n_payload:
+                own_w = jnp.broadcast_to(blkT[:, D + 1 : D + 2],
+                                         (CHUNK, CHUNK))
+            if distributed:
+                gslot0 = (p * CB + oc) * CHUNK
+                owned = (row_i[:, 0:1] + gslot0) >= min_islot
+
+            for s in range(S):
+                jlo, _, jnum = window(oc, s)
+                lo_s = bands_ref[s, 0]
+                hi_s = bands_ref[s, 1]
+                w0 = oc * TJ + MOFF[s]
+
+                @pl.when(jnum > 0)
+                def _(oc=oc, s=s, jlo=jlo):
+                    copy_obj(oc, s, jlo).wait()
+
+                gtoff = bounds_ref[oc, 3 * s + 1]
+                gjnum = bounds_ref[oc, 3 * s + 2]
+
+                def tile(t, _, s=s, w0=w0, jlo=jlo, lo_s=lo_s, hi_s=hi_s,
+                         own_cols=own_cols, own_k=own_k, oc=oc,
+                         own_w=own_w if n_payload else None):
+                    blk = jbuf[pl.ds((w0 + t) * RB, RB), :]  # (8, 128)
+                    jk = blk[D : D + 1, :]
+                    diff = own_k - jk
+                    m = (diff >= lo_s) & (diff <= hi_s)
+                    if distributed:
+                        m = m & owned
+                    if s == 0:
+                        jcg = jlo + t
+                        ocg = p * CB + oc
+                        m = m & (tri | (jcg < ocg))
+                    dsq = jnp.zeros((CHUNK, CHUNK), dtype)
+                    for a in range(ncoord):
+                        d = own_cols[a] - blk[a : a + 1, :]
+                        if split:
+                            d = d + (own_cols[a + ncoord]
+                                     - blk[a + ncoord : a + ncoord + 1, :])
+                        dsq = dsq + d * d
+                    m = m & (dsq < csq)
+                    if n_payload:
+                        m = m & pair_mask(own_w, blk[D + 1 : D + 2, :])
+                    safe = jnp.where(m, dsq, big)
+                    for k in range(K):
+                        out_ref[k * CHUNK : (k + 1) * CHUNK] += (
+                            safe < edges_ref[k]
+                        ).astype(jnp.int32)
+                    return 0
+
+                jax.lax.fori_loop(gtoff, gtoff + gjnum, tile, 0)
+
+    return kernel
+
+
+def _packed_hist_core(planes, sorted_keys, strides, edges_sq, *, CB, MAXJ,
+                      interpret, split, payload=None, pair_mask=None,
+                      min_islot=0, distributed=False):
+    """Packed histogram pipeline (see `_packed_core`): returns
+    ((2, K) int32 hi/lo cumulative count planes, coverage_ok)."""
+    n = planes[0].shape[0]
+    dtype = planes[0].dtype
+    D = len(planes)
+    dim = D // 2 if split else D
+    S = num_segments(dim)
+    K = edges_sq.shape[0]
+    assert K <= 64, "tile histogram: K > 64 exceeds the VMEM budget"
+    if CB % 8 and not interpret:
+        raise ValueError("CB must be a multiple of 8 (SMEM sublane blocking)")
+
+    nc_pad = max(-(-n // (CHUNK * CB)) * CB, CB)
+    MAXJ = _norm_maxj(MAXJ, S, nc_pad)
+    C = nc_pad * CHUNK
+    keys_p = _pad_and_desentinel(sorted_keys, C)
+
+    csq = edges_sq[K - 1]
+    bands = segment_bands(strides)
+    jlo, toff, jnum, cov_ok = chunk_bounds(keys_p, bands, MAXJ)
+    bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(nc_pad, 3 * S)
+
+    jarr8 = _pack_blocks(planes, keys_p, csq, n, C, dtype, payload=payload)
+    if dtype == jnp.float32:
+        cov_ok = _key_exact_f32(keys_p, cov_ok)
+
+    kernel = _make_tile_hist_kernel_packed(
+        CB, S, MAXJ, D, K, dtype, split, distributed,
+        0 if payload is None else 1, pair_mask,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nc_pad // CB,),
+        in_specs=[
+            pl.BlockSpec((S, 2), lambda p: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((K,), lambda p: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda p: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((CB, 3 * S), lambda p: (p, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((CB * RB, CHUNK), lambda p: (p, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((K * CHUNK, CHUNK), lambda p: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K * CHUNK, CHUNK), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((CB * sum(MAXJ) * RB, CHUNK), dtype),
+            pltpu.SemaphoreType.DMA((CB * S,)),
+        ],
+        interpret=interpret,
+    )(
+        bands.astype(dtype),
+        jnp.asarray(edges_sq, dtype).reshape(K),
+        jnp.asarray(min_islot, jnp.int32).reshape(1),
+        bounds,
+        jarr8,
+        jarr8,
+    )
+    per_bin = out.reshape(K, CHUNK, CHUNK)
+    lo = jnp.sum(per_bin & 0xFFFF, axis=(1, 2))
+    hi = jnp.sum(per_bin >> 16, axis=(1, 2))
+    return jnp.stack([hi, lo]), cov_ok
+
+
+def tile_pair_hist(
+    sorted_pos: jax.Array,
+    sorted_keys: jax.Array,
+    strides: jax.Array,
+    edges_sq: jax.Array,
+    sorted_pos_lo: jax.Array | None = None,
+    sorted_payload: jax.Array | None = None,
+    *,
+    CB: int = 8,
+    MAXJ: int | tuple = 8,
+    interpret: bool = False,
+    min_islot=0,
+    pair_mask=None,
+):
+    """Cumulative pair-distance histogram over unique cutoff pairs, any
+    box shape (the tile sibling of `pallas_pairs.pair_lag_hist`; the
+    effective cutoff is ``sqrt(edges_sq[-1])``, which the binning grid
+    must have used). Returns ((2, K) int32 hi/lo planes — see
+    `combine_count_vec` — , coverage_ok). K <= 64 (VMEM); cost is linear
+    in K. ``sorted_payload`` + ``pair_mask`` mask candidate pairs (PBC
+    image dedup); ``min_islot`` is the distributed ownership rule."""
+    n, dim = sorted_pos.shape
+    split = sorted_pos_lo is not None
+    assert (sorted_payload is None) == (pair_mask is None), (
+        "pair_mask and sorted_payload go together"
+    )
+    planes = [sorted_pos[:, a] for a in range(dim)]
+    if split:
+        planes += [sorted_pos_lo[:, a] for a in range(dim)]
+    payload = None
+    if sorted_payload is not None:
+        payload = sorted_payload.reshape(n)
+    distributed = not (isinstance(min_islot, int) and min_islot == 0)
+    return _packed_hist_core(
+        planes, sorted_keys, strides, jnp.asarray(edges_sq), CB=CB,
+        MAXJ=MAXJ, interpret=interpret, split=split, payload=payload,
+        pair_mask=pair_mask, min_islot=min_islot, distributed=distributed,
+    )
+
+
 def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                                     gfn: Callable, dtype, split: bool):
     """Packed-layout forces kernel: full (mirrored) bands, i-side

@@ -693,16 +693,20 @@ def sharded_pair_hist(
     H: int,
     M: int = 1024,
     L: int = 256,
+    use_tile: bool = False,
+    MAXJ: int = 8,
     interpret: bool = False,
 ):
     """Jitted global pair-distance histogram over slab-sharded positions:
     cumulative counts of unique pairs with ``dsq < edges[k]^2``, every
     pair counted exactly once globally (larger-slot ownership over the
-    left-ghost halo, `pair_lag_hist` ``min_islot`` — the same rule as the
-    sharded energies). ``edges[-1]`` is the effective cutoff and sets the
-    grid geometry. Returns fn(positions) -> ((2, K) int32 hi/lo planes,
-    coverage_ok); reconstruct with `pallas_pairs.combine_count_vec` and
-    diff for shell counts (`ops.rdf` has the normalization)."""
+    left-ghost halo, ``min_islot`` — the same rule as the sharded
+    energies). ``edges[-1]`` is the effective cutoff and sets the grid
+    geometry. ``use_tile=True`` runs the segment-tile histogram kernel
+    (cubic/wide boxes, capacity ``MAXJ``). Returns fn(positions) ->
+    ((2, K) int32 hi/lo planes, coverage_ok); reconstruct with
+    `pallas_pairs.combine_count_vec` and diff for shell counts
+    (`ops.rdf` has the normalization)."""
     import numpy as np
 
     from ..ops.pallas_pairs import pair_lag_hist
@@ -719,6 +723,17 @@ def sharded_pair_hist(
         halo_ok = halo_coverage_ok(
             bins.sorted_keys, info.strides, H_eff, both_sides=False
         )
+        if use_tile:
+            from ..ops.tile_pairs import tile_pair_hist
+
+            gl_s, _ = _wrap_safe_ghosts(gl, gr, info, cutoff, H_eff)
+            ext = jnp.concatenate([gl_s, pos_s], axis=0)
+            keys_ext = compute_keys(ext, info)
+            packed, cap_ok = tile_pair_hist(
+                ext, keys_ext, info.strides, edges_sq.astype(pos.dtype),
+                MAXJ=MAXJ, interpret=interpret, min_islot=H_eff,
+            )
+            return jax.lax.psum(packed, AXIS), _all_ok(halo_ok & cap_ok)
         ext = jnp.concatenate([gl, pos_s], axis=0)
         keys_ext = compute_keys(ext, info)
         packed = pair_lag_hist(
