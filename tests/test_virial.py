@@ -1,0 +1,160 @@
+"""Virial / stress-tensor / pressure observables (ops.virial) vs f64
+brute-force oracles. An extension beyond the reference (which exposes raw
+pair iteration, src/cellgrid.rs:338-340, from which users fold such sums);
+correctness is defined by the standard pair-virial theorem."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zelll_tpu.core.grid import build
+from zelll_tpu.ops.virial import (
+    fused_virial,
+    kinetic_energy,
+    kinetic_stress,
+    lj_virial_term,
+    pair_stress_open,
+    pbc_stress,
+    pbc_virial,
+    pressure,
+    pressure_tensor,
+)
+
+
+def oracle_open(pts, cutoff):
+    """Open-boundary virial scalar + stress tensor (f64 numpy, O(n^2))."""
+    pts = np.asarray(pts, np.float64)
+    d = pts[:, None, :] - pts[None, :, :]
+    dsq = (d * d).sum(-1)
+    np.fill_diagonal(dsq, np.inf)
+    within = np.triu(dsq < cutoff * cutoff)
+    t = 1.0 / np.where(within, dsq, 1.0)
+    t3 = t * t * t
+    g = np.where(within, 24.0 * t3 * (2.0 * t3 - 1.0) * t, 0.0)
+    sigma = np.einsum("ij,ija,ijb->ab", g, d, d)
+    dsq_safe = np.where(within, dsq, 0.0)
+    return float((g * dsq_safe).sum()), sigma
+
+
+def oracle_pbc(pts, box, cutoff):
+    """Minimum-image virial scalar + stress tensor (f64 numpy, O(n^2))."""
+    pts = np.asarray(pts, np.float64)
+    box = np.asarray(box, np.float64)
+    d = pts[:, None, :] - pts[None, :, :]
+    d -= box * np.round(d / box)
+    dsq = (d * d).sum(-1)
+    np.fill_diagonal(dsq, np.inf)
+    within = np.triu(dsq < cutoff * cutoff)
+    t = 1.0 / np.where(within, dsq, 1.0)
+    t3 = t * t * t
+    g = np.where(within, 24.0 * t3 * (2.0 * t3 - 1.0) * t, 0.0)
+    sigma = np.einsum("ij,ija,ijb->ab", g, d, d)
+    dsq_safe = np.where(within, dsq, 0.0)
+    return float((g * dsq_safe).sum()), sigma
+
+
+def make_open(n=400, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(0, 1, size=(n, 3)) * np.array([6.0, 7.0, 8.0])
+    return jnp.asarray(pts), 1.0
+
+
+def make_pbc(n=256, box=(4.3, 5.1, 6.7), cutoff=1.0, seed=0):
+    rng = np.random.default_rng(seed)
+    box = np.asarray(box, np.float64)
+    pts = rng.uniform(0, 1, size=(n, 3)) * box
+    return jnp.asarray(pts), jnp.zeros((3,)), jnp.asarray(box), cutoff
+
+
+def test_fused_virial_vs_oracle():
+    pts, cutoff = make_open()
+    w_ref, _ = oracle_open(pts, cutoff)
+    grid = build(pts, cutoff)
+    w, ok = fused_virial(grid, M=512, L=256, interpret=True)
+    assert bool(ok)
+    assert abs(float(w) - w_ref) <= 1e-9 * max(1.0, abs(w_ref))
+
+
+@pytest.mark.parametrize("path,kw", [
+    ("lag", dict(M=512, L=512)),
+    ("tile", dict(MAXJ=32)),
+    ("xla", dict(K=32)),
+])
+def test_pbc_virial_all_paths(path, kw):
+    pts, origin, box, cutoff = make_pbc(seed=1)
+    w_ref, _ = oracle_pbc(pts, box, cutoff)
+    w, ok = pbc_virial(
+        pts, origin, box, cutoff, path=path, interpret=True, **kw
+    )
+    assert bool(ok)
+    assert abs(float(w) - w_ref) <= 1e-9 * max(1.0, abs(w_ref))
+
+
+def test_open_stress_vs_oracle_and_trace():
+    pts, cutoff = make_open(seed=2)
+    w_ref, sigma_ref = oracle_open(pts, cutoff)
+    sigma, ok = pair_stress_open(pts, cutoff)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(sigma), sigma_ref, rtol=1e-9,
+                               atol=1e-9)
+    assert abs(float(jnp.trace(sigma)) - w_ref) <= 1e-9 * max(1.0, abs(w_ref))
+
+
+def test_pbc_stress_vs_oracle_and_trace():
+    pts, origin, box, cutoff = make_pbc(seed=3)
+    w_ref, sigma_ref = oracle_pbc(pts, box, cutoff)
+    sigma, ok = pbc_stress(pts, origin, box, cutoff)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(sigma), sigma_ref, rtol=1e-9,
+                               atol=1e-9)
+    assert abs(float(jnp.trace(sigma)) - w_ref) <= 1e-9 * max(1.0, abs(w_ref))
+
+
+def test_pbc_stress_dense_corners():
+    # dense cubic box: many corner ghosts exercise the half-weight rule
+    pts, origin, box, cutoff = make_pbc(n=200, box=(3.0, 3.0, 3.0),
+                                        cutoff=1.2, seed=4)
+    _, sigma_ref = oracle_pbc(pts, box, cutoff)
+    sigma, ok = pbc_stress(pts, origin, box, cutoff)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(sigma), sigma_ref, rtol=1e-9,
+                               atol=1e-9)
+
+
+def test_kinetic_and_pressure_ideal_gas():
+    # interaction-free limit: P V = (2/3) KE exactly
+    rng = np.random.default_rng(5)
+    v = jnp.asarray(rng.normal(size=(1000, 3)))
+    ke = kinetic_energy(v)
+    np.testing.assert_allclose(
+        float(ke), 0.5 * float((np.asarray(v) ** 2).sum()), rtol=1e-12
+    )
+    sk = kinetic_stress(v)
+    np.testing.assert_allclose(
+        float(jnp.trace(sk)), 2.0 * float(ke), rtol=1e-12
+    )
+    vol = 123.0
+    p = pressure(0.0, ke, vol)
+    np.testing.assert_allclose(
+        float(p), 2.0 * float(ke) / (3.0 * vol), rtol=1e-12
+    )
+    pt = pressure_tensor(jnp.zeros((3, 3)), sk, vol)
+    np.testing.assert_allclose(
+        float(jnp.trace(pt)) / 3.0, float(p), rtol=1e-12
+    )
+
+
+def test_virial_term_matches_force_factor():
+    from zelll_tpu.ops.lj import lj_force_factor
+    from zelll_tpu.ops.virial import virial_term_from_gfn
+
+    dsq = jnp.asarray(np.random.default_rng(6).uniform(0.5, 2.0, 64))
+    np.testing.assert_allclose(
+        np.asarray(lj_virial_term(dsq)),
+        np.asarray(lj_force_factor(dsq) * dsq),
+        rtol=1e-12,
+    )
+    # the generic wrapper is cached per gfn identity (no retrace per call)
+    assert virial_term_from_gfn(lj_force_factor) is virial_term_from_gfn(
+        lj_force_factor
+    )

@@ -43,6 +43,7 @@ __all__ = [
     "scan_cell_chunks",
     "pair_sum",
     "pair_forces",
+    "pair_stress",
     "count_pairs",
     "materialize_pairs",
     "query_neighbors",
@@ -304,6 +305,95 @@ def pair_forces(
         grid, body, forces, K=K, chunk=chunk, half=True, dense=dense
     )
     return grid.unsort(forces[:n])
+
+
+def pair_stress(
+    grid: CellGridData,
+    gfn: Callable,
+    *,
+    K: int,
+    chunk: int = 256,
+    cutoff_sq=None,
+    slot_weights: jax.Array | None = None,
+    dense=None,
+):
+    """Configurational stress (pair-virial) tensor, summed over unique pairs:
+
+        sigma_ab = sum_pairs w_pair * gfn(dsq) * dx_a * dx_b
+
+    with ``dx = p_i - p_j`` and ``gfn`` the force factor (force on i from j
+    is ``gfn(dsq) * dx``, as in `pair_forces`). The trace recovers the
+    scalar virial ``sum f_ij . r_ij``; divide by volume (and add the
+    kinetic term) for the pressure tensor. The reference exposes raw pair
+    iteration (`src/cellgrid.rs:338-340`) from which users fold such sums;
+    here the fold is fused so the pair list never materializes.
+
+    ``slot_weights``: optional (n,) per-SORTED-slot weights;
+    ``w_pair = 0.5 * (w_i + w_j)``. With 1 on real rows and 0 on periodic
+    ghost images, each minimum-image cross pair (i, j_ghost) plus its
+    mirror (j, i_ghost) sums to weight 1 and ghost-ghost pairs vanish —
+    the PBC ownership rule for global tensor sums. Default weight 1.
+
+    Returns a symmetric (dim, dim) tensor.
+    """
+    dim = grid.sorted_pos.shape[1]
+    dtype = grid.sorted_pos.dtype
+    if slot_weights is not None:
+        # masked slots point at n (see _gather_window): a zero dump row
+        w_ext = jnp.concatenate(
+            [slot_weights.astype(dtype), jnp.zeros((1,), dtype)]
+        )
+
+    def masked_g(dsq, mask):
+        if cutoff_sq is not None:
+            mask = mask & (dsq < cutoff_sq)
+        safe = jnp.where(mask, dsq, jnp.ones_like(dsq))
+        return jnp.where(mask, gfn(safe), 0).astype(dtype)
+
+    def accumulate(acc, ds, g, slots_a, slots_b):
+        if slot_weights is not None:
+            g = g * (0.5 * (w_ext[slots_a][:, :, None] + w_ext[slots_b][:, None, :]))
+        for a in range(dim):
+            gda = g * ds[a]
+            for b in range(a, dim):
+                acc[a][b] = acc[a][b] + jnp.sum(gda * ds[b])
+        return acc
+
+    def body(acc, blk: PairBlock):
+        def axis_pairs(a_pos, b_pos):
+            return [
+                a_pos[..., ax][:, :, None] - b_pos[..., ax][:, None, :]
+                for ax in range(dim)
+            ]
+
+        # intra-cell (strictly-upper triangle = each unordered pair once)
+        ds = axis_pairs(blk.own_pos, blk.own_pos)
+        dsq_a, m_a = blk.intra_dsq()
+        acc = accumulate(
+            acc, ds, masked_g(dsq_a, m_a), blk.own_slots, blk.own_slots
+        )
+        # inter-cell (half stencil = each unordered pair once)
+        ds = axis_pairs(blk.own_pos, blk.nb_pos)
+        dsq_e, m_e = blk.inter_dsq()
+        acc = accumulate(
+            acc, ds, masked_g(dsq_e, m_e), blk.own_slots, blk.nb_slots
+        )
+        return acc
+
+    zero = jnp.zeros((), dtype)
+    init = [
+        {b: zero for b in range(a, dim)} for a in range(dim)
+    ]
+    acc = scan_cell_chunks(
+        grid, body, init, K=K, chunk=chunk, half=True, dense=dense
+    )
+    out = jnp.zeros((dim, dim), dtype)
+    for a in range(dim):
+        for b in range(a, dim):
+            out = out.at[a, b].set(acc[a][b])
+            if b != a:
+                out = out.at[b, a].set(acc[a][b])
+    return out
 
 
 def pair_energy_per_particle(
