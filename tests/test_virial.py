@@ -158,3 +158,70 @@ def test_virial_term_matches_force_factor():
     assert virial_term_from_gfn(lj_force_factor) is virial_term_from_gfn(
         lj_force_factor
     )
+
+
+def test_sharded_virial_open_matches_oracle():
+    """Multi-chip scalar virial: `sharded_lj_energy(term=lj_virial_term)`
+    on the 8-device mesh vs the f64 O(n^2) oracle (the virial is a plain
+    pair term, so the slab machinery needs no changes)."""
+    import jax
+
+    from zelll_tpu.parallel import (
+        make_mesh,
+        partition_by_slab,
+        sharded_lj_energy,
+    )
+
+    rng = np.random.default_rng(7)
+    n, cutoff = 512, 1.0
+    pts = rng.uniform(0, 1, size=(n, 3)) * np.array([3.0, 3.0, 24.0])
+    w_ref, _ = oracle_open(pts, cutoff)
+
+    mesh = make_mesh(8)
+    parts, n_local = partition_by_slab(pts, cutoff, 8)
+    pos = jax.device_put(
+        jnp.asarray(parts),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("z", None)
+        ),
+    )
+    efn = sharded_lj_energy(
+        mesh, cutoff=cutoff, H=n_local, M=512, L=512,
+        term=lj_virial_term, interpret=True,
+    )
+    w, ok = efn(pos)
+    assert bool(ok)
+    assert abs(float(w) - w_ref) <= 1e-9 * max(1.0, abs(w_ref))
+
+
+def test_sharded_virial_pbc_matches_oracle():
+    """Multi-chip PBC scalar virial over the slab ring."""
+    import jax
+
+    from zelll_tpu.parallel import make_mesh
+    from zelll_tpu.parallel.pbc import (
+        partition_by_slab_pbc,
+        sharded_pbc_lj_energy,
+    )
+
+    rng = np.random.default_rng(8)
+    n, cutoff = 512, 1.0
+    box = np.array([4.1, 4.7, 30.0])
+    pts = rng.uniform(0, 1, size=(n, 3)) * box
+    w_ref, _ = oracle_pbc(pts, box, cutoff)
+
+    mesh = make_mesh(8)
+    parts, n_local = partition_by_slab_pbc(pts, np.zeros(3), box, cutoff, 8)
+    pos = jax.device_put(
+        jnp.asarray(parts),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("z", None)
+        ),
+    )
+    efn = sharded_pbc_lj_energy(
+        mesh, origin=np.zeros(3), box=box, cutoff=cutoff, H=n_local,
+        M=512, L=512, term=lj_virial_term, interpret=True,
+    )
+    w, ok = efn(pos)
+    assert bool(ok)
+    assert abs(float(w) - w_ref) <= 1e-9 * max(1.0, abs(w_ref))
