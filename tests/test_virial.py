@@ -225,3 +225,82 @@ def test_sharded_virial_pbc_matches_oracle():
     w, ok = efn(pos)
     assert bool(ok)
     assert abs(float(w) - w_ref) <= 1e-9 * max(1.0, abs(w_ref))
+
+
+@pytest.mark.parametrize("path,kw", [
+    ("lag", dict(M=512, L=512)),
+    ("tile", dict(MAXJ=32)),
+])
+def test_fused_stress_open_vs_oracle(path, kw):
+    """r (x) f contraction over one forces pass == sum g dx (x) dx."""
+    from zelll_tpu.ops.virial import fused_stress_open
+
+    pts, cutoff = make_open(seed=9)
+    w_ref, sigma_ref = oracle_open(pts, cutoff)
+    sigma, ok = fused_stress_open(
+        pts, cutoff, path=path, interpret=True, **kw
+    )
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(sigma), sigma_ref, rtol=1e-9,
+                               atol=1e-9)
+    assert abs(float(jnp.trace(sigma)) - w_ref) <= 1e-9 * max(1.0, abs(w_ref))
+
+
+@pytest.mark.parametrize("path,kw,case", [
+    ("lag", dict(M=512, L=512), dict(seed=10)),
+    ("tile", dict(MAXJ=32), dict(seed=11)),
+    ("lag", dict(M=512, L=512),
+     dict(n=200, box=(3.0, 3.0, 3.0), cutoff=1.2, seed=12)),  # corner ghosts
+])
+def test_pbc_stress_fused_vs_oracle(path, kw, case):
+    """Three-pass ghost decomposition (A - B + C)/2 == minimum-image
+    sum g dx (x) dx, on both fused kernels."""
+    from zelll_tpu.ops.virial import pbc_stress_fused
+
+    pts, origin, box, cutoff = make_pbc(**case)
+    w_ref, sigma_ref = oracle_pbc(pts, box, cutoff)
+    sigma, ok = pbc_stress_fused(
+        pts, origin, box, cutoff, path=path, interpret=True, **kw
+    )
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(sigma), sigma_ref, rtol=1e-9,
+                               atol=1e-9)
+    assert abs(float(jnp.trace(sigma)) - w_ref) <= 1e-9 * max(1.0, abs(w_ref))
+
+
+def test_fused_stress_2d_falls_back_to_xla():
+    """dim != 3 dispatches to the N-dim XLA bucketed path."""
+    from zelll_tpu.ops.virial import fused_stress_open, pbc_stress_fused
+
+    rng = np.random.default_rng(13)
+    pts2 = jnp.asarray(rng.uniform(0, 1, size=(128, 2)) * 5.0)
+    cutoff = 1.0
+    # open: oracle in 2D
+    p = np.asarray(pts2, np.float64)
+    d = p[:, None, :] - p[None, :, :]
+    dsq = (d * d).sum(-1)
+    np.fill_diagonal(dsq, np.inf)
+    within = np.triu(dsq < cutoff * cutoff)
+    t = 1.0 / np.where(within, dsq, 1.0)
+    t3 = t * t * t
+    g = np.where(within, 24.0 * t3 * (2.0 * t3 - 1.0) * t, 0.0)
+    sigma_ref = np.einsum("ij,ija,ijb->ab", g, d, d)
+    sigma, ok = fused_stress_open(pts2, cutoff)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(sigma), sigma_ref, rtol=1e-9,
+                               atol=1e-9)
+    # PBC 2D
+    box = np.array([5.0, 5.0])
+    dp = p[:, None, :] - p[None, :, :]
+    dp -= box * np.round(dp / box)
+    dsq = (dp * dp).sum(-1)
+    np.fill_diagonal(dsq, np.inf)
+    within = np.triu(dsq < cutoff * cutoff)
+    t = 1.0 / np.where(within, dsq, 1.0)
+    t3 = t * t * t
+    g = np.where(within, 24.0 * t3 * (2.0 * t3 - 1.0) * t, 0.0)
+    sigma_ref = np.einsum("ij,ija,ijb->ab", g, dp, dp)
+    sigma, ok = pbc_stress_fused(pts2, jnp.zeros(2), jnp.asarray(box), cutoff)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(sigma), sigma_ref, rtol=1e-9,
+                               atol=1e-9)

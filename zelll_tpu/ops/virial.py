@@ -44,6 +44,8 @@ __all__ = [
     "pbc_virial",
     "pair_stress_open",
     "pbc_stress",
+    "fused_stress_open",
+    "pbc_stress_fused",
     "kinetic_energy",
     "kinetic_stress",
     "pressure",
@@ -182,6 +184,167 @@ def pbc_stress(
         slot_weights=weights,
     )
     return sigma, ok
+
+
+def _rf_contract(pos, f, center, pos_lo=None):
+    """sum_i (r_i - center) (x) f_i, axis-unrolled (never a matmul: Mosaic
+    f32 dots carry one bf16 pass — silently wrong for value-bearing
+    operands, CLAUDE.md) and symmetrized. ``center`` only improves
+    conditioning: sum f_i = 0 exactly for pairwise both-endpoint kernels,
+    so the result is center-invariant."""
+    dim = pos.shape[1]
+    r = [pos[:, a] - center[a] for a in range(dim)]
+    if pos_lo is not None:
+        r = [ra + pos_lo[:, a] for a, ra in enumerate(r)]
+    out = jnp.zeros((dim, dim), pos.dtype)
+    for a in range(dim):
+        for b in range(dim):
+            out = out.at[a, b].set(jnp.sum(r[a] * f[:, b]))
+    return 0.5 * (out + out.T)
+
+
+def _forces_pass(positions, cutoff, center, *, gfn, path, M, L, MAXJ, CB,
+                 interpret, valid=None, positions_lo=None):
+    """One fused forces pass -> (sum (r-center) (x) f over ALL rows, ok).
+
+    For both kernels, summing r (x) f over every sorted row equals
+    sum_pairs gfn(dsq) * dx (x) dx over exactly the pairs the kernel
+    counts: the lag path applies Newton's +/-f to both endpoints of each
+    unique pair; the tile path accumulates both ordered directions
+    (i-side for every row, ghosts included). Rows masked by ``valid``
+    never pair (sentinel keys) and carry zero force.
+    """
+    from ..core.binning import bin_and_sort
+
+    dim = positions.shape[1]
+    if positions_lo is not None:
+        stacked = jnp.concatenate([positions, positions_lo], axis=1)
+        from ..core.geometry import GridInfo, aabb_from_positions
+
+        info = GridInfo.create(
+            aabb_from_positions(positions, valid=valid), cutoff,
+            auto_order=True,
+        )
+        bins, sorted_cols = bin_and_sort(
+            stacked, cutoff, max_cells=1, need_perm=False, valid=valid,
+            info=info,
+        )
+        sp, slo = sorted_cols[:, :dim], sorted_cols[:, dim:]
+    else:
+        bins, sp = bin_and_sort(
+            positions, cutoff, max_cells=1, need_perm=False, valid=valid,
+            auto_order=True,
+        )
+        slo = None
+    csq = jnp.asarray(cutoff, positions.dtype) ** 2
+    if path == "tile":
+        from .tile_pairs import tile_pair_forces
+
+        f, ok = tile_pair_forces(
+            sp, bins.sorted_keys, bins.info.strides, csq, slo,
+            CB=CB, MAXJ=MAXJ, gfn=gfn, interpret=interpret,
+        )
+    elif path == "lag":
+        from .pallas_pairs import lag_coverage_ok, pair_lag_forces
+
+        f = pair_lag_forces(
+            sp, bins.sorted_keys, bins.info.strides, csq, slo,
+            M=M, L=L, gfn=gfn, interpret=interpret,
+        )
+        ok = lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
+    else:
+        raise ValueError(f"unknown path {path!r} (lag | tile)")
+    return _rf_contract(sp, f, center, slo), ok
+
+
+def fused_stress_open(
+    positions: jax.Array,
+    cutoff,
+    *,
+    gfn: Callable | None = None,
+    path: str = "lag",
+    M: int = 1024,
+    L: int = 256,
+    MAXJ=8,
+    CB: int = 8,
+    interpret: bool = False,
+    positions_lo: jax.Array | None = None,
+):
+    """Configurational stress tensor at fused-kernel speed, open
+    boundaries: one forces pass + one r (x) f contraction (the pair list
+    never materializes; no kernel changes). ``path="lag"`` for thin
+    boxes, ``"tile"`` for cubic/wide. Returns ((dim, dim), ok).
+
+    Prefer this over `pair_stress_open` above ~1e5 particles; the XLA
+    bucketed path remains the N-dimensional/arbitrary-weights fallback
+    (dim != 3 dispatches there automatically — the fused kernels are
+    3D-only, the reference is generic over N, lib.rs:132-135).
+    """
+    dim = positions.shape[1]
+    if dim != 3:
+        return pair_stress_open(positions, cutoff, gfn=gfn)
+    center = [
+        0.5 * (jnp.min(positions[:, a]) + jnp.max(positions[:, a]))
+        for a in range(dim)
+    ]
+    return _forces_pass(
+        positions, cutoff, center, gfn=gfn, path=path, M=M, L=L,
+        MAXJ=MAXJ, CB=CB, interpret=interpret, positions_lo=positions_lo,
+    )
+
+
+def pbc_stress_fused(
+    positions: jax.Array,
+    origin,
+    box,
+    cutoff,
+    *,
+    gfn: Callable | None = None,
+    path: str = "lag",
+    B: int | None = None,
+    G: int | None = None,
+    M: int = 1024,
+    L: int = 256,
+    MAXJ=8,
+    CB: int = 8,
+    interpret: bool = False,
+):
+    """Configurational stress tensor at fused-kernel speed under
+    orthorhombic PBC, by a three-pass ghost decomposition:
+
+        A = extended pass (reals + ghost images):  RR + 2*RG + GG
+        B = ghosts-only pass:                      GG
+        C = reals-only pass (direct pairs):        RR
+        sigma = (A - B + C) / 2              =     RR + RG
+
+    Each minimum-image cross pair appears TWICE in the extension — as
+    (i, j_ghost) and its mirror (j, i_ghost), with identical dx (x) dx —
+    so A counts it twice, B removes ghost-ghost artifacts, and C restores
+    the direct pairs to weight 2. ~2.2x one forces pass at cubic-box
+    ghost fractions; the XLA `pbc_stress` stays as the N-dim fallback.
+    Returns ((dim, dim), ok).
+    """
+    from .pbc import pbc_extend, suggest_pbc_capacity
+
+    n, dim = positions.shape
+    if dim != 3:
+        return pbc_stress(positions, origin, box, cutoff, gfn=gfn, B=B, G=G)
+    if B is None or G is None:
+        Bd, Gd = suggest_pbc_capacity(n, box, cutoff)
+        B = Bd if B is None else B
+        G = Gd if G is None else G
+    ext, _ext_lo, _w, valid, ok = pbc_extend(
+        positions, origin, box, cutoff, B=B, G=G
+    )
+    center = [origin[a] + 0.5 * box[a] for a in range(dim)]
+    kw = dict(gfn=gfn, path=path, M=M, L=L, MAXJ=MAXJ, CB=CB,
+              interpret=interpret)
+    s_a, ok_a = _forces_pass(ext, cutoff, center, valid=valid, **kw)
+    s_b, ok_b = _forces_pass(
+        ext[n:], cutoff, center, valid=valid[n:], **kw
+    )
+    s_c, ok_c = _forces_pass(positions, cutoff, center, **kw)
+    return 0.5 * (s_a - s_b + s_c), ok & ok_a & ok_b & ok_c
 
 
 def kinetic_energy(velocities: jax.Array):
