@@ -217,6 +217,54 @@ def main():
         check(f"xla_pair_sum[{boxname}]",
               abs(float(e) - e_ref) / abs(e_ref), f32_tol)
 
+        # virial (scalar pair term on both kernels) + fused stress
+        # (one forces pass + r(x)f contraction) vs f64 brute force
+        from zelll_tpu.ops.tile_pairs import tile_lj_rebuild_energy as _tre
+        from zelll_tpu.ops.virial import (
+            fused_stress_open,
+            lj_virial_term,
+            virial_rebuild,
+        )
+
+        hi64 = np.asarray(hi, np.float64)
+        d_o = hi64[:, None] - hi64[None, :]
+        dsq_o = (d_o * d_o).sum(-1)
+        np.fill_diagonal(dsq_o, np.inf)
+        w_o = dsq_o < csq
+        t_o = np.where(w_o, 1.0 / np.where(w_o, dsq_o, 1.0), 0.0) ** 3
+        gv_o = np.where(w_o, 24 * t_o * (2 * t_o - 1), 0.0)  # g * dsq
+        w_ref_v = float(gv_o.sum() / 2)
+        vscale = max(abs(w_ref_v), np.abs(gv_o).sum() / 2, 1e-30)
+        g_o = gv_o / np.where(w_o, dsq_o, 1.0)
+        sig_ref = np.einsum("ij,ija,ijb->ab", g_o, d_o, d_o) / 2
+        sscale = np.abs(sig_ref).max() + 1e-30
+        # the contraction sums r*f products with |r| ~ box/2: cancellation
+        # in the f32 accumulation scales with the box aspect
+        stress_tol = max(f32_tol * 10, 1e-3)
+
+        w, ok = virial_rebuild(hi, CUTOFF, M=4096, L=1024)
+        assert bool(ok)
+        check(f"virial_lag_f32[{boxname}]",
+              abs(float(w) - w_ref_v) / vscale, f32_tol)
+
+        w, ok = virial_rebuild(hi, CUTOFF, lo, M=4096, L=1024)
+        assert bool(ok)
+        check(f"virial_lag_split[{boxname}]",
+              abs(float(w) - w_ref_v) / vscale, 2e-6)
+
+        w, ok = _tre(hi, CUTOFF, MAXJ=24, term=lj_virial_term)
+        assert bool(ok)
+        check(f"virial_tile_f32[{boxname}]",
+              abs(float(w) - w_ref_v) / vscale, f32_tol)
+
+        for spath, skw in [("lag", dict(M=4096, L=1024)),
+                           ("tile", dict(MAXJ=24))]:
+            sig, ok = fused_stress_open(hi, CUTOFF, path=spath, **skw)
+            assert bool(ok)
+            check(f"stress_{spath}_f32[{boxname}]",
+                  np.abs(np.asarray(sig, np.float64) - sig_ref).max()
+                  / sscale, stress_tol)
+
         # fused pair-distance histogram (split): cumulative counts vs the
         # f64 brute force. Bin-boundary ties under f32x2 distance rounding
         # can flip a handful of pairs between adjacent shells, so the
@@ -341,6 +389,37 @@ def main():
         check(f"pbc_forces_tile_split[{boxname}]",
               np.abs(np.asarray(f, np.float64) - f_mi).max() / fscale_mi,
               2e-6)
+
+        # PBC virial (sign-masked scalar term) + three-pass fused stress
+        from zelll_tpu.ops.virial import pbc_stress_fused, pbc_virial
+
+        hp64 = np.asarray(hi_p, np.float64)
+        dmi32 = hp64[:, None] - hp64[None, :]
+        dmi32 -= boxa * np.round(dmi32 / boxa)
+        dsq32 = (dmi32 * dmi32).sum(-1)
+        np.fill_diagonal(dsq32, np.inf)
+        wmi32 = dsq32 < csq
+        tmi32 = np.where(wmi32, 1.0 / np.where(wmi32, dsq32, 1.0), 0.0) ** 3
+        gv_mi = np.where(wmi32, 24 * tmi32 * (2 * tmi32 - 1), 0.0)
+        w_mi_ref = float(gv_mi.sum() / 2)
+        vscale_mi = max(abs(w_mi_ref), np.abs(gv_mi).sum() / 2, 1e-30)
+        g_mi32 = gv_mi / np.where(wmi32, dsq32, 1.0)
+        sig_mi = np.einsum("ij,ija,ijb->ab", g_mi32, dmi32, dmi32) / 2
+        sscale_mi = np.abs(sig_mi).max() + 1e-30
+
+        for vpath, vkw in [("lag", dict(M=4096, L=1024)),
+                           ("tile", dict(MAXJ=24))]:
+            w, ok = pbc_virial(hi_p, org, boxj, CUTOFF, path=vpath, **vkw)
+            assert bool(ok)
+            check(f"pbc_virial_{vpath}_f32[{boxname}]",
+                  abs(float(w) - w_mi_ref) / vscale_mi, f32_tol)
+            sig, ok = pbc_stress_fused(
+                hi_p, org, boxj, CUTOFF, path=vpath, **vkw
+            )
+            assert bool(ok)
+            check(f"pbc_stress_{vpath}_f32[{boxname}]",
+                  np.abs(np.asarray(sig, np.float64) - sig_mi).max()
+                  / sscale_mi, stress_tol)
 
         if boxname == "cubic":
             # Verlet-skin PBC MD on the tile kernel vs the rebuild-every-
