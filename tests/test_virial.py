@@ -304,3 +304,16 @@ def test_fused_stress_2d_falls_back_to_xla():
     assert bool(ok)
     np.testing.assert_allclose(np.asarray(sigma), sigma_ref, rtol=1e-9,
                                atol=1e-9)
+
+
+def test_api_virial_stress_methods():
+    from zelll_tpu.api import CellGrid
+
+    pts, cutoff = make_open(n=200, seed=14)
+    w_ref, sigma_ref = oracle_open(pts, cutoff)
+    cg = CellGrid(np.asarray(pts), cutoff=cutoff)
+    assert abs(cg.virial() - w_ref) <= 1e-9 * max(1.0, abs(w_ref))
+    np.testing.assert_allclose(cg.stress(), sigma_ref, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.trace(cg.stress()), cg.virial(), rtol=1e-9)
+    # degenerate: empty grid
+    assert CellGrid([], cutoff=1.0).virial() == 0.0

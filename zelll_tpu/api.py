@@ -456,6 +456,40 @@ class CellGrid:
             lj_energy(self._grid, K=self._K, chunk=min(256, self._grid.bins.max_cells))
         )
 
+    def virial(self) -> float:
+        """Scalar pair virial W = sum f_ij . r_ij over cutoff pairs
+        (fused on device; trace of `stress`). See `ops.virial`."""
+        if self._grid is None or len(self._pts) < 2:
+            return 0.0
+        from .core.pairs import pair_sum
+        from .ops.virial import lj_virial_term
+
+        return float(
+            pair_sum(
+                self._grid, lj_virial_term, K=self._K,
+                chunk=min(256, self._grid.bins.max_cells),
+                cutoff_sq=self._cutoff**2,
+            )
+        )
+
+    def stress(self) -> np.ndarray:
+        """Configurational stress tensor sum g(dsq) dx (x) dx over cutoff
+        pairs (open boundaries, N-dimensional). Returns (dim, dim);
+        divide by volume (+ kinetic term) for the pressure tensor."""
+        dim = self._pts.shape[1] if self._pts.ndim == 2 else 3
+        if self._grid is None or len(self._pts) < 2:
+            return np.zeros((dim, dim))
+        from .core.pairs import pair_stress
+        from .ops.lj import lj_force_factor
+
+        return np.asarray(
+            pair_stress(
+                self._grid, lj_force_factor, K=self._K,
+                chunk=min(256, self._grid.bins.max_cells),
+                cutoff_sq=self._cutoff**2,
+            )
+        )
+
     @property
     def positions(self) -> np.ndarray:
         return self._pts
