@@ -74,3 +74,64 @@ def test_md_energy_conserved_soft_start():
         st, ok = md_step(st, 1.2, 2e-4, M=256, L=256, interpret=True)
     e1 = total_energy(st)
     assert abs(e1 - e0) / abs(e0) < 5e-3, (e0, e1)
+
+
+def _total_energy(st, cutoff):
+    from zelll_tpu.ops.fused import fused_lj_rebuild_energy
+
+    pe, ok = fused_lj_rebuild_energy(
+        st.positions, cutoff, M=256, L=256, interpret=True
+    )
+    assert bool(ok)
+    ke = 0.5 * float(jnp.sum(st.velocities**2))
+    return float(pe) + ke
+
+
+def test_vv_energy_drift_beats_euler():
+    """Velocity Verlet (md_run_vv) is 2nd-order symplectic: at the same
+    one-force-eval-per-step cost its energy error is O(dt^2) vs the
+    semi-implicit Euler loop's O(dt). Fixture: a compact 27-atom cluster
+    whose pairs all stay inside the cutoff (crossing the truncated,
+    unshifted cutoff jumps the energy by lj(cutoff) — a potential
+    discontinuity, not integrator error — which would swamp the check)."""
+    from zelll_tpu.models.lj_md import md_run, md_run_vv
+
+    rng = np.random.default_rng(3)
+    g = np.stack(
+        np.meshgrid(*[np.arange(3.0)] * 3, indexing="ij"), -1
+    ).reshape(-1, 3) * 1.12
+    pts = g + rng.uniform(-0.03, 0.03, g.shape)
+    vel = rng.normal(0, 0.1, pts.shape)
+    st0 = MDState(positions=jnp.asarray(pts), velocities=jnp.asarray(vel))
+    cutoff, dt, steps = 5.0, 1e-3, 100
+    e0 = _total_energy(st0, cutoff)
+
+    st_e, ok_e, _ = md_run(st0, cutoff, dt, steps=steps, M=256, L=256,
+                           interpret=True)
+    st_v, ok_v, _ = md_run_vv(st0, cutoff, dt, steps=steps, M=256, L=256,
+                              interpret=True)
+    assert bool(ok_e) and bool(ok_v)
+    drift_euler = abs(_total_energy(st_e, cutoff) - e0)
+    drift_vv = abs(_total_energy(st_v, cutoff) - e0)
+    # measured (f64 CPU): euler ~1.1e-2, vv ~2.5e-5 at this dt
+    assert drift_vv < drift_euler / 10, (drift_vv, drift_euler)
+    assert drift_vv < 2e-4
+
+
+def test_vv_momentum_conserved():
+    from zelll_tpu.models.lj_md import md_run_vv
+
+    rng = np.random.default_rng(4)
+    g = np.stack(
+        np.meshgrid(*[np.arange(5.0)] * 3, indexing="ij"), -1
+    ).reshape(-1, 3) * 1.1
+    pts = g + rng.uniform(-0.05, 0.05, g.shape)
+    vel = rng.normal(0, 0.05, pts.shape)
+    p0 = vel.sum(axis=0)
+    st0 = MDState(positions=jnp.asarray(pts), velocities=jnp.asarray(vel))
+    st, ok, _ = md_run_vv(st0, 1.2, 1e-4, steps=20, M=256, L=256,
+                          interpret=True)
+    assert bool(ok)
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(st.velocities, axis=0)), p0, rtol=0, atol=1e-10
+    )

@@ -34,6 +34,7 @@ __all__ = [
     "MDStateSplit",
     "md_step",
     "md_run",
+    "md_run_vv",
     "md_step_split",
     "md_run_skin",
     "md_run_skin_pbc",
@@ -208,6 +209,66 @@ def md_run(
         M=M, L=L, term=lj_term, interpret=interpret,
     )
     return state, ok, energy
+
+
+@partial(jax.jit, static_argnames=("steps", "M", "L", "interpret"))
+def md_run_vv(
+    state: MDState,
+    cutoff,
+    dt,
+    *,
+    steps: int,
+    M: int = 4096,
+    L: int = 256,
+    interpret: bool = False,
+):
+    """Velocity-Verlet trajectory fully on device: second-order symplectic
+    at the SAME one-force-evaluation-per-step cost as `md_run` (the
+    previous step's forces are carried in the scan; the half-kicked
+    velocities ride the per-step re-sort as payload columns, so the new
+    forces land in the matching sorted order). One extra force
+    evaluation initializes the carry. Energy drift is O(dt^2) vs the
+    semi-implicit Euler loop's O(dt).
+
+    Returns (state, all_covered, final_energy).
+    """
+    csq = jnp.asarray(cutoff, state.positions.dtype) ** 2
+
+    def sort_and_forces(pos, vel):
+        bins, cols = bin_and_sort(
+            jnp.concatenate([pos, vel], axis=1), cutoff,
+            max_cells=1, need_perm=False,
+        )
+        spos, svel = cols[:, :3], cols[:, 3:]
+        f = pair_lag_forces(
+            spos, bins.sorted_keys, bins.info.strides, csq,
+            M=M, L=L, gfn=lj_force_factor, interpret=interpret,
+        )
+        ok = lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
+        return spos, svel, f, ok, bins
+
+    spos, svel, f, ok0, _ = sort_and_forces(
+        state.positions, state.velocities
+    )
+
+    def body(carry, _):
+        pos, vel, f, okacc = carry
+        vhalf = vel + (0.5 * dt) * f
+        pos = pos + dt * vhalf
+        pos, vhalf, f_new, ok, _ = sort_and_forces(pos, vhalf)
+        vel_new = vhalf + (0.5 * dt) * f_new
+        return (pos, vel_new, f_new, okacc & ok), None
+
+    (pos, vel, f, ok), _ = jax.lax.scan(
+        body, (spos, svel, f, ok0), None, length=steps
+    )
+
+    bins, spos2 = bin_and_sort(pos, cutoff, max_cells=1, need_perm=False)
+    energy = pair_lag_reduce(
+        spos2, bins.sorted_keys, bins.info.strides, csq,
+        M=M, L=L, term=lj_term, interpret=interpret,
+    )
+    return MDState(positions=pos, velocities=vel), ok, energy
 
 
 @partial(jax.jit, static_argnames=("steps", "M", "L", "interpret"))
