@@ -445,3 +445,36 @@ def test_pbc_count_xla_path_odd_rows():
         )
         assert bool(ok), path
         assert int(cnt) == n_ref, (path, int(cnt), n_ref)
+
+
+def test_md_run_vv_pbc_matches_numpy():
+    """Velocity-Verlet PBC trajectory tracks a numpy f64 minimum-image
+    VV integrator exactly (one force eval per step, forces carried)."""
+    from zelll_tpu.models.lj_md import MDState, md_run_vv_pbc
+    from zelll_tpu.ops.pbc import suggest_pbc_capacity
+
+    rng = np.random.default_rng(12)
+    box = np.asarray([5.0, 5.5, 6.0])
+    n, c, dt, steps = 128, 1.0, 1e-5, 4
+    pts = rng.uniform(0, 1, size=(n, 3)) * box
+    vel = rng.normal(0, 0.1, size=(n, 3))
+
+    p_np, v_np = pts.copy(), vel.copy()
+    _, _, f_np = oracle(p_np, box, c)
+    for _ in range(steps):
+        vh = v_np + 0.5 * dt * f_np
+        p_np = np.mod(p_np + dt * vh, box)
+        _, _, f_np = oracle(p_np, box, c)
+        v_np = vh + 0.5 * dt * f_np
+
+    B, G = suggest_pbc_capacity(n, box, c)
+    st, ok = md_run_vv_pbc(
+        MDState(positions=jnp.asarray(pts), velocities=jnp.asarray(vel)),
+        jnp.zeros(3), jnp.asarray(box), c, dt, steps=steps, B=B, G=G,
+        M=512, L=512, interpret=True,
+    )
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(st.positions), p_np,
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(st.velocities), v_np,
+                               rtol=1e-9, atol=1e-9)

@@ -35,6 +35,7 @@ __all__ = [
     "md_step",
     "md_run",
     "md_run_vv",
+    "md_run_vv_pbc",
     "md_step_split",
     "md_run_skin",
     "md_run_skin_pbc",
@@ -269,6 +270,61 @@ def md_run_vv(
         M=M, L=L, term=lj_term, interpret=interpret,
     )
     return MDState(positions=pos, velocities=vel), ok, energy
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "steps", "B", "G", "path", "M", "L", "K", "chunk", "MAXJ", "CB",
+        "interpret",
+    ),
+)
+def md_run_vv_pbc(
+    state: MDState,
+    origin,
+    box,
+    cutoff,
+    dt,
+    *,
+    steps: int,
+    B: int,
+    G: int,
+    path: str = "lag",
+    M: int = 1024,
+    L: int = 256,
+    K: int = 32,
+    chunk: int = 64,
+    MAXJ=8,
+    CB: int = 8,
+    interpret: bool = False,
+):
+    """Velocity-Verlet trajectory under orthorhombic PBC, fully on
+    device: the PBC state stays in input order (`ops.pbc.pbc_lj_forces`
+    un-sorts each pass), so the forces carry through the scan directly —
+    one force evaluation per step, O(dt^2) energy error like
+    `md_run_vv`. Returns (state, all_covered).
+    """
+    from ..ops.pbc import pbc_lj_forces, wrap_positions
+
+    kw = dict(B=B, G=G, path=path, M=M, L=L, K=K, chunk=chunk, MAXJ=MAXJ,
+              CB=CB, interpret=interpret)
+    f0, ok0 = pbc_lj_forces(
+        state.positions, origin, box, cutoff, **kw
+    )
+
+    def body(carry, _):
+        pos, vel, f, okacc = carry
+        vhalf = vel + (0.5 * dt) * f
+        pos = wrap_positions(pos + dt * vhalf, origin, box)
+        f_new, ok = pbc_lj_forces(pos, origin, box, cutoff, **kw)
+        vel_new = vhalf + (0.5 * dt) * f_new
+        return (pos, vel_new, f_new, okacc & ok), None
+
+    (pos, vel, _f, ok), _ = jax.lax.scan(
+        body, (state.positions, state.velocities, f0, ok0), None,
+        length=steps,
+    )
+    return MDState(positions=pos, velocities=vel), ok
 
 
 @partial(jax.jit, static_argnames=("steps", "M", "L", "interpret"))
