@@ -226,21 +226,29 @@ def main():
             virial_rebuild,
         )
 
+        # TWO oracles: f32 rows compare against the virial/stress of the
+        # ROUNDED coordinates (hi promoted to f64 — coordinate rounding
+        # cancels, isolating kernel error), split rows against the TRUE
+        # f64 coordinates (the split planes reconstruct pts64, so an
+        # hi-only oracle would misreport coordinate rounding as kernel
+        # error — the round-1 virial_lag_split "failure" was exactly
+        # this harness bug, not a kernel bug).
+        def virial_stress_oracle(p64):
+            d_o = p64[:, None] - p64[None, :]
+            dsq_o = (d_o * d_o).sum(-1)
+            np.fill_diagonal(dsq_o, np.inf)
+            w_o = dsq_o < csq
+            t_o = np.where(w_o, 1.0 / np.where(w_o, dsq_o, 1.0), 0.0) ** 3
+            gv_o = np.where(w_o, 24 * t_o * (2 * t_o - 1), 0.0)  # g * dsq
+            w_ref = float(gv_o.sum() / 2)
+            vsc = max(abs(w_ref), np.abs(gv_o).sum() / 2, 1e-30)
+            g_o = gv_o / np.where(w_o, dsq_o, 1.0)
+            sig = np.einsum("ij,ija,ijb->ab", g_o, d_o, d_o) / 2
+            return w_ref, vsc, sig, np.abs(sig).max() + 1e-30
+
         hi64 = np.asarray(hi, np.float64)
-        d_o = hi64[:, None] - hi64[None, :]
-        dsq_o = (d_o * d_o).sum(-1)
-        np.fill_diagonal(dsq_o, np.inf)
-        w_o = dsq_o < csq
-        t_o = np.where(w_o, 1.0 / np.where(w_o, dsq_o, 1.0), 0.0) ** 3
-        gv_o = np.where(w_o, 24 * t_o * (2 * t_o - 1), 0.0)  # g * dsq
-        w_ref_v = float(gv_o.sum() / 2)
-        vscale = max(abs(w_ref_v), np.abs(gv_o).sum() / 2, 1e-30)
-        g_o = gv_o / np.where(w_o, dsq_o, 1.0)
-        sig_ref = np.einsum("ij,ija,ijb->ab", g_o, d_o, d_o) / 2
-        sscale = np.abs(sig_ref).max() + 1e-30
-        # the contraction sums r*f products with |r| ~ box/2: cancellation
-        # in the f32 accumulation scales with the box aspect
-        stress_tol = max(f32_tol * 10, 1e-3)
+        w_ref_v, vscale, sig_ref, sscale = virial_stress_oracle(hi64)
+        w_ref_v64, vscale64, sig_ref64, sscale64 = virial_stress_oracle(pts64)
 
         w, ok = virial_rebuild(hi, CUTOFF, M=4096, L=1024)
         assert bool(ok)
@@ -250,20 +258,38 @@ def main():
         w, ok = virial_rebuild(hi, CUTOFF, lo, M=4096, L=1024)
         assert bool(ok)
         check(f"virial_lag_split[{boxname}]",
-              abs(float(w) - w_ref_v) / vscale, 2e-6)
+              abs(float(w) - w_ref_v64) / vscale64, 2e-6)
 
         w, ok = _tre(hi, CUTOFF, MAXJ=24, term=lj_virial_term)
         assert bool(ok)
         check(f"virial_tile_f32[{boxname}]",
               abs(float(w) - w_ref_v) / vscale, f32_tol)
 
+        w, ok = _tre(hi, CUTOFF, lo, MAXJ=24, term=lj_virial_term)
+        assert bool(ok)
+        check(f"virial_tile_split[{boxname}]",
+              abs(float(w) - w_ref_v64) / vscale64, 2e-6)
+
         for spath, skw in [("lag", dict(M=4096, L=1024)),
                            ("tile", dict(MAXJ=24))]:
+            # round 9: direct pair-sum stress kernels — terms bounded by
+            # |g|*cutoff^2, so f32 rows inherit the coordinate bound and
+            # split rows the 2e-6 split bound (the former forces-pass +
+            # r (x) f contraction floored at ~3e-6 from box-scale
+            # cancellation; its stress_tol is retired)
             sig, ok = fused_stress_open(hi, CUTOFF, path=spath, **skw)
             assert bool(ok)
             check(f"stress_{spath}_f32[{boxname}]",
                   np.abs(np.asarray(sig, np.float64) - sig_ref).max()
-                  / sscale, stress_tol)
+                  / sscale, f32_tol)
+
+            sig, ok = fused_stress_open(
+                hi, CUTOFF, path=spath, positions_lo=lo, **skw
+            )
+            assert bool(ok)
+            check(f"stress_{spath}_split[{boxname}]",
+                  np.abs(np.asarray(sig, np.float64) - sig_ref64).max()
+                  / sscale64, 2e-6)
 
         # fused pair-distance histogram (split): cumulative counts vs the
         # f64 brute force. Bin-boundary ties under f32x2 distance rounding
@@ -390,22 +416,30 @@ def main():
               np.abs(np.asarray(f, np.float64) - f_mi).max() / fscale_mi,
               2e-6)
 
-        # PBC virial (sign-masked scalar term) + three-pass fused stress
+        # PBC virial (sign-masked scalar term) + one-pass fused stress
+        # (round 9: direct pair-sum stress kernel with the shift-sign
+        # mask — same f32/split oracle split as the open-boundary rows)
         from zelll_tpu.ops.virial import pbc_stress_fused, pbc_virial
 
+        def pbc_virial_stress_oracle(p64):
+            dmo = p64[:, None] - p64[None, :]
+            dmo -= boxa * np.round(dmo / boxa)
+            dsqo = (dmo * dmo).sum(-1)
+            np.fill_diagonal(dsqo, np.inf)
+            wmo = dsqo < csq
+            tmo = np.where(wmo, 1.0 / np.where(wmo, dsqo, 1.0), 0.0) ** 3
+            gvo = np.where(wmo, 24 * tmo * (2 * tmo - 1), 0.0)
+            w_ref = float(gvo.sum() / 2)
+            vsc = max(abs(w_ref), np.abs(gvo).sum() / 2, 1e-30)
+            go = gvo / np.where(wmo, dsqo, 1.0)
+            sig = np.einsum("ij,ija,ijb->ab", go, dmo, dmo) / 2
+            return w_ref, vsc, sig, np.abs(sig).max() + 1e-30
+
         hp64 = np.asarray(hi_p, np.float64)
-        dmi32 = hp64[:, None] - hp64[None, :]
-        dmi32 -= boxa * np.round(dmi32 / boxa)
-        dsq32 = (dmi32 * dmi32).sum(-1)
-        np.fill_diagonal(dsq32, np.inf)
-        wmi32 = dsq32 < csq
-        tmi32 = np.where(wmi32, 1.0 / np.where(wmi32, dsq32, 1.0), 0.0) ** 3
-        gv_mi = np.where(wmi32, 24 * tmi32 * (2 * tmi32 - 1), 0.0)
-        w_mi_ref = float(gv_mi.sum() / 2)
-        vscale_mi = max(abs(w_mi_ref), np.abs(gv_mi).sum() / 2, 1e-30)
-        g_mi32 = gv_mi / np.where(wmi32, dsq32, 1.0)
-        sig_mi = np.einsum("ij,ija,ijb->ab", g_mi32, dmi32, dmi32) / 2
-        sscale_mi = np.abs(sig_mi).max() + 1e-30
+        w_mi_ref, vscale_mi, sig_mi, sscale_mi = pbc_virial_stress_oracle(hp64)
+        w_mi64, vscale_mi64, sig_mi64, sscale_mi64 = (
+            pbc_virial_stress_oracle(pts_p)
+        )
 
         for vpath, vkw in [("lag", dict(M=4096, L=1024)),
                            ("tile", dict(MAXJ=24))]:
@@ -413,13 +447,26 @@ def main():
             assert bool(ok)
             check(f"pbc_virial_{vpath}_f32[{boxname}]",
                   abs(float(w) - w_mi_ref) / vscale_mi, f32_tol)
+            w, ok = pbc_virial(hi_p, org, boxj, CUTOFF, path=vpath,
+                               positions_lo=lo_p, **vkw)
+            assert bool(ok)
+            check(f"pbc_virial_{vpath}_split[{boxname}]",
+                  abs(float(w) - w_mi64) / vscale_mi64, 2e-6)
             sig, ok = pbc_stress_fused(
                 hi_p, org, boxj, CUTOFF, path=vpath, **vkw
             )
             assert bool(ok)
             check(f"pbc_stress_{vpath}_f32[{boxname}]",
                   np.abs(np.asarray(sig, np.float64) - sig_mi).max()
-                  / sscale_mi, stress_tol)
+                  / sscale_mi, f32_tol)
+            sig, ok = pbc_stress_fused(
+                hi_p, org, boxj, CUTOFF, path=vpath, positions_lo=lo_p,
+                **vkw
+            )
+            assert bool(ok)
+            check(f"pbc_stress_{vpath}_split[{boxname}]",
+                  np.abs(np.asarray(sig, np.float64) - sig_mi64).max()
+                  / sscale_mi64, 2e-6)
 
         if boxname == "cubic":
             # Verlet-skin PBC MD on the tile kernel vs the rebuild-every-

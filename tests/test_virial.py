@@ -232,7 +232,7 @@ def test_sharded_virial_pbc_matches_oracle():
     ("tile", dict(MAXJ=32)),
 ])
 def test_fused_stress_open_vs_oracle(path, kw):
-    """r (x) f contraction over one forces pass == sum g dx (x) dx."""
+    """Direct pair-sum stress kernel == sum g dx (x) dx (f64 oracle)."""
     from zelll_tpu.ops.virial import fused_stress_open
 
     pts, cutoff = make_open(seed=9)
@@ -253,8 +253,9 @@ def test_fused_stress_open_vs_oracle(path, kw):
      dict(n=200, box=(3.0, 3.0, 3.0), cutoff=1.2, seed=12)),  # corner ghosts
 ])
 def test_pbc_stress_fused_vs_oracle(path, kw, case):
-    """Three-pass ghost decomposition (A - B + C)/2 == minimum-image
-    sum g dx (x) dx, on both fused kernels."""
+    """One-pass shift-sign-masked stress kernel == minimum-image
+    sum g dx (x) dx, on both fused kernels (each cross pair counted once
+    via its lex-positive image; dx (x) dx is mirror-invariant)."""
     from zelll_tpu.ops.virial import pbc_stress_fused
 
     pts, origin, box, cutoff = make_pbc(**case)
@@ -266,6 +267,77 @@ def test_pbc_stress_fused_vs_oracle(path, kw, case):
     np.testing.assert_allclose(np.asarray(sigma), sigma_ref, rtol=1e-9,
                                atol=1e-9)
     assert abs(float(jnp.trace(sigma)) - w_ref) <= 1e-9 * max(1.0, abs(w_ref))
+
+
+@pytest.mark.parametrize("path,kw", [
+    ("lag", dict(M=512, L=512)),
+    ("tile", dict(MAXJ=32)),
+])
+def test_fused_stress_split_precision(path, kw):
+    """Split (hi, lo f32) stress reaches f64-grade parity where plain f32
+    loses to coordinate rounding: a large coordinate offset makes f32
+    coords ~1e-3-lossy, yet the split pass must stay <= 2e-6 relative
+    (the direct pair-sum terms are bounded by |g|*cutoff^2 — no
+    box-scale contraction cancellation)."""
+    from zelll_tpu.ops.virial import fused_stress_open, pbc_stress_fused
+
+    rng = np.random.default_rng(21)
+    n, cutoff = 400, 1.0
+    box = np.array([7.0, 6.0, 8.0])
+    pts64 = rng.uniform(0, 1, size=(n, 3)) * box + 4096.0
+    hi = pts64.astype(np.float32)
+    lo = (pts64 - hi.astype(np.float64)).astype(np.float32)
+    _, sigma_ref = oracle_open(pts64, cutoff)
+    sscale = np.abs(sigma_ref).max()
+    sigma, ok = fused_stress_open(
+        jnp.asarray(hi), cutoff, path=path, interpret=True,
+        positions_lo=jnp.asarray(lo), **kw
+    )
+    assert bool(ok)
+    assert np.abs(np.asarray(sigma, np.float64) - sigma_ref).max() <= (
+        2e-6 * sscale
+    )
+    # sanity that the fixture is actually f32-lossy: the plain-f32 pass
+    # must be visibly worse than the split bound
+    sigma32, ok = fused_stress_open(
+        jnp.asarray(hi), cutoff, path=path, interpret=True, **kw
+    )
+    assert bool(ok)
+    assert np.abs(np.asarray(sigma32, np.float64) - sigma_ref).max() > (
+        5e-6 * sscale
+    )
+    # PBC: split planes propagate through the ghost images (two-sum
+    # residual of hi + shift*box)
+    pts_p = rng.uniform(0, 1, size=(n, 3)) * box
+    hi_p = pts_p.astype(np.float32)
+    lo_p = (pts_p - hi_p.astype(np.float64)).astype(np.float32)
+    _, sigma_ref_p = oracle_pbc(pts_p, box, cutoff)
+    sscale_p = np.abs(sigma_ref_p).max()
+    sigma, ok = pbc_stress_fused(
+        jnp.asarray(hi_p), jnp.zeros(3, jnp.float32),
+        jnp.asarray(box, jnp.float32), cutoff, path=path, interpret=True,
+        positions_lo=jnp.asarray(lo_p), **kw
+    )
+    assert bool(ok)
+    assert np.abs(np.asarray(sigma, np.float64) - sigma_ref_p).max() <= (
+        2e-6 * sscale_p
+    )
+
+
+def test_fused_stress_split_2d_raises():
+    """dim != 3 cannot honor positions_lo — must raise, never silently
+    degrade (the library-wide convention)."""
+    from zelll_tpu.ops.virial import fused_stress_open, pbc_stress_fused
+
+    rng = np.random.default_rng(22)
+    pts2 = jnp.asarray(rng.uniform(0, 1, size=(64, 2)), jnp.float32)
+    lo2 = jnp.zeros_like(pts2)
+    with pytest.raises(ValueError, match="split"):
+        fused_stress_open(pts2, 0.3, positions_lo=lo2)
+    with pytest.raises(ValueError, match="split"):
+        pbc_stress_fused(
+            pts2, jnp.zeros(2), jnp.ones(2), 0.3, positions_lo=lo2
+        )
 
 
 def test_fused_stress_2d_falls_back_to_xla():

@@ -52,6 +52,7 @@ from ..core.geometry import SENTINEL_KEY, key_window
 __all__ = [
     "pair_lag_reduce",
     "pair_lag_hist",
+    "pair_lag_stress",
     "lag_coverage_ok",
     "suggest_lag",
     "split_f64",
@@ -911,6 +912,252 @@ def pair_lag_reduce(
         hi = jnp.sum(out >> 16)
         return jnp.stack([hi, lo])
     return jnp.sum(out)
+
+
+def _make_stress_kernel(M: int, L: int, gfn: Callable, n_planes: int,
+                        split: bool, dtype, n_payload: int, pair_mask):
+    """Direct pair-sum stress kernel: accumulates the ncomp upper-triangle
+    components of sigma_ab = sum_pairs gfn(dsq) * d_a * d_b, each
+    Kahan-compensated, into a revisited (ncomp*Mr, LANES) VMEM block.
+
+    Unlike the forces-pass + r (x) f contraction (`virial._rf_contract`),
+    every accumulated term here is bounded by |gfn| * cutoff^2 — no
+    box-scale cancellation — so split-precision inputs reach ~1e-7
+    relative error where the contraction floor was ~3e-6 (the f32
+    rounding of the stored forces re-amplified by |r| ~ box/2).
+
+    Same rolling-window machinery as `_make_kernel`; ``pair_mask``
+    (payload-based, hist-kernel style) composes the PBC image-dedup /
+    ownership rules unchanged, so PBC stress is ONE pass (the fused
+    three-pass ghost decomposition is superseded).
+    """
+    Mr, Lr = M // LANES, L // LANES
+    Wr = Mr + Lr
+    NP = n_planes + n_payload + 1  # + key plane
+    ncoord = n_planes // 2 if split else n_planes
+    comps = [(a, b) for a in range(ncoord) for b in range(a, ncoord)]
+    ncomp = len(comps)
+
+    def kernel(*refs):
+        # refs: wkey, csq, min_islot, blocks (NP), out (ncomp*Mr, LANES),
+        #       window scratch (NP), comp scratch (ncomp*Mr, LANES)
+        wkey_ref, csq_ref, mislot_ref = refs[0], refs[1], refs[2]
+        blocks = refs[3 : 3 + NP]
+        out_ref = refs[3 + NP]
+        wins = refs[4 + NP : 4 + 2 * NP]
+        comp_ref = refs[4 + 2 * NP]
+        kw = wins[-1]
+
+        p = pl.program_id(0)
+        w_key = wkey_ref[0]
+        csq = csq_ref[0]
+        min_islot = mislot_ref[0]
+
+        @pl.when(p == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+            comp_ref[...] = jnp.zeros_like(comp_ref)
+            kw[0:Lr] = jnp.full(
+                (Lr, LANES), jnp.iinfo(jnp.int32).min // 2, jnp.int32
+            )
+            for w in wins[:-1]:
+                w[0:Lr] = jnp.zeros((Lr, LANES), dtype)
+
+        @pl.when(p != 0)
+        def _():
+            for w in wins:
+                w[0:Lr] = w[Wr - Lr : Wr]
+
+        for w, b in zip(wins, blocks):
+            w[Lr:Wr] = b[...]
+
+        own = [w[Lr:Wr] for w in wins]
+        own_k = own[-1]
+        own_slot = (
+            jax.lax.broadcasted_iota(jnp.int32, (Mr, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (Mr, LANES), 1)
+            + p * M
+        )
+        own_owned = own_slot >= min_islot
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Wr, LANES), 1)
+        is_lane0 = lane == 0
+
+        def shift_right_one(v):
+            a = pltpu.roll(v, 1, axis=1)
+            return jnp.where(is_lane0, pltpu.roll(a, 1, axis=0), a)
+
+        def cond(carry):
+            lag, active = carry[0], carry[1]
+            return (lag <= L) & active
+
+        def lag_body(carry):
+            lag, active, *rest = carry
+            shifted = rest[:NP]
+            accs = list(rest[NP : NP + ncomp])
+            cmps = list(rest[NP + ncomp :])
+            shifted = [shift_right_one(s) for s in shifted]
+            j = [s[Lr:Wr] for s in shifted]
+            jk = j[-1]
+            d = []
+            dsq = jnp.zeros((Mr, LANES), dtype)
+            for a in range(ncoord):
+                da = own[a] - j[a]
+                if split:
+                    da = da + (own[a + ncoord] - j[a + ncoord])
+                d.append(da)
+                dsq = dsq + da * da
+            keymask = jk >= own_k - w_key
+            mask = keymask & (dsq < csq) & own_owned
+            if n_payload:
+                mask = mask & pair_mask(
+                    *own[n_planes : n_planes + n_payload],
+                    *j[n_planes : n_planes + n_payload],
+                )
+            safe = jnp.where(mask, dsq, jnp.ones_like(dsq))
+            g = jnp.where(mask, gfn(safe), jnp.zeros_like(safe))
+            for k, (a, b) in enumerate(comps):
+                # masked rows: g == 0 and d finite (padding coordinates
+                # are large but < f32 max), so the product is exactly 0
+                v = (g * d[a]) * d[b]
+                y = v - cmps[k]
+                t = accs[k] + y
+                cmps[k] = (t - accs[k]) - y
+                accs[k] = t
+            return (lag + 1, jnp.any(keymask), *shifted, *accs, *cmps)
+
+        zeros = [jnp.zeros((Mr, LANES), dtype) for _ in range(2 * ncomp)]
+        init = (
+            jnp.asarray(1, jnp.int32),
+            jnp.asarray(True),
+            *(w[...] for w in wins),
+            *zeros,
+        )
+        out = jax.lax.while_loop(cond, lag_body, init)
+        accs = out[2 + NP : 2 + NP + ncomp]
+        cmps = out[2 + NP + ncomp :]
+        for k in range(ncomp):
+            rows = slice(k * Mr, (k + 1) * Mr)
+            prev = out_ref[rows]
+            y = (accs[k] - cmps[k]) - comp_ref[rows]
+            t = prev + y
+            comp_ref[rows] = (t - prev) - y
+            out_ref[rows] = t
+
+        @pl.when(p == pl.num_programs(0) - 1)
+        def _():
+            out_ref[...] = out_ref[...] - comp_ref[...]
+
+    return kernel
+
+
+def pair_lag_stress(
+    sorted_pos: jax.Array,
+    sorted_keys: jax.Array,
+    strides: jax.Array,
+    cutoff_sq,
+    sorted_pos_lo: jax.Array | None = None,
+    sorted_payload: jax.Array | None = None,
+    *,
+    gfn: Callable | None = None,
+    M: int = 1024,
+    L: int = 256,
+    interpret: bool = False,
+    min_islot=0,
+    pair_mask=None,
+):
+    """Configurational stress tensor sigma_ab = sum_pairs gfn(dsq) d_a d_b
+    over unique cutoff pairs, as a DIRECT fused pair sum (the pair list
+    never materializes; each term is bounded by |gfn|*cutoff^2, so there
+    is no box-scale cancellation — see `_make_stress_kernel`). Returns a
+    symmetric (dim, dim) array; its trace is the scalar virial W.
+
+    ``pair_mask`` + ``sorted_payload`` compose exactly like
+    `pair_lag_hist` (PBC image dedup via the shift-sign plane, halo
+    ownership via ``min_islot``). The reference exposes raw pair
+    iteration from which users fold such sums
+    (`/root/reference/src/cellgrid.rs:338-340`).
+    """
+    from .lj import lj_force_factor
+
+    gfn = gfn or lj_force_factor
+    n = sorted_pos.shape[0]
+    split = sorted_pos_lo is not None
+    dtype = sorted_pos.dtype
+    assert M % LANES == 0 and L % LANES == 0 and L >= LANES
+    assert L <= M, "rolling window requires L <= M"
+    if not interpret:
+        assert M % (8 * LANES) == 0, "compiled mode requires M % 1024 == 0"
+
+    P = -(-n // M)
+    tail = P * M - n
+
+    keys_p = _pad_and_desentinel(sorted_keys, P * M)
+    spread = _tail_spread(tail, dtype)
+    dim = sorted_pos.shape[1]
+    planes = [
+        jnp.concatenate([sorted_pos[:, a], spread]).reshape(-1, LANES)
+        for a in range(dim)
+    ]
+    if split:
+        planes += [
+            jnp.concatenate(
+                [sorted_pos_lo[:, a], jnp.zeros_like(spread)]
+            ).reshape(-1, LANES)
+            for a in range(dim)
+        ]
+    n_planes = len(planes)
+    n_payload = 0 if sorted_payload is None else sorted_payload.shape[1]
+    assert (n_payload == 0) == (pair_mask is None), (
+        "pair_mask and sorted_payload go together"
+    )
+    for a in range(n_payload):
+        planes.append(
+            jnp.concatenate(
+                [sorted_payload[:, a].astype(dtype), jnp.zeros_like(spread)]
+            ).reshape(-1, LANES)
+        )
+    kp = keys_p.reshape(-1, LANES)
+
+    w_key = key_window(strides).astype(jnp.int32).reshape(1)
+    csq = jnp.asarray(cutoff_sq, dtype).reshape(1)
+    mislot = jnp.asarray(min_islot, jnp.int32).reshape(1)
+
+    Mr = M // LANES
+    ncomp = dim * (dim + 1) // 2
+    kernel = _make_stress_kernel(
+        M, L, gfn, n_planes, split, dtype, n_payload, pair_mask
+    )
+    bs = lambda: pl.BlockSpec((Mr, LANES), lambda p, s1, s2, s3: (p, 0))
+    win = lambda dt: pltpu.VMEM((Mr + L // LANES, LANES), dt)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(P,),
+        in_specs=[bs() for _ in range(n_planes + n_payload + 1)],
+        out_specs=pl.BlockSpec(
+            (ncomp * Mr, LANES),
+            lambda p, s1, s2, s3: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[win(dtype) for _ in range(n_planes + n_payload)]
+        + [win(jnp.int32), pltpu.VMEM((ncomp * Mr, LANES), dtype)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((ncomp * Mr, LANES), dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(w_key, csq, mislot, *planes, kp)
+    sums = jnp.sum(out.reshape(ncomp, Mr, LANES), axis=(1, 2))
+    sig = jnp.zeros((dim, dim), dtype)
+    k = 0
+    for a in range(dim):
+        for b in range(a, dim):
+            sig = sig.at[a, b].set(sums[k])
+            if b != a:
+                sig = sig.at[b, a].set(sums[k])
+            k += 1
+    return sig
 
 
 def combine_count(packed) -> int:

@@ -60,6 +60,7 @@ __all__ = [
     "tile_lj_energy",
     "tile_count_pairs",
     "tile_pair_forces",
+    "tile_pair_stress",
 ]
 
 
@@ -636,6 +637,261 @@ def tile_pair_hist(
         planes, sorted_keys, strides, jnp.asarray(edges_sq), CB=CB,
         MAXJ=MAXJ, interpret=interpret, split=split, payload=payload,
         pair_mask=pair_mask, min_islot=min_islot, distributed=distributed,
+    )
+
+
+def _make_tile_stress_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
+                                    gfn: Callable, dtype, split: bool,
+                                    distributed: bool, n_payload: int,
+                                    pair_mask):
+    """Packed-layout stress kernel: per tile, the ncomp upper-triangle
+    components of sigma_ab = sum_pairs gfn(dsq) d_a d_b accumulate into
+    per-component (128, 128) planes (Kahan per tile, compensated across
+    programs — the accumulation structure of `_make_tile_kernel_packed`
+    replicated per component). Direct pair terms are bounded by
+    |gfn|*cutoff^2, so there is no box-scale cancellation (see
+    `pallas_pairs._make_stress_kernel`). Half bands: each unique pair
+    contributes once. ``pair_mask(own_payload, j_payload)`` composes the
+    PBC shift-sign dedup, making PBC stress a single pass."""
+    TJ = sum(MAXJ)
+    MOFF = tuple(sum(MAXJ[:s]) for s in range(S))
+    ncoord = D // 2 if split else D
+    comps = [(a, b) for a in range(ncoord) for b in range(a, ncoord)]
+    ncomp = len(comps)
+
+    def kernel(bands_ref, csq_ref, mislot_ref, bounds_ref, own8_ref,
+               jarr_ref, out_ref, comp_ref, acc_s, comp_s, jbuf, sems):
+        p = pl.program_id(0)
+        num_p = pl.num_programs(0)
+        csq = csq_ref[0]
+        min_islot = mislot_ref[0]
+
+        @pl.when(p == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+            comp_ref[...] = jnp.zeros_like(comp_ref)
+
+        acc_s[...] = jnp.zeros_like(acc_s)
+        comp_s[...] = jnp.zeros_like(comp_s)
+
+        def window(oc, s):
+            return (bounds_ref[oc, 3 * s], bounds_ref[oc, 3 * s + 1],
+                    bounds_ref[oc, 3 * s + 2])
+
+        def copy_obj(oc, s, jlo):
+            return pltpu.make_async_copy(
+                jarr_ref.at[pl.ds(jlo * RB, MAXJ[s] * RB), :],
+                jbuf.at[pl.ds((oc * TJ + MOFF[s]) * RB, MAXJ[s] * RB), :],
+                sems.at[oc * S + s],
+            )
+
+        for oc in range(CB):
+            for s in range(S):
+                jlo, _, jnum = window(oc, s)
+
+                @pl.when(jnum > 0)
+                def _(oc=oc, s=s, jlo=jlo):
+                    copy_obj(oc, s, jlo).start()
+
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+        lane_j = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+        tri = row_i > lane_j
+
+        for oc in range(CB):
+            blkT = jnp.transpose(own8_ref[oc * RB : (oc + 1) * RB, :])
+            own_cols = [
+                jnp.broadcast_to(blkT[:, a : a + 1], (CHUNK, CHUNK))
+                for a in range(D)
+            ]
+            own_k = jnp.broadcast_to(blkT[:, D : D + 1], (CHUNK, CHUNK))
+            if n_payload:
+                own_w = jnp.broadcast_to(blkT[:, D + 1 : D + 2],
+                                         (CHUNK, CHUNK))
+            if distributed:
+                gslot0 = (p * CB + oc) * CHUNK
+                owned = (row_i[:, 0:1] + gslot0) >= min_islot
+
+            for s in range(S):
+                jlo, _, jnum = window(oc, s)
+                lo_s = bands_ref[s, 0]
+                hi_s = bands_ref[s, 1]
+                w0 = oc * TJ + MOFF[s]
+
+                @pl.when(jnum > 0)
+                def _(oc=oc, s=s, jlo=jlo):
+                    copy_obj(oc, s, jlo).wait()
+
+                gtoff = bounds_ref[oc, 3 * s + 1]
+                gjnum = bounds_ref[oc, 3 * s + 2]
+
+                def tile(t, _, s=s, w0=w0, jlo=jlo, lo_s=lo_s, hi_s=hi_s,
+                         own_cols=own_cols, own_k=own_k, oc=oc,
+                         own_w=own_w if n_payload else None):
+                    blk = jbuf[pl.ds((w0 + t) * RB, RB), :]  # (8, 128)
+                    jk = blk[D : D + 1, :]
+                    diff = own_k - jk
+                    m = (diff >= lo_s) & (diff <= hi_s)
+                    if distributed:
+                        m = m & owned
+                    if s == 0:
+                        jcg = jlo + t
+                        ocg = p * CB + oc
+                        m = m & (tri | (jcg < ocg))
+                    d = []
+                    dsq = jnp.zeros((CHUNK, CHUNK), dtype)
+                    for a in range(ncoord):
+                        da = own_cols[a] - blk[a : a + 1, :]
+                        if split:
+                            da = da + (own_cols[a + ncoord]
+                                       - blk[a + ncoord : a + ncoord + 1, :])
+                        d.append(da)
+                        dsq = dsq + da * da
+                    m = m & (dsq < csq)
+                    if n_payload:
+                        m = m & pair_mask(own_w, blk[D + 1 : D + 2, :])
+                    safe = jnp.where(m, dsq, jnp.ones_like(dsq))
+                    g = jnp.where(m, gfn(safe), jnp.zeros_like(safe))
+                    for k, (a, b) in enumerate(comps):
+                        rows = slice(k * CHUNK, (k + 1) * CHUNK)
+                        v = (g * d[a]) * d[b]
+                        acc, comp = acc_s[rows], comp_s[rows]
+                        y = v - comp
+                        tt = acc + y
+                        comp_s[rows] = (tt - acc) - y
+                        acc_s[rows] = tt
+                    return 0
+
+                jax.lax.fori_loop(gtoff, gtoff + gjnum, tile, 0)
+
+        prev = out_ref[...]
+        y = (acc_s[...] - comp_s[...]) - comp_ref[...]
+        tt = prev + y
+        comp_ref[...] = (tt - prev) - y
+        out_ref[...] = tt
+
+        @pl.when(p == num_p - 1)
+        def _():
+            out_ref[...] = out_ref[...] - comp_ref[...]
+
+    return kernel
+
+
+def _packed_stress_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
+                        MAXJ, gfn, interpret, split, payload=None,
+                        pair_mask=None, min_islot=0, distributed=False):
+    """Packed stress pipeline (see `_packed_core`): returns
+    ((dim, dim) symmetric stress tensor, coverage_ok)."""
+    n = planes[0].shape[0]
+    dtype = planes[0].dtype
+    D = len(planes)
+    dim = D // 2 if split else D
+    S = num_segments(dim)
+    ncomp = dim * (dim + 1) // 2
+    if CB % 8 and not interpret:
+        raise ValueError("CB must be a multiple of 8 (SMEM sublane blocking)")
+
+    nc_pad = max(-(-n // (CHUNK * CB)) * CB, CB)
+    MAXJ = _norm_maxj(MAXJ, S, nc_pad)
+    C = nc_pad * CHUNK
+    keys_p = _pad_and_desentinel(sorted_keys, C)
+
+    bands = segment_bands(strides)
+    jlo, toff, jnum, cov_ok = chunk_bounds(keys_p, bands, MAXJ)
+    bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(nc_pad, 3 * S)
+
+    jarr8 = _pack_blocks(planes, keys_p, cutoff_sq, n, C, dtype,
+                         payload=payload)
+    if dtype == jnp.float32:
+        cov_ok = _key_exact_f32(keys_p, cov_ok)
+
+    kernel = _make_tile_stress_kernel_packed(
+        CB, S, MAXJ, D, gfn, dtype, split, distributed,
+        0 if payload is None else 1, pair_mask,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nc_pad // CB,),
+        in_specs=[
+            pl.BlockSpec((S, 2), lambda p: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda p: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda p: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((CB, 3 * S), lambda p: (p, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((CB * RB, CHUNK), lambda p: (p, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((ncomp * CHUNK, CHUNK), lambda p: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ncomp * CHUNK, CHUNK), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ncomp * CHUNK, CHUNK), dtype),
+            pltpu.VMEM((ncomp * CHUNK, CHUNK), dtype),
+            pltpu.VMEM((ncomp * CHUNK, CHUNK), dtype),
+            pltpu.VMEM((CB * sum(MAXJ) * RB, CHUNK), dtype),
+            pltpu.SemaphoreType.DMA((CB * S,)),
+        ],
+        interpret=interpret,
+    )(
+        bands.astype(dtype),
+        jnp.asarray(cutoff_sq, dtype).reshape(1),
+        jnp.asarray(min_islot, jnp.int32).reshape(1),
+        bounds,
+        jarr8,
+        jarr8,
+    )
+    sums = jnp.sum(out.reshape(ncomp, CHUNK, CHUNK), axis=(1, 2))
+    sig = jnp.zeros((dim, dim), dtype)
+    k = 0
+    for a in range(dim):
+        for b in range(a, dim):
+            sig = sig.at[a, b].set(sums[k])
+            if b != a:
+                sig = sig.at[b, a].set(sums[k])
+            k += 1
+    return sig, cov_ok
+
+
+def tile_pair_stress(
+    sorted_pos: jax.Array,
+    sorted_keys: jax.Array,
+    strides: jax.Array,
+    cutoff_sq,
+    sorted_pos_lo: jax.Array | None = None,
+    sorted_payload: jax.Array | None = None,
+    *,
+    gfn: Callable | None = None,
+    CB: int = 8,
+    MAXJ: int | tuple = 8,
+    interpret: bool = False,
+    min_islot=0,
+    pair_mask=None,
+):
+    """Configurational stress tensor over unique cutoff pairs as a direct
+    fused pair sum, any box shape (the tile sibling of
+    `pallas_pairs.pair_lag_stress`). Returns ((dim, dim), coverage_ok).
+    ``sorted_payload`` + ``pair_mask`` mask candidate pairs (PBC image
+    dedup); ``min_islot`` is the distributed ownership rule. The
+    reference folds such sums in user iterator closures
+    (`/root/reference/src/cellgrid.rs:338-340`)."""
+    from .lj import lj_force_factor
+
+    n, dim = sorted_pos.shape
+    split = sorted_pos_lo is not None
+    assert (sorted_payload is None) == (pair_mask is None), (
+        "pair_mask and sorted_payload go together"
+    )
+    planes = [sorted_pos[:, a] for a in range(dim)]
+    if split:
+        planes += [sorted_pos_lo[:, a] for a in range(dim)]
+    payload = None
+    if sorted_payload is not None:
+        payload = sorted_payload.reshape(n)
+    distributed = not (isinstance(min_islot, int) and min_islot == 0)
+    return _packed_stress_core(
+        planes, sorted_keys, strides, cutoff_sq, CB=CB, MAXJ=MAXJ,
+        gfn=gfn or lj_force_factor, interpret=interpret, split=split,
+        payload=payload, pair_mask=pair_mask, min_islot=min_islot,
+        distributed=distributed,
     )
 
 

@@ -64,7 +64,15 @@ def lj_virial_term(dsq):
     return 24.0 * t * (2.0 * t - 1.0)
 
 
-_VIRIAL_TERMS: dict = {}
+import weakref
+
+# Weak VALUES (not keys): the cached wrapper closes over its gfn, so a
+# WeakKeyDictionary could never collect (value -> key strong cycle) and a
+# plain dict pins every gfn ever passed for the process lifetime. Here an
+# entry lives exactly as long as something (the caller, a jit cache)
+# holds the derived term; the closure keeps gfn alive that long, and
+# dropping the term evaporates the entry and frees both.
+_VIRIAL_TERMS: "weakref.WeakValueDictionary" = weakref.WeakValueDictionary()
 
 
 def virial_term_from_gfn(gfn: Callable) -> Callable:
@@ -186,75 +194,76 @@ def pbc_stress(
     return sigma, ok
 
 
-def _rf_contract(pos, f, center, pos_lo=None):
-    """sum_i (r_i - center) (x) f_i, axis-unrolled (never a matmul: Mosaic
-    f32 dots carry one bf16 pass — silently wrong for value-bearing
-    operands, CLAUDE.md) and symmetrized. ``center`` only improves
-    conditioning: sum f_i = 0 exactly for pairwise both-endpoint kernels,
-    so the result is center-invariant."""
-    dim = pos.shape[1]
-    r = [pos[:, a] - center[a] for a in range(dim)]
-    if pos_lo is not None:
-        r = [ra + pos_lo[:, a] for a, ra in enumerate(r)]
-    out = jnp.zeros((dim, dim), pos.dtype)
-    for a in range(dim):
-        for b in range(dim):
-            out = out.at[a, b].set(jnp.sum(r[a] * f[:, b]))
-    return 0.5 * (out + out.T)
+def _pbc_keep_mask(wi, wj):
+    """PBC pair keep rule on the shift-sign payload plane (0 real, +/-1
+    ghost, see `pbc.pbc_extend`): drop ghost-ghost pairs, count each
+    minimum-image cross pair once via its lex-positive image. dx (x) dx
+    is mirror-invariant, so this yields the full PBC stress in ONE
+    kernel pass (the same rule the PBC energy path uses)."""
+    return (wi * wj == 0) & (wi + wj >= 0)
 
 
-def _forces_pass(positions, cutoff, center, *, gfn, path, M, L, MAXJ, CB,
-                 interpret, valid=None, positions_lo=None):
-    """One fused forces pass -> (sum (r-center) (x) f over ALL rows, ok).
-
-    For both kernels, summing r (x) f over every sorted row equals
-    sum_pairs gfn(dsq) * dx (x) dx over exactly the pairs the kernel
-    counts: the lag path applies Newton's +/-f to both endpoints of each
-    unique pair; the tile path accumulates both ordered directions
-    (i-side for every row, ghosts included). Rows masked by ``valid``
-    never pair (sentinel keys) and carry zero force.
-    """
+def _stress_pass(positions, cutoff, *, gfn, path, M, L, MAXJ, CB,
+                 interpret, valid=None, positions_lo=None, payload=None,
+                 pair_mask=None):
+    """One direct fused stress pass over unique cutoff pairs:
+    sigma_ab = sum_pairs gfn(dsq) dx_a dx_b accumulated per component
+    inside the kernel (`pallas_pairs.pair_lag_stress` /
+    `tile_pairs.tile_pair_stress`). Every term is bounded by
+    |gfn|*cutoff^2 — no box-scale cancellation, unlike the former
+    forces-pass + r (x) f contraction whose f32 floor was ~3e-6.
+    Returns ((dim, dim), ok)."""
     from ..core.binning import bin_and_sort
+    from ..core.geometry import GridInfo, aabb_from_positions
 
     dim = positions.shape[1]
+    gfn = gfn or lj_force_factor
+    cols = [positions]
     if positions_lo is not None:
-        stacked = jnp.concatenate([positions, positions_lo], axis=1)
-        from ..core.geometry import GridInfo, aabb_from_positions
-
+        cols.append(positions_lo)
+    if payload is not None:
+        cols.append(payload[:, None])
+    if len(cols) > 1:
         info = GridInfo.create(
             aabb_from_positions(positions, valid=valid), cutoff,
             auto_order=True,
         )
         bins, sorted_cols = bin_and_sort(
-            stacked, cutoff, max_cells=1, need_perm=False, valid=valid,
-            info=info,
+            jnp.concatenate(cols, axis=1), cutoff, max_cells=1,
+            need_perm=False, valid=valid, info=info,
         )
-        sp, slo = sorted_cols[:, :dim], sorted_cols[:, dim:]
+        sp = sorted_cols[:, :dim]
+        slo = (
+            sorted_cols[:, dim : 2 * dim]
+            if positions_lo is not None else None
+        )
+        spay = sorted_cols[:, -1:] if payload is not None else None
     else:
         bins, sp = bin_and_sort(
             positions, cutoff, max_cells=1, need_perm=False, valid=valid,
             auto_order=True,
         )
-        slo = None
+        slo = spay = None
     csq = jnp.asarray(cutoff, positions.dtype) ** 2
     if path == "tile":
-        from .tile_pairs import tile_pair_forces
+        from .tile_pairs import tile_pair_stress
 
-        f, ok = tile_pair_forces(
-            sp, bins.sorted_keys, bins.info.strides, csq, slo,
+        sigma, ok = tile_pair_stress(
+            sp, bins.sorted_keys, bins.info.strides, csq, slo, spay,
             CB=CB, MAXJ=MAXJ, gfn=gfn, interpret=interpret,
+            pair_mask=pair_mask,
         )
     elif path == "lag":
-        from .pallas_pairs import lag_coverage_ok, pair_lag_forces
+        from .pallas_pairs import lag_coverage_ok, pair_lag_stress
 
-        f = pair_lag_forces(
-            sp, bins.sorted_keys, bins.info.strides, csq, slo,
-            M=M, L=L, gfn=gfn, interpret=interpret,
+        sigma = pair_lag_stress(
+            sp, bins.sorted_keys, bins.info.strides, csq, slo, spay,
+            M=M, L=L, gfn=gfn, interpret=interpret, pair_mask=pair_mask,
         )
         ok = lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
     else:
         raise ValueError(f"unknown path {path!r} (lag | tile)")
-    return _rf_contract(sp, f, center, slo), ok
+    return sigma, ok
 
 
 def fused_stress_open(
@@ -271,24 +280,29 @@ def fused_stress_open(
     positions_lo: jax.Array | None = None,
 ):
     """Configurational stress tensor at fused-kernel speed, open
-    boundaries: one forces pass + one r (x) f contraction (the pair list
-    never materializes; no kernel changes). ``path="lag"`` for thin
-    boxes, ``"tile"`` for cubic/wide. Returns ((dim, dim), ok).
+    boundaries: ONE direct pair-sum pass (per-component Kahan
+    accumulation inside the kernel; the pair list never materializes).
+    ``path="lag"`` for thin boxes, ``"tile"`` for cubic/wide.
+    ``positions_lo`` (split precision) reaches ~1e-7 relative error —
+    f64-grade stress at f32 speed. Returns ((dim, dim), ok).
 
     Prefer this over `pair_stress_open` above ~1e5 particles; the XLA
     bucketed path remains the N-dimensional/arbitrary-weights fallback
     (dim != 3 dispatches there automatically — the fused kernels are
-    3D-only, the reference is generic over N, lib.rs:132-135).
+    3D-only, the reference is generic over N, lib.rs:132-135; a split
+    request cannot be honored there, so it raises rather than silently
+    degrade).
     """
     dim = positions.shape[1]
     if dim != 3:
+        if positions_lo is not None:
+            raise ValueError(
+                "split-precision stress is only fused for dim == 3; the "
+                "XLA fallback would silently drop positions_lo"
+            )
         return pair_stress_open(positions, cutoff, gfn=gfn)
-    center = [
-        0.5 * (jnp.min(positions[:, a]) + jnp.max(positions[:, a]))
-        for a in range(dim)
-    ]
-    return _forces_pass(
-        positions, cutoff, center, gfn=gfn, path=path, M=M, L=L,
+    return _stress_pass(
+        positions, cutoff, gfn=gfn, path=path, M=M, L=L,
         MAXJ=MAXJ, CB=CB, interpret=interpret, positions_lo=positions_lo,
     )
 
@@ -308,43 +322,44 @@ def pbc_stress_fused(
     MAXJ=8,
     CB: int = 8,
     interpret: bool = False,
+    positions_lo: jax.Array | None = None,
 ):
     """Configurational stress tensor at fused-kernel speed under
-    orthorhombic PBC, by a three-pass ghost decomposition:
-
-        A = extended pass (reals + ghost images):  RR + 2*RG + GG
-        B = ghosts-only pass:                      GG
-        C = reals-only pass (direct pairs):        RR
-        sigma = (A - B + C) / 2              =     RR + RG
-
-    Each minimum-image cross pair appears TWICE in the extension — as
-    (i, j_ghost) and its mirror (j, i_ghost), with identical dx (x) dx —
-    so A counts it twice, B removes ghost-ghost artifacts, and C restores
-    the direct pairs to weight 2. ~2.2x one forces pass at cubic-box
-    ghost fractions; the XLA `pbc_stress` stays as the N-dim fallback.
-    Returns ((dim, dim), ok).
+    orthorhombic PBC: ONE direct pair-sum pass over the ghost-image
+    extension, with the shift-sign payload plane masking each
+    minimum-image cross pair to count exactly once (`_pbc_keep_mask` —
+    the identical rule the PBC energy path uses; dx (x) dx is
+    mirror-invariant so one image of the pair carries the full term).
+    Supersedes the round-8 three-pass (A - B + C)/2 ghost decomposition:
+    one pass instead of three AND no box-scale contraction cancellation.
+    ``positions_lo`` propagates split precision through the ghosts (exact
+    two-sum residual of hi + shift*box). Returns ((dim, dim), ok);
+    the XLA `pbc_stress` stays as the N-dim fallback.
     """
     from .pbc import pbc_extend, suggest_pbc_capacity
 
     n, dim = positions.shape
     if dim != 3:
+        if positions_lo is not None:
+            raise ValueError(
+                "split-precision PBC stress is only fused for dim == 3; "
+                "the XLA fallback would silently drop positions_lo"
+            )
         return pbc_stress(positions, origin, box, cutoff, gfn=gfn, B=B, G=G)
     if B is None or G is None:
         Bd, Gd = suggest_pbc_capacity(n, box, cutoff)
         B = Bd if B is None else B
         G = Gd if G is None else G
-    ext, _ext_lo, _w, valid, ok = pbc_extend(
-        positions, origin, box, cutoff, B=B, G=G
+    ext, ext_lo, w, valid, ok = pbc_extend(
+        positions, origin, box, cutoff, B=B, G=G,
+        positions_lo=positions_lo,
     )
-    center = [origin[a] + 0.5 * box[a] for a in range(dim)]
-    kw = dict(gfn=gfn, path=path, M=M, L=L, MAXJ=MAXJ, CB=CB,
-              interpret=interpret)
-    s_a, ok_a = _forces_pass(ext, cutoff, center, valid=valid, **kw)
-    s_b, ok_b = _forces_pass(
-        ext[n:], cutoff, center, valid=valid[n:], **kw
+    sigma, ok_k = _stress_pass(
+        ext, cutoff, gfn=gfn, path=path, M=M, L=L, MAXJ=MAXJ, CB=CB,
+        interpret=interpret, valid=valid, positions_lo=ext_lo,
+        payload=w, pair_mask=_pbc_keep_mask,
     )
-    s_c, ok_c = _forces_pass(positions, cutoff, center, **kw)
-    return 0.5 * (s_a - s_b + s_c), ok & ok_a & ok_b & ok_c
+    return sigma, ok & ok_k
 
 
 def kinetic_energy(velocities: jax.Array):
