@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Genuinely-external LJ energy rows for the cross-tool comparison CSV.
+
+The reference validates end-to-end correctness by energy agreement with
+LAMMPS and CellListMap.jl on bit-identical data
+(/root/reference/more_benches/in.zelllbench.txt:24-27,
+ /root/reference/more_benches/celllistmap.jl:36-46, driven by
+ scripts/more_benches.sh:17-50). This environment cannot host either
+(no package installs, no network egress, no Rust/Julia toolchain), so
+this script computes the same per-atom LJ energy with the two
+independent third-party neighbor/distance implementations that ARE
+baked into the image:
+
+* scipy.spatial.cKDTree (compiled C++ kd-tree; `query_pairs` at the
+  cutoff radius) — a completely different spatial index and codebase
+  from both the engine (cell lists on TPU) and the repo's C++ oracle
+  (hashmap counting sort), f64 throughout.
+* torch (CPU, f64) chunked brute force — no spatial index at all; only
+  run for n <= TORCH_MAX (default 1e5) where O(n^2) is affordable.
+
+Neither shares a line of code nor an author's reading of the spec with
+the engine or the oracle; agreement at <= 1e-6 relative is the same
+oracle role the LAMMPS energy plays for the reference.
+
+Usage: external_energy.py <lammps_data_file> <n>   (CSV rows on stdout,
+matching run_comparison.sh's schema: n,reps,energy_per_atom,runtime_s,
+memory_mb,tool)
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+CUTOFF = 10.0
+TORCH_MAX = int(float(os.environ.get("TORCH_MAX", "1e5")))
+
+
+def parse_lammps_data(path, n):
+    rows = []
+    inside = False
+    for line in open(path):
+        s = line.strip()
+        if s.startswith("Atoms"):
+            inside = True
+            continue
+        if not inside or not s or s.startswith("#"):
+            continue
+        f = s.split()
+        if len(f) >= 5:
+            rows.append((float(f[2]), float(f[3]), float(f[4])))
+    pts = np.asarray(rows, np.float64)
+    assert len(pts) == n, (len(pts), n)
+    return pts
+
+
+def lj_pair_energy(dsq):
+    t = (1.0 / dsq) ** 3
+    return 4.0 * t * (t - 1.0)
+
+
+def scipy_energy(pts):
+    """Total LJ energy over unique pairs within the cutoff via cKDTree.
+
+    `query_pairs(r)` is distance <= r where the engine uses dsq <
+    cutoff^2; an exactly-at-cutoff pair contributes lj(cutoff^2) ~ -1e-6
+    and occurs with probability ~0 for continuous data, so the
+    conventions agree numerically.
+    """
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(pts)
+    pairs = tree.query_pairs(r=CUTOFF, output_type="ndarray")
+    d = pts[pairs[:, 0]] - pts[pairs[:, 1]]
+    dsq = np.einsum("ij,ij->i", d, d)
+    dsq = dsq[dsq < CUTOFF * CUTOFF]  # drop boundary-equal pairs
+    return float(lj_pair_energy(dsq).sum()), len(dsq)
+
+
+def torch_energy(pts):
+    """Chunked O(n^2) brute force in torch f64 (no spatial index)."""
+    import torch
+
+    p = torch.from_numpy(pts)  # f64
+    n = p.shape[0]
+    csq = CUTOFF * CUTOFF
+    total = 0.0
+    npairs = 0
+    chunk = max(1, int(2e7) // max(n, 1))
+    for lo in range(0, n, chunk):
+        block = p[lo : lo + chunk]
+        dsq = torch.cdist(block, p).pow_(2)
+        # strict upper triangle relative to global indices
+        gi = torch.arange(lo, lo + block.shape[0]).unsqueeze(1)
+        gj = torch.arange(n).unsqueeze(0)
+        m = (gj > gi) & (dsq < csq) & (dsq > 0)
+        v = dsq[m]
+        t = (1.0 / v) ** 3
+        total += float((4.0 * t * (t - 1.0)).sum())
+        npairs += int(m.sum())
+    return total, npairs
+
+
+def main():
+    data_path, n = sys.argv[1], int(sys.argv[2])
+    pts = parse_lammps_data(data_path, n)
+
+    t0 = time.perf_counter()
+    e, np_ = scipy_energy(pts)
+    dt = time.perf_counter() - t0
+    print(f"{n},1,{e / n!r},{dt:.6g},,scipy_ckdtree")
+
+    if n <= TORCH_MAX:
+        try:
+            t0 = time.perf_counter()
+            e, np2 = torch_energy(pts)
+            dt = time.perf_counter() - t0
+            assert np2 == np_, (np2, np_)
+            print(f"{n},1,{e / n!r},{dt:.6g},,torch_bruteforce")
+        except ImportError:
+            pass
+
+
+if __name__ == "__main__":
+    main()

@@ -97,6 +97,14 @@ PYEOF
   else
     >&2 echo "== n=$n: julia not found, skipping CellListMap.jl"
   fi
+
+  # Third-party rows that are always available in this image (scipy
+  # cKDTree + torch brute force): independent codebases filling the
+  # external-oracle role when LAMMPS/Julia cannot be hosted (see
+  # benchmarks/external_energy.py)
+  >&2 echo "== n=$n: scipy/torch external rows"
+  python "$REPO_DIR/benchmarks/external_energy.py" "$data" "$n" >> "$OUT" \
+    || >&2 echo "   external_energy.py failed"
 done
 
 >&2 echo "wrote $OUT"
