@@ -6,11 +6,13 @@ Prints one JSON line per observable with ms/step. Protocol matches
 bench.py (k jitted iterations in one fori_loop with input perturbation,
 scalar readback) so numbers are comparable to the headline.
 
-Modes:
-* thin box (lag path): virial vs energy, open stress vs forces
+Modes (independent flags — each adds its block):
+* thin box (lag path, always on): virial vs energy, direct-pair-sum
+  stress vs energy
 * cubic box (tile path): OBS_CUBIC=1 — virial + stress on the tile kernel
-* PBC cubic: OBS_PBC=1 — pbc_virial + three-pass pbc_stress_fused
-  (expected ~2.2x one forces pass) + one md_run_npt step
+* PBC cubic: OBS_PBC=1 — pbc_virial + one-pass shift-sign-masked
+  pbc_stress_fused (round 9; the round-8 three-pass decomposition is
+  superseded)
 
 Env: OBS_N (default 1e7), OBS_REPS (default 5), OBS_CUBIC, OBS_PBC.
 """
@@ -82,7 +84,11 @@ def main():
     )
     emit("thin_stress_rf", s_ms, e_ms)
 
-    if os.environ.get("OBS_CUBIC", "0") == "1":
+    want_cubic = os.environ.get("OBS_CUBIC", "0") == "1"
+    want_pbc = os.environ.get("OBS_PBC", "0") == "1"
+    if want_cubic or want_pbc:
+        # shared cubic fixture (OBS_PBC runs on the same box, so either
+        # flag alone gets a working benchmark)
         from zelll_tpu.ops.pallas_pairs import lj_term
         from zelll_tpu.ops.tile_pairs import tile_lj_rebuild_energy
         from zelll_tpu.ops.virial import lj_virial_term
@@ -96,6 +102,8 @@ def main():
                                              term=lj_term)[0], cpos, REPS
         )
         emit("cubic_energy", ce_ms)
+
+    if want_cubic:
         cw_ms = timed_scalar(
             lambda p: tile_lj_rebuild_energy(p, CUTOFF, MAXJ=MAXJ,
                                              term=lj_virial_term)[0],
@@ -106,26 +114,26 @@ def main():
             lambda p: fused_stress_open(p, CUTOFF, path="tile",
                                         MAXJ=MAXJ)[0], cpos, REPS
         )
-        emit("cubic_stress_rf", cs_ms, ce_ms)
+        emit("cubic_stress_pair", cs_ms, ce_ms)
 
-        if os.environ.get("OBS_PBC", "0") == "1":
-            from zelll_tpu.ops.pbc import suggest_pbc_capacity
-            from zelll_tpu.ops.virial import pbc_stress_fused, pbc_virial
+    if want_pbc:
+        from zelll_tpu.ops.pbc import suggest_pbc_capacity
+        from zelll_tpu.ops.virial import pbc_stress_fused, pbc_virial
 
-            origin = jnp.zeros(3, jnp.float32)
-            boxj = jnp.full((3,), np.float32(side))
-            B, G = suggest_pbc_capacity(N, (side,) * 3, CUTOFF)
-            pw_ms = timed_scalar(
-                lambda p: pbc_virial(p, origin, boxj, CUTOFF, path="tile",
-                                     B=B, G=G, MAXJ=MAXJ)[0], cpos, REPS
-            )
-            emit("pbc_virial_tile", pw_ms, ce_ms)
-            ps_ms = timed_scalar(
-                lambda p: pbc_stress_fused(p, origin, boxj, CUTOFF,
-                                           path="tile", B=B, G=G,
-                                           MAXJ=MAXJ)[0], cpos, REPS
-            )
-            emit("pbc_stress_tile_3pass", ps_ms, ce_ms)
+        origin = jnp.zeros(3, jnp.float32)
+        boxj = jnp.full((3,), np.float32(side))
+        B, G = suggest_pbc_capacity(N, (side,) * 3, CUTOFF)
+        pw_ms = timed_scalar(
+            lambda p: pbc_virial(p, origin, boxj, CUTOFF, path="tile",
+                                 B=B, G=G, MAXJ=MAXJ)[0], cpos, REPS
+        )
+        emit("pbc_virial_tile", pw_ms, ce_ms)
+        ps_ms = timed_scalar(
+            lambda p: pbc_stress_fused(p, origin, boxj, CUTOFF,
+                                       path="tile", B=B, G=G,
+                                       MAXJ=MAXJ)[0], cpos, REPS
+        )
+        emit("pbc_stress_tile_1pass", ps_ms, ce_ms)
 
 
 if __name__ == "__main__":

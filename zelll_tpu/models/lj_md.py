@@ -229,10 +229,18 @@ def md_run_vv(
     velocities ride the per-step re-sort as payload columns, so the new
     forces land in the matching sorted order). One extra force
     evaluation initializes the carry. Energy drift is O(dt^2) vs the
-    semi-implicit Euler loop's O(dt).
+    semi-implicit Euler loop's O(dt). 3D only (the fused lag forces
+    kernel is 3D; unlike `md_step`/`md_run` there is no XLA dispatch
+    here — a 2D state would otherwise be silently binned on a velocity
+    column).
 
     Returns (state, all_covered, final_energy).
     """
+    if state.positions.shape[1] != 3:
+        raise ValueError(
+            "md_run_vv is 3D-only (fused lag kernel); use md_run for "
+            f"dim={state.positions.shape[1]} (XLA bucketed dispatch)"
+        )
     csq = jnp.asarray(cutoff, state.positions.dtype) ** 2
 
     def sort_and_forces(pos, vel):
