@@ -79,7 +79,34 @@ def main():
         "overhead": pbc_ms / open_ms,
         "B": B, "G": G, "M": M, "L": L,
         "note": "thin bench box is 3 cutoffs wide in x/y: ~90% of "
-                "particles are boundary — the PBC worst case",
+                "particles are boundary — the ghost-extension worst case",
+    }), flush=True)
+
+    # round 9: in-kernel minimum image on the narrow x/y axes — only the
+    # long axis keeps a ghost shell (~0.2% of particles), so periodic
+    # cost should approach open-boundary cost on this very box
+    from zelll_tpu.ops.pbc import minimage_axes
+
+    Bm, Gm = suggest_pbc_capacity(N, box, CUTOFF,
+                                  axes=~minimage_axes(box, CUTOFF))
+    Lm = int(os.environ.get("PBC_MI_L", str(L)))
+    mi_ms = timed(
+        lambda p: pbc_pair_sum(
+            p, origin, boxj, CUTOFF, B=Bm, G=Gm, M=M, L=Lm,
+            minimage="auto",
+        ),
+        pos,
+        REPS,
+    )
+    _, okm = pbc_pair_sum(
+        pos, origin, boxj, CUTOFF, B=Bm, G=Gm, M=M, L=Lm, minimage="auto"
+    )
+    print(json.dumps({
+        "metric": f"pbc_minimage_thin_n{N:.0e}",
+        "open_ms": open_ms,
+        "pbc_ms": mi_ms,
+        "overhead": mi_ms / open_ms,
+        "B": Bm, "G": Gm, "M": M, "L": Lm, "coverage_ok": bool(okm),
     }), flush=True)
 
     # cubic box — the realistic PBC workload (solvent box): ~6% boundary

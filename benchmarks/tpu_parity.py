@@ -416,6 +416,35 @@ def main():
               np.abs(np.asarray(f, np.float64) - f_mi).max() / fscale_mi,
               2e-6)
 
+        # in-kernel minimum image (round 9): narrow axes folded in the
+        # lag kernel, no ghost rows for them — same oracle as the ghost
+        # rows above. Only exercised where the box has narrow axes.
+        from zelll_tpu.ops.pbc import minimage_axes
+
+        if minimage_axes(boxa, CUTOFF).any():
+            e, ok = pbc_lj_energy(hi_p, org, boxj, CUTOFF, M=4096, L=1024,
+                                  minimage="auto")
+            assert bool(ok)
+            check(f"pbc_mi_energy_f32[{boxname}]",
+                  abs(float(e) - e_mi) / abs(e_mi), f32_tol)
+            e, ok = pbc_lj_energy(hi_p, org, boxj, CUTOFF, M=4096, L=1024,
+                                  minimage="auto", positions_lo=lo_p)
+            assert bool(ok)
+            check(f"pbc_mi_energy_split[{boxname}]",
+                  abs(float(e) - e_mi) / abs(e_mi), 2e-6)
+            cnt, ok = pbc_count_pairs(hi_p, org, boxj, CUTOFF, M=4096,
+                                      L=1024, minimage="auto",
+                                      positions_lo=lo_p)
+            assert bool(ok)
+            check(f"pbc_mi_count_split[{boxname}]",
+                  abs(cnt - n_mi) / n_mi, 1e-6)
+            f, ok = pbc_lj_forces(hi_p, org, boxj, CUTOFF, M=4096, L=1024,
+                                  minimage="auto", positions_lo=lo_p)
+            assert bool(ok)
+            check(f"pbc_mi_forces_split[{boxname}]",
+                  np.abs(np.asarray(f, np.float64) - f_mi).max()
+                  / fscale_mi, 2e-6)
+
         # PBC virial (sign-masked scalar term) + one-pass fused stress
         # (round 9: direct pair-sum stress kernel with the shift-sign
         # mask — same f32/split oracle split as the open-boundary rows)

@@ -478,3 +478,140 @@ def test_md_run_vv_pbc_matches_numpy():
                                rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(np.asarray(st.velocities), v_np,
                                rtol=1e-9, atol=1e-9)
+
+
+# -- in-kernel minimum image (narrow axes; round 9) --------------------------
+
+
+@pytest.mark.parametrize("seed,box,cutoff,mi", [
+    # protocol-shaped slab: x/y are 3-cell axes -> folded, z ghost shell
+    (0, (2.5, 2.5, 40.0), 1.0, "auto"),
+    # near-cubic with a larger cutoff: two narrow axes folded
+    (1, (4.3, 5.1, 6.7), 1.5, "auto"),
+    # explicit single-axis fold (y and z keep ghost images)
+    (2, (2.5, 2.5, 40.0), 1.0, (True, False, False)),
+])
+def test_pbc_minimage_energy_count_forces(seed, box, cutoff, mi):
+    """In-kernel minimum-image fold == ghost-extension == oracle: energy
+    to 1e-9 (f64 interpret), counts integer-exact, forces to 1e-9."""
+    from zelll_tpu.ops.pbc import minimage_axes
+
+    pts, origin, boxj, c = make_case(seed=seed, box=box, cutoff=cutoff)
+    if mi == "auto":
+        assert minimage_axes(box, c).any(), "fixture must exercise the fold"
+    e_ref, n_ref, f_ref = oracle(pts, box, c)
+
+    e, ok = pbc_lj_energy(
+        pts, origin, boxj, c, M=512, L=512, interpret=True, minimage=mi
+    )
+    assert bool(ok)
+    assert abs(float(e) - e_ref) <= 1e-9 * max(1.0, abs(e_ref))
+
+    cnt, ok = pbc_count_pairs(
+        pts, origin, boxj, c, M=512, L=512, interpret=True, minimage=mi
+    )
+    assert bool(ok)
+    assert cnt == n_ref
+
+    f, ok = pbc_lj_forces(
+        pts, origin, boxj, c, M=512, L=512, interpret=True, minimage=mi
+    )
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(f), f_ref, rtol=1e-9, atol=1e-9)
+
+
+def test_pbc_minimage_wrap_invariance():
+    pts, origin, box, c = make_case(seed=4, box=(2.5, 2.5, 40.0))
+    kw = dict(M=512, L=512, interpret=True, minimage="auto")
+    e0, ok0 = pbc_lj_energy(pts, origin, box, c, **kw)
+    shift = jnp.asarray([[2.0, -3.0, 1.0]]) * box
+    e1, ok1 = pbc_lj_energy(pts + shift, origin, box, c, **kw)
+    assert bool(ok0) and bool(ok1)
+    assert abs(float(e0) - float(e1)) <= 1e-9 * abs(float(e0))
+
+
+def test_pbc_minimage_split_exact():
+    """Split (hi, lo) f32 planes stay f64-grade THROUGH the in-kernel
+    fold: the two-diff residual of the hi difference is carried into the
+    lo term (`pallas_pairs._mi_pair_d`). Offset coordinates make plain
+    f32 visibly lossy."""
+    rng = np.random.default_rng(9)
+    n, cutoff = 300, 1.0
+    box = np.array([2.5, 2.5, 30.0])
+    pts64 = rng.uniform(0, 1, (n, 3)) * box * (1 - 1e-9) + 4096.0
+    origin = np.full(3, 4096.0)
+    hi = pts64.astype(np.float32)
+    lo = (pts64 - hi.astype(np.float64)).astype(np.float32)
+    d = pts64[:, None] - pts64[None, :]
+    d -= box * np.round(d / box)
+    dsq = (d * d).sum(-1)
+    np.fill_diagonal(dsq, np.inf)
+    m = dsq < cutoff * cutoff
+    t = np.where(m, 1.0 / np.where(m, dsq, 1.0), 0.0) ** 3
+    e_ref = float(np.where(m, 4 * t * (t - 1), 0.0).sum() / 2)
+    e, ok = pbc_lj_energy(
+        jnp.asarray(hi), jnp.asarray(origin, jnp.float32),
+        jnp.asarray(box, jnp.float32), cutoff, M=512, L=512,
+        interpret=True, minimage="auto", positions_lo=jnp.asarray(lo),
+    )
+    assert bool(ok)
+    assert abs(float(e) - e_ref) <= 2e-6 * abs(e_ref)
+
+
+def test_pbc_minimage_matches_ghost_path():
+    """The fold and the ghost extension are two implementations of the
+    same minimum-image convention: identical energies in f64."""
+    pts, origin, box, c = make_case(seed=6, box=(2.5, 2.5, 40.0))
+    e_mi, ok_mi = pbc_lj_energy(
+        pts, origin, box, c, M=512, L=512, interpret=True, minimage="auto"
+    )
+    e_gh, ok_gh = pbc_lj_energy(
+        pts, origin, box, c, M=512, L=512, interpret=True
+    )
+    assert bool(ok_mi) and bool(ok_gh)
+    assert abs(float(e_mi) - float(e_gh)) <= 1e-9 * abs(float(e_gh))
+
+
+def test_md_step_pbc_minimage_matches_ghost():
+    """A short MD trajectory agrees (f64) between the fold and the ghost
+    extension. Lattice fixture: a uniform-random cloud has near-overlap
+    pairs with ~1e14 forces, where mere f64 summation-order noise between
+    the two (equally correct) paths amplifies past any fixed tolerance."""
+    from zelll_tpu.ops.pbc import md_step_pbc
+
+    rng = np.random.default_rng(7)
+    k, spacing = 4, 0.9
+    g = np.stack(
+        np.meshgrid(*([np.arange(k)] * 3), indexing="ij"), -1
+    ).reshape(-1, 3)
+    box = np.array([k * spacing, k * spacing, 4 * k * spacing])
+    pts = g * spacing + 0.5 * spacing
+    pts[:, 2] *= 1.0  # lattice occupies the low slab of the long axis
+    pts += rng.uniform(-0.05, 0.05, pts.shape) * spacing
+    c = 1.0
+    ptsj = jnp.asarray(pts)
+    origin = jnp.zeros(3)
+    boxj = jnp.asarray(box)
+    vel = jnp.zeros_like(ptsj)
+    p1, v1 = ptsj, vel
+    p2, v2 = ptsj, vel
+    for _ in range(3):
+        p1, v1, ok1 = md_step_pbc(
+            p1, v1, origin, boxj, c, 1e-3, M=512, L=512, interpret=True,
+            minimage=(True, True, False),
+        )
+        p2, v2, ok2 = md_step_pbc(
+            p2, v2, origin, boxj, c, 1e-3, M=512, L=512, interpret=True,
+        )
+        assert bool(ok1) and bool(ok2)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=0,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=0,
+                               atol=1e-8)
+
+
+def test_pbc_minimage_tile_raises():
+    pts, origin, box, c = make_case(seed=8, box=(2.5, 2.5, 40.0))
+    with pytest.raises(ValueError, match="lag"):
+        pbc_lj_energy(pts, origin, box, c, path="tile",
+                      minimage=(True, True, False))

@@ -28,6 +28,13 @@ Deviations (documented):
   arrays) — the reference raises RuntimeError; existing iterators keep
   iterating the old snapshot.
 
+Per-cell surface (round 9; reference `src/cellgrid/iters.rs:121-291`):
+``query(coords) -> GridCell | None`` (empty-cell tolerant handle),
+``cells()`` iterating occupied cells, and `GridCell` with ``index``,
+``__len__``, ``__iter__``/``particles()``, ``neighbors(space)`` and
+``particle_pairs()`` — host-side views over the CSR cell table (one
+device->host pull of the table, cached per build).
+
 TPU-native extensions: ``query_neighbors_batch``, ``pair_reduce``,
 ``lj_energy``, ``positions``, ``grid_data``.
 """
@@ -38,22 +45,113 @@ from typing import Iterable, Iterator, Sequence
 
 import numpy as np
 
-__all__ = ["CellGrid"]
+__all__ = ["CellGrid", "GridCell"]
 
 
-def _coerce_particles(particles) -> np.ndarray:
-    """Array inputs: strict. Generic iterables: silently skip items that
-    don't convert to 3 floats (reference lib.rs:40-58 behavior)."""
+class GridCell:
+    """Copyable handle to one grid cell — the analogue of the reference's
+    `GridCell` (src/cellgrid/iters.rs:121-242): a (grid, flat index) pair
+    that tolerates empty cells (iters.rs:154-168 returns an empty iterator
+    for a vacant key).
+
+    Host-side view: cell membership reads the CSR table snapshot the
+    handle was created from; `CellGrid.rebuild` leaves existing handles
+    iterating the old snapshot (same contract as `__iter__`).
+    """
+
+    __slots__ = ("_snap", "_index")
+
+    def __init__(self, snap: dict, index: int):
+        self._snap = snap
+        self._index = int(index)
+
+    @property
+    def index(self) -> int:
+        """Flat cell key (reference iters.rs:137)."""
+        return self._index
+
+    def _row(self) -> int:
+        """Row in the occupied-cell table, or -1 if the cell is empty."""
+        s = self._snap
+        r = int(np.searchsorted(s["cell_keys"], self._index))
+        if r < s["num_cells"] and int(s["cell_keys"][r]) == self._index:
+            return r
+        return -1
+
+    def __len__(self) -> int:
+        r = self._row()
+        return 0 if r < 0 else int(self._snap["cell_counts"][r])
+
+    def __iter__(self):
+        """(index, [x, y, z]) per particle in this cell (iters.rs:154-168)."""
+        r = self._row()
+        if r < 0:
+            return iter(())
+        s = self._snap
+        lo = int(s["cell_starts"][r])
+        hi = lo + int(s["cell_counts"][r])
+        pts = s["pts"]
+        return iter(
+            [(int(k), pts[int(k)].tolist()) for k in s["sorted_ids"][lo:hi]]
+        )
+
+    def particles(self):
+        """Alias of ``__iter__`` (reference GridCell::iter)."""
+        return iter(self)
+
+    def neighbors(self, space: str = "full"):
+        """Occupied neighbor cells as GridCell handles
+        (iters.rs:197-214). ``space="full"`` gives all 3^N - 1 stencil
+        cells, ``"half"`` the negation-symmetric half (the half-space
+        trick, iters.rs:58-63)."""
+        s = self._snap
+        offs = s["half_offsets"] if space == "half" else s["full_offsets"]
+        if space not in ("full", "half"):
+            raise ValueError(f"space must be 'full' or 'half', got {space!r}")
+        out = []
+        for off in offs:
+            c = GridCell(s, self._index + int(off))
+            if c._row() >= 0:
+                out.append(c)
+        return out
+
+    def particle_pairs(self):
+        """Unique candidate pairs ((i, p), (j, q)) touching this cell:
+        the triangular intra-cell pairs plus the cartesian products with
+        the half-stencil neighbor cells (iters.rs:218-241). Summed over
+        all occupied cells this enumerates every unique candidate pair
+        exactly once (the grid-level ``__iter__`` contract)."""
+        own = list(self)
+        out = [
+            (own[a], own[b])
+            for a in range(len(own))
+            for b in range(a + 1, len(own))
+        ]
+        for cell in self.neighbors("half"):
+            theirs = list(cell)
+            out.extend((p, q) for p in own for q in theirs)
+        return out
+
+    def __repr__(self):
+        return f"GridCell(index={self._index}, len={len(self)})"
+
+
+def _coerce_particles(particles, dim: int = 3) -> np.ndarray:
+    """Array inputs: strict, any dimension >= 2 (the reference CellGrid
+    is const-generic over N, lib.rs:132-135; its PyO3 bindings pin
+    N = 3, python/src/lib.rs:98-100 — this class accepts both). Generic
+    iterables: silently skip items that don't convert to ``dim`` floats
+    (reference lib.rs:40-58 behavior)."""
     if particles is None:
-        return np.zeros((0, 3), np.float64)
+        return np.zeros((0, dim), np.float64)
     if isinstance(particles, np.ndarray):
         arr = np.asarray(particles, np.float64)
-        if arr.ndim != 2 or arr.shape[1] != 3:
-            raise TypeError(f"expected (n, 3) array, got {arr.shape}")
+        if arr.ndim != 2 or arr.shape[1] < 2:
+            raise TypeError(f"expected an (n, dim>=2) array, got {arr.shape}")
         return arr
     try:
         arr = np.asarray(particles, np.float64)
-        if arr.ndim == 2 and arr.shape[1] == 3:
+        if arr.ndim == 2 and arr.shape[1] >= 2:
             return arr
     except (TypeError, ValueError):
         pass
@@ -63,9 +161,9 @@ def _coerce_particles(particles) -> np.ndarray:
             row = [float(c) for c in item]
         except (TypeError, ValueError):
             continue
-        if len(row) == 3:
+        if len(row) == dim:
             rows.append(row)
-    return np.asarray(rows, np.float64).reshape(-1, 3)
+    return np.asarray(rows, np.float64).reshape(-1, dim)
 
 
 def _pad_far(pts: np.ndarray, n_pad: int) -> np.ndarray:
@@ -73,8 +171,8 @@ def _pad_far(pts: np.ndarray, n_pad: int) -> np.ndarray:
     padding rows can never appear as spurious neighbors of real particles
     (they are also key-sentineled via the valid mask, but fused kernels
     filter purely by distance)."""
-    n = pts.shape[0]
-    padded = np.empty((n_pad, 3), pts.dtype)
+    n, dim = pts.shape
+    padded = np.empty((n_pad, dim), pts.dtype)
     padded[:n] = pts
     if n_pad > n:
         # 2D spread grid: spacing 2^17 is an exact multiple of the f32 ulp
@@ -88,7 +186,7 @@ def _pad_far(pts: np.ndarray, n_pad: int) -> np.ndarray:
         s = 2.0**17
         padded[n:, 0] = 1e12 + (k % side) * s
         padded[n:, 1] = 1e12 + (k // side + 1) * s
-        padded[n:, 2] = 1e12
+        padded[n:, 2:] = 1e12
     return padded
 
 
@@ -122,6 +220,7 @@ class CellGrid:
 
         self._pts = pts
         self._cutoff = cutoff
+        self._snap = None  # lazy host cell-table snapshot (per-cell API)
         n = pts.shape[0]
         n_pad = _round_capacity(n)
         padded = _pad_far(pts, n_pad)
@@ -178,15 +277,17 @@ class CellGrid:
             self._cutoff = cut
             self._K = int(self._grid.bins.max_cell_count())
             self._refresh_dense()
+            self._snap = None
         else:
             self._build(pts, cut)
 
     # -- reference API surface ---------------------------------------------
 
     def aabb(self) -> tuple[list[float], list[float]]:
-        """Bounding box as (inf, sup) 3-lists (reference lib.rs:174-180)."""
+        """Bounding box as (inf, sup) dim-lists (reference lib.rs:174-180)."""
         if len(self._pts) == 0:
-            return ([0.0, 0.0, 0.0], [0.0, 0.0, 0.0])
+            z = [0.0] * self._pts.shape[1]
+            return (list(z), list(z))
         return (self._pts.min(axis=0).tolist(), self._pts.max(axis=0).tolist())
 
     def cutoff(self) -> float:
@@ -221,6 +322,66 @@ class CellGrid:
         cnt = int(cnt)
         assert not bool(overflow) and cnt == total
         return np.asarray(i)[:cnt], np.asarray(j)[:cnt]
+
+    # -- per-cell surface (reference iters.rs:121-291) ---------------------
+
+    def _cell_snapshot(self) -> dict | None:
+        """One host pull of the CSR cell table + stencil offsets, cached
+        per build; `GridCell` handles hold a reference, so they keep
+        iterating their snapshot across rebuilds (documented contract)."""
+        if self._grid is None:
+            return None
+        if self._snap is None:
+            from .core.geometry import half_stencil, rel_offsets
+
+            g = self._grid
+            nc = int(g.bins.num_cells)
+            strides = np.asarray(g.info.strides)
+            # the grid bins on min(dim, 3) leading axes (higher-N inputs
+            # keep exact N-D distance filtering on top of 3D cells)
+            full = rel_offsets(len(strides)) @ strides
+            snap = {
+                "cell_keys": np.asarray(g.bins.cell_keys)[:nc],
+                "cell_starts": np.asarray(g.bins.cell_starts)[:nc],
+                "cell_counts": np.asarray(g.bins.cell_counts)[:nc],
+                "num_cells": nc,
+                "sorted_ids": np.asarray(g.sorted_ids),
+                "pts": self._pts,
+                "full_offsets": full,
+                "half_offsets": np.asarray(half_stencil(g.info)),
+                "origin": np.asarray(g.info.origin),
+                "shape": np.asarray(g.info.shape),
+                "strides": strides,
+            }
+            self._snap = snap
+        return self._snap
+
+    def query(self, coordinates: Sequence[float]):
+        """`GridCell` handle for the cell containing ``coordinates``, or
+        None when the location is more than one cell layer outside the
+        grid (reference cellgrid.rs:360-365 via util.rs:245-256). The
+        handle tolerates empty cells — ``len(cell) == 0``, iteration
+        yields nothing (iters.rs:154-168)."""
+        snap = self._cell_snapshot()
+        if snap is None:
+            return None
+        q = np.asarray(coordinates, np.float64).reshape(-1)
+        q = q[: len(snap["strides"])]  # grid axes (min(dim, 3))
+        c = np.floor((q - snap["origin"]) / self._cutoff).astype(np.int64)
+        if np.any(c < -1) or np.any(c > snap["shape"]):
+            return None
+        return GridCell(snap, int(c @ snap["strides"]))
+
+    def cells(self):
+        """Iterator of `GridCell` handles over the OCCUPIED cells
+        (reference CellGrid::iter, iters.rs:261-291; order unspecified
+        there, ascending flat key here)."""
+        snap = self._cell_snapshot()
+        if snap is None:
+            return iter(())
+        return iter(
+            [GridCell(snap, int(k)) for k in snap["cell_keys"]]
+        )
 
     def query_neighbors(self, coordinates: Sequence[float]):
         """Iterator of (index, [x, y, z]) over the full-space neighborhood
@@ -270,8 +431,13 @@ class CellGrid:
             )
         from .core import query_neighbors
 
+        # the grid bins on min(dim, 3) leading axes; candidate retrieval
+        # projects queries onto the grid axes (distance filters downstream
+        # use the full-dimensional coordinates)
+        gdim = self._grid.info.strides.shape[0]
         res = query_neighbors(
-            self._grid, jnp.asarray(points), K=self._K, dense=self._dense
+            self._grid, jnp.asarray(points[:, :gdim]), K=self._K,
+            dense=self._dense,
         )
         ids, mask, ok = np.asarray(res.ids), np.asarray(res.mask), np.asarray(res.valid)
         n = len(self._pts)
@@ -291,20 +457,21 @@ class CellGrid:
         """
         import jax
 
-        points = np.asarray(points, np.float64).reshape(-1, 3)
+        points = np.asarray(points, np.float64).reshape(-1, self._pts.shape[1])
         if self._grid is None:
             return (np.zeros(len(points), np.int64),
                     np.zeros(len(points), bool))
-        from .ops.join import count_neighbors
+        if self._pts.shape[1] == 3:
+            from .ops.join import count_neighbors
 
-        # any grid size: the windowed kernel takes over above the
-        # VMEM-residency ceiling; flag failure falls through to XLA
-        c, valid, ok = count_neighbors(
-            self._grid, points,
-            interpret=jax.default_backend() == "cpu",
-        )
-        if bool(ok):
-            return (np.asarray(c, np.int64), np.asarray(valid))
+            # any grid size: the windowed kernel takes over above the
+            # VMEM-residency ceiling; flag failure falls through to XLA
+            c, valid, ok = count_neighbors(
+                self._grid, points,
+                interpret=jax.default_backend() == "cpu",
+            )
+            if bool(ok):
+                return (np.asarray(c, np.int64), np.asarray(valid))
         ids_list, ok = self.query_neighbors_batch(points)
         csq = self._cutoff * self._cutoff
         counts = np.zeros(len(points), np.int64)
@@ -323,7 +490,7 @@ class CellGrid:
         Returns (dist (Q,), valid (Q,))."""
         import jax
 
-        points = np.asarray(points, np.float64).reshape(-1, 3)
+        points = np.asarray(points, np.float64).reshape(-1, self._pts.shape[1])
         if self._grid is None:
             return (np.full(len(points), np.inf),
                     np.zeros(len(points), bool))
@@ -410,6 +577,11 @@ class CellGrid:
         edges = np.asarray(edges, np.float64).reshape(-1)
         if self._grid is None or len(self._pts) < 2:
             return np.zeros(max(len(edges) - 1, 0), np.int64)
+        if self._pts.shape[1] != 3:
+            raise ValueError(
+                "distance_histogram runs on the fused 3D kernels; for "
+                f"dim={self._pts.shape[1]} use ops.rdf's XLA tools"
+            )
         import jax
         import jax.numpy as jnp
 

@@ -185,7 +185,7 @@ class GridInfo:
         return self.flatten_index(self.cell_index(coords))
 
 
-def key_window(strides) -> jax.Array:
+def key_window(strides, reach=None) -> jax.Array:
     """Max |flat key difference| over the rank-1 stencil: sum(strides).
 
     Every cutoff pair sits within +/-1 cells per axis, so its key
@@ -194,9 +194,18 @@ def key_window(strides) -> jax.Array:
     this equals the historical ``sum(strides[1:]) + 1``; the sum form is
     additionally correct for `GridInfo.create(auto_order=True)` strides,
     where the 1-stride need not sit at index 0.
+
+    ``reach`` (per-axis int, default 1) widens the per-axis cell
+    distance: minimum-image periodic axes treat EVERY cell along the
+    axis as adjacent (wrap adjacency), so their reach is the occupied
+    cell span (``ceil(box/cutoff) - 1``) instead of 1 — the window
+    becomes ``sum(strides * reach)``. For a narrow axis (a few cells)
+    on a minor stride this widens the window by only a few strides.
     """
     strides = jnp.asarray(strides)
-    return jnp.sum(strides)
+    if reach is None:
+        return jnp.sum(strides)
+    return jnp.sum(strides * jnp.asarray(reach, strides.dtype))
 
 
 # -- stencils ----------------------------------------------------------------

@@ -125,7 +125,8 @@ def split_f64(x64):
     return hi, lo
 
 
-def lag_coverage_ok(sorted_keys: jax.Array, strides: jax.Array, L: int):
+def lag_coverage_ok(sorted_keys: jax.Array, strides: jax.Array, L: int,
+                    reach=None):
     """True iff lag bound L covers every in-window pair:
     key[i] - key[i-L] > W for all *real* rows i.
 
@@ -133,20 +134,27 @@ def lag_coverage_ok(sorted_keys: jax.Array, strides: jax.Array, L: int):
     excluded: sentinel runs have zero key differences but no real pairs, so
     including them would force L toward the padded length and flag padded
     grids as uncovered forever.
+
+    ``reach``: per-axis cell-distance multipliers for the widened
+    minimum-image window (see `geometry.key_window`).
     """
-    w = key_window(strides)
+    w = key_window(strides, reach)
     if sorted_keys.shape[0] <= L:
         return jnp.asarray(True)
     later = sorted_keys[L:]
     return jnp.all((later - sorted_keys[:-L] > w) | (later == SENTINEL_KEY))
 
 
-def suggest_lag(sorted_keys_host, strides_host, granule: int = 128) -> int:
+def suggest_lag(sorted_keys_host, strides_host, granule: int = 128,
+                reach=None) -> int:
     """Smallest granule multiple L with full coverage (host-side helper).
     SENTINEL_KEY padding rows are excluded like in `lag_coverage_ok`."""
     import numpy as np
 
-    w = int(np.sum(strides_host))  # = key_window(strides)
+    if reach is None:
+        w = int(np.sum(strides_host))  # = key_window(strides)
+    else:
+        w = int(np.sum(np.asarray(strides_host) * np.asarray(reach)))
     keys = np.asarray(sorted_keys_host)
     n = len(keys)
     L = granule
@@ -182,9 +190,46 @@ def _pad_and_desentinel(sorted_keys: jax.Array, ntot: int) -> jax.Array:
     )
 
 
+def _mi_pair_d(own, j, a, ncoord, split, mibox_ref, minimage):
+    """Per-axis pair separation, optionally folded to the minimum image.
+
+    ``minimage=True`` reads box[a] from the prefetched ``mibox_ref``
+    (0 disables the axis: half = 0 makes both correction branches
+    subtract a signed zero) and folds |d| > box/2 by one box length.
+    The fold is EXACT in f32: the correcting branch has
+    box/2 < |s| < 2*box, so Sterbenz applies to s -/+ box. In split
+    mode the hi-difference across the wrap is no longer small, so its
+    rounding error is recovered with an exact two-diff and carried into
+    the lo term — split separations stay f64-grade through the wrap
+    (the analogue of `pbc._twosum` ghost residuals, in-kernel).
+
+    Requires box > 2*cutoff (the standard PBC regime flag): then at most
+    one image of a pair is within cutoff, and pairs near |d| = box/2
+    are beyond the cutoff under either image, so the fold direction for
+    them is irrelevant.
+    """
+    if not minimage:
+        d = own[a] - j[a]
+        if split:
+            d = d + (own[a + ncoord] - j[a + ncoord])
+        return d
+    bx = mibox_ref[a]
+    half = 0.5 * bx
+    s = own[a] - j[a]
+    shift = jnp.where(
+        s > half, bx, jnp.where(s < -half, -bx, jnp.zeros_like(s))
+    )
+    d = s - shift
+    if split:
+        z = s - own[a]
+        e = (own[a] - (s - z)) - (j[a] + z)
+        d = d + (e + (own[a + ncoord] - j[a + ncoord]))
+    return d
+
+
 def _make_kernel(M: int, L: int, term: Callable, n_planes: int, split: bool,
                  dtype, out_dtype, n_payload: int = 0,
-                 payload_own_only: bool = False):
+                 payload_own_only: bool = False, minimage: bool = False):
     """Kernel over ``n_planes`` coordinate planes + ``n_payload`` payload
     planes + 1 key plane.
 
@@ -206,14 +251,17 @@ def _make_kernel(M: int, L: int, term: Callable, n_planes: int, split: bool,
     # key, plus payloads unless own-only
     n_shift = NP if not payload_own_only else n_planes + 1
 
+    NS = 4 if minimage else 3  # scalar-prefetch count (+ mi box vector)
+
     def kernel(*refs):
-        # refs: wkey, csq, min_islot, blocks (NP), out,
+        # refs: wkey, csq, min_islot, [mi_box], blocks (NP), out,
         #       window scratch (NP), kahan compensation scratch
         wkey_ref, csq_ref, mislot_ref = refs[0], refs[1], refs[2]
-        blocks = refs[3 : 3 + NP]
-        out_ref = refs[3 + NP]
-        wins = refs[4 + NP : 4 + 2 * NP]
-        comp_ref = refs[4 + 2 * NP]
+        mibox_ref = refs[3] if minimage else None
+        blocks = refs[NS : NS + NP]
+        out_ref = refs[NS + NP]
+        wins = refs[NS + 1 + NP : NS + 1 + 2 * NP]
+        comp_ref = refs[NS + 1 + 2 * NP]
         kb, kw = blocks[-1], wins[-1]
 
         p = pl.program_id(0)
@@ -294,9 +342,8 @@ def _make_kernel(M: int, L: int, term: Callable, n_planes: int, split: bool,
             jk = j[-1]
             dsq = jnp.zeros((Mr, LANES), dtype)
             for a in range(ncoord):
-                d = own[a] - j[a]
-                if split:
-                    d = d + (own[a + ncoord] - j[a + ncoord])
+                d = _mi_pair_d(own, j, a, ncoord, split, mibox_ref,
+                               minimage)
                 dsq = dsq + d * d
             keymask = jk >= own_k - w_key
             mask = keymask & (dsq < csq) & own_owned
@@ -534,7 +581,8 @@ def pair_lag_per_particle(
 
 
 def _make_forces_kernel(M: int, L: int, gfn: Callable, dtype,
-                        n_planes: int = 3, split: bool = False):
+                        n_planes: int = 3, split: bool = False,
+                        minimage: bool = False):
     """Forces kernel: per unique pair (i, j = i - lag), f_i += g(dsq) * d
     and f_j -= g(dsq) * d (Newton's third law).
 
@@ -561,14 +609,17 @@ def _make_forces_kernel(M: int, L: int, gfn: Callable, dtype,
     NP = n_planes + 1  # + key plane
     ncoord = n_planes // 2 if split else n_planes
 
+    NS = 3 if minimage else 2  # scalar-prefetch count (+ mi box vector)
+
     def kernel(*refs):
-        # refs: wkey, csq, blocks (NP), force outs (3),
+        # refs: wkey, csq, [mi_box], blocks (NP), force outs (3),
         #       window scratch (NP), force double-buffers (3)
         wkey_ref, csq_ref = refs[0], refs[1]
-        blocks = refs[2 : 2 + NP]
-        fouts = refs[2 + NP : 5 + NP]
-        wins = refs[5 + NP : 5 + 2 * NP]
-        fbufs = refs[5 + 2 * NP : 8 + 2 * NP]
+        mibox_ref = refs[2] if minimage else None
+        blocks = refs[NS : NS + NP]
+        fouts = refs[NS + NP : NS + 3 + NP]
+        wins = refs[NS + 3 + NP : NS + 3 + 2 * NP]
+        fbufs = refs[NS + 3 + 2 * NP : NS + 6 + 2 * NP]
         kb, kw = blocks[-1], wins[-1]
 
         p = pl.program_id(0)
@@ -630,12 +681,11 @@ def _make_forces_kernel(M: int, L: int, gfn: Callable, dtype,
                 acc = list(rest[NP + 3 : NP + 6])
                 j = [s[Lr:Wr] for s in shifted]
                 jk = j[-1]
-                d = []
-                for a in range(3):
-                    da = own[a] - j[a]
-                    if split:
-                        da = da + (own[a + ncoord] - j[a + ncoord])
-                    d.append(da)
+                d = [
+                    _mi_pair_d(own, j, a, ncoord, split, mibox_ref,
+                               minimage)
+                    for a in range(3)
+                ]
                 dsq = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
                 keymask = jk >= own_k - w_key
                 mask = keymask & (dsq < csq) & (dsq > 0)
@@ -707,8 +757,14 @@ def pair_lag_forces(
     L: int = 256,
     gfn: Callable = None,
     interpret: bool = False,
+    mi_box: jax.Array | None = None,
+    key_reach=None,
 ):
     """Per-particle pairwise forces in sorted-slot order.
+
+    ``mi_box``/``key_reach``: in-kernel minimum-image folding for narrow
+    periodic axes (see `pair_lag_reduce`); Newton's +/- g*d uses the
+    FOLDED separation, which is exactly the minimum-image force.
 
     f_i = sum over unique cutoff pairs of ``gfn(dsq) * (p_i - p_j)`` with
     the equal-and-opposite contribution on j. 3D only (the XLA
@@ -752,24 +808,29 @@ def pair_lag_forces(
     n_planes = len(planes)
     kp = keys_p.reshape(-1, LANES)
 
-    w_key = key_window(strides).astype(jnp.int32).reshape(1)
+    w_key = key_window(strides, key_reach).astype(jnp.int32).reshape(1)
     csq = jnp.asarray(cutoff_sq, dtype).reshape(1)
+    minimage = mi_box is not None
+    scalars = [w_key, csq]
+    if minimage:
+        scalars.append(jnp.asarray(mi_box, dtype).reshape(3))
 
     Mr = M // LANES
-    kernel = _make_forces_kernel(M, L, gfn, dtype, n_planes, split)
+    kernel = _make_forces_kernel(M, L, gfn, dtype, n_planes, split,
+                                 minimage=minimage)
     # one extra program flushes the final block; its block reads clamp to
     # the last real block (compute masked off)
     bs = lambda: pl.BlockSpec(
-        (Mr, LANES), lambda p, s1, s2: (jnp.minimum(p, P - 1), 0)
+        (Mr, LANES), lambda p, *s: (jnp.minimum(p, P - 1), 0)
     )
     out_bs = pl.BlockSpec(
         (Mr, LANES),
-        lambda p, s1, s2: (jnp.maximum(p - 1, 0), 0),
+        lambda p, *s: (jnp.maximum(p - 1, 0), 0),
         memory_space=pltpu.VMEM,
     )
     win = lambda dt, rows: pltpu.VMEM((rows, LANES), dt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=len(scalars),
         grid=(P + 1,),
         in_specs=[bs() for _ in range(n_planes + 1)],
         out_specs=[out_bs, out_bs, out_bs],
@@ -786,7 +847,7 @@ def pair_lag_forces(
         out_shape=[jax.ShapeDtypeStruct((P * Mr, LANES), dtype)] * 3,
         grid_spec=grid_spec,
         interpret=interpret,
-    )(w_key, csq, *planes, kp)
+    )(*scalars, *planes, kp)
     forces = jnp.stack(
         [fx.reshape(-1)[:n], fy.reshape(-1)[:n], fz.reshape(-1)[:n]], axis=-1
     )
@@ -813,8 +874,16 @@ def pair_lag_reduce(
     out_dtype=None,
     min_islot=0,
     payload_own_only: bool = False,
+    mi_box: jax.Array | None = None,
+    key_reach=None,
 ):
     """Sum ``term(dsq)`` over all unique cutoff-filtered pairs.
+
+    ``mi_box``: optional (dim,) per-axis box lengths for IN-KERNEL
+    minimum-image folding (0 disables an axis) — narrow periodic axes
+    need no ghost images at all (see `_mi_pair_d`); pass ``key_reach``
+    (per-axis cell spans, `geometry.key_window`) so the key window
+    admits wrap-adjacent cells.
 
     L must satisfy `lag_coverage_ok` (host/XLA-checked separately; one
     shifted vector compare). M must be a multiple of 1024 (compiled), L a
@@ -876,23 +945,27 @@ def pair_lag_reduce(
         )
     kp = keys_p.reshape(-1, LANES)
 
-    w_key = key_window(strides).astype(jnp.int32).reshape(1)
+    w_key = key_window(strides, key_reach).astype(jnp.int32).reshape(1)
     csq = jnp.asarray(cutoff_sq, dtype).reshape(1)
     mislot = jnp.asarray(min_islot, jnp.int32).reshape(1)
+    minimage = mi_box is not None
+    scalars = [w_key, csq, mislot]
+    if minimage:
+        scalars.append(jnp.asarray(mi_box, dtype).reshape(dim))
 
     Mr = M // LANES
     kernel = _make_kernel(
         M, L, term, n_planes, split, dtype, out_dtype, n_payload=n_payload,
-        payload_own_only=payload_own_only,
+        payload_own_only=payload_own_only, minimage=minimage,
     )
-    bs = lambda: pl.BlockSpec((Mr, LANES), lambda p, s1, s2, s3: (p, 0))
+    bs = lambda: pl.BlockSpec((Mr, LANES), lambda p, *s: (p, 0))
     win = lambda dt: pltpu.VMEM((Mr + L // LANES, LANES), dt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=len(scalars),
         grid=(P,),
         in_specs=[bs() for _ in range(n_planes + n_payload + 1)],
         out_specs=pl.BlockSpec(
-            (Mr, LANES), lambda p, s1, s2, s3: (0, 0), memory_space=pltpu.VMEM
+            (Mr, LANES), lambda p, *s: (0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[win(dtype) for _ in range(n_planes + n_payload)]
         + [win(jnp.int32), pltpu.VMEM((Mr, LANES), out_dtype)],
@@ -902,7 +975,7 @@ def pair_lag_reduce(
         out_shape=jax.ShapeDtypeStruct((Mr, LANES), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(w_key, csq, mislot, *planes, kp)
+    )(*scalars, *planes, kp)
     if jnp.issubdtype(out_dtype, jnp.integer):
         # Overflow-safe integer total: per-element block sums stay far below
         # 2^31, but the grand total wraps int32 near ~2.1e9 pairs (n~1e8 at

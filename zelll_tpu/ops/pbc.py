@@ -73,7 +73,56 @@ __all__ = [
     "pbc_count_pairs",
     "pbc_lj_forces",
     "md_step_pbc",
+    "minimage_axes",
 ]
+
+
+def minimage_axes(box, cutoff, max_cells: int = 4):
+    """Host-side per-axis choice: in-kernel minimum image vs ghost images.
+
+    An axis spanning only a few cells (``ceil(box/cutoff) <= max_cells``)
+    is cheaper to fold in-kernel: EVERY cell along it is wrap-adjacent to
+    every other, so widening the key window by ``(ncells-1) * stride``
+    admits all partners and `pallas_pairs._mi_pair_d` folds the
+    separation — NO ghost rows at all. The reference benchmark box
+    (30 x 30 x n/9, cutoff 10 — 3 cells in x/y) makes ~100% of particles
+    boundary under ghost extension (G ~ 2.8n, the round-1 10.8x row);
+    with x/y min-imaged only the long axis keeps its thin ghost shell.
+    Wide axes stay ghost-imaged: their reach would multiply a large
+    stride into the key window.
+
+    The largest-extent axis is never min-imaged: under auto-ordered
+    strides it carries the major stride, so its widened window
+    ``(ncells-1) * stride_major`` would degenerate the lag window toward
+    all-pairs (observed: a 4-cell cube flagged under-capacity at L=1024).
+    Ghost-extending one axis is always cheap (a thin shell).
+
+    Returns a (dim,) bool ndarray (True = fold in-kernel).
+    """
+    import numpy as np
+
+    b = np.asarray(box, np.float64).reshape(-1)
+    mask = np.ceil(b / float(cutoff)).astype(int) <= max_cells
+    mask[int(np.argmax(b))] = False
+    return mask
+
+
+def _resolve_minimage(box, cutoff, minimage, dim):
+    """-> (dim,) bool ndarray from a `minimage` spec (False | "auto" |
+    explicit mask). Host-side: the split is static kernel configuration."""
+    import numpy as np
+
+    if minimage is False or minimage is None:
+        return np.zeros(dim, bool)
+    if minimage == "auto":
+        # the fold is a 3D lag-kernel feature; "auto" degrades to the
+        # ghost/XLA path elsewhere (an EXPLICIT mask on dim != 3 raises
+        # at the path check instead — never silently ignored)
+        if dim != 3:
+            return np.zeros(dim, bool)
+        return minimage_axes(box, cutoff)
+    out = np.asarray(minimage, bool).reshape(dim)
+    return out
 
 def _subsets(dim: int):
     """Non-empty subsets of the axes (2^dim - 1): which of a particle's
@@ -100,20 +149,24 @@ def wrap_positions(positions, origin, box):
 
 
 def suggest_pbc_capacity(
-    n: int, box, cutoff, safety: float = 1.6
+    n: int, box, cutoff, safety: float = 1.6, axes=None
 ) -> tuple[int, int]:
     """Host-side (B, G) capacity estimate for `pbc_extend`.
 
     B bounds the boundary-particle count (fraction within cutoff of any
     face, assuming roughly uniform density), G the ghost-image count
     (faces dominate; edge/corner images are second order — the safety
-    factor and the coverage flag absorb them).
+    factor and the coverage flag absorb them). ``axes`` restricts the
+    estimate to the axes that actually get images (min-imaged axes
+    contribute no ghosts).
     """
     import numpy as np
 
     box = np.asarray(box, np.float64)
     c = float(cutoff)
     frac_face = np.minimum(2.0 * c / box, 1.0)
+    if axes is not None:
+        frac_face = np.where(np.asarray(axes, bool), frac_face, 0.0)
     frac_any = 1.0 - np.prod(1.0 - frac_face)
     # expected images per particle: one per adjacent-face subset
     exp_images = np.prod(1.0 + frac_face) - 1.0
@@ -133,7 +186,7 @@ def _twosum(a, b):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("B", "G", "wrap", "return_parents")
+    jax.jit, static_argnames=("B", "G", "wrap", "return_parents", "axes")
 )
 def pbc_extend(
     positions: jax.Array,  # (n, dim)
@@ -146,6 +199,7 @@ def pbc_extend(
     positions_lo: jax.Array | None = None,
     wrap: bool = True,
     return_parents: bool = False,
+    axes: tuple | None = None,
 ):
     """Append ghost images of boundary particles for orthorhombic PBC.
 
@@ -197,6 +251,10 @@ def pbc_extend(
     s = ((pos >= origin) & (pos < origin + cutoff)).astype(jnp.int32) - (
         (pos >= origin + box - cutoff) & (pos < origin + box)
     ).astype(jnp.int32)
+    if axes is not None:
+        # images only along the selected axes (min-imaged axes fold
+        # in-kernel and must not also get ghost copies)
+        s = s * jnp.asarray([int(bool(a)) for a in axes], jnp.int32)
     ok = jnp.all(box > 2 * cutoff)
     near = jnp.any(s != 0, axis=1)
     ok &= jnp.sum(near, dtype=jnp.int32) <= B
@@ -297,6 +355,85 @@ def pbc_extend(
     return ext_pos, ext_lo, w, valid, ok
 
 
+def _minimage_bins(positions, origin, box, cutoff, mimask, *, B, G,
+                   positions_lo, need_perm):
+    """Shared binning for the min-image lag paths: wrap, extend ghosts
+    along the NON-min-imaged axes only (or skip extension entirely when
+    every axis folds in-kernel), and bin on the box aabb (the full
+    periodic extent — the grid must cover the box even where no particle
+    sits, so wrap-adjacent reach math is exact).
+
+    Returns (bins, sp, slo, payload, reach, mi_box, ok)."""
+    import numpy as np
+
+    from ..core.geometry import Aabb, GridInfo
+
+    n, dim = positions.shape
+    dtype = positions.dtype
+    originj = jnp.asarray(origin, dtype).reshape(dim)
+    boxj = jnp.asarray(box, dtype).reshape(dim)
+    cutj = jnp.asarray(cutoff, dtype)
+    pos = wrap_positions(positions, originj, boxj)
+    ok = jnp.all(boxj > 2 * cutj)
+    if bool(mimask.all()):
+        ext, ext_lo, w, valid = pos, positions_lo, None, None
+    else:
+        ghost_axes = tuple(bool(x) for x in ~mimask)
+        if B is None or G is None:
+            Bd, Gd = suggest_pbc_capacity(n, box, cutoff, axes=~mimask)
+            B = Bd if B is None else B
+            G = Gd if G is None else G
+        ext, ext_lo, w, valid, okx = pbc_extend(
+            pos, originj, boxj, cutoff, B=B, G=G,
+            positions_lo=positions_lo, wrap=False, axes=ghost_axes,
+        )
+        ok &= okx
+    info = GridInfo.create(
+        Aabb(originj, originj + boxj), cutoff, auto_order=True
+    )
+    cols = [ext]
+    if ext_lo is not None:
+        cols.append(ext_lo)
+    if w is not None:
+        cols.append(w[:, None])
+    stacked = jnp.concatenate(cols, axis=1) if len(cols) > 1 else ext
+    bins, sorted_cols = bin_and_sort(
+        stacked, cutoff, max_cells=1, need_perm=need_perm, valid=valid,
+        info=info,
+    )
+    sp = sorted_cols[:, :dim]
+    slo = sorted_cols[:, dim : 2 * dim] if ext_lo is not None else None
+    payload = sorted_cols[:, -1:] if w is not None else None
+    b64 = np.asarray(box, np.float64).reshape(dim)
+    reach = tuple(
+        max(int(np.ceil(b64[a] / float(cutoff))) - 1, 1) if mimask[a] else 1
+        for a in range(dim)
+    )
+    mi_box = jnp.where(jnp.asarray(mimask), boxj, jnp.zeros_like(boxj))
+    return bins, sp, slo, payload, reach, mi_box, ok
+
+
+def _minimage_pair_sum(positions, origin, box, cutoff, mimask, *, term,
+                       B, G, M, L, interpret, out_dtype, positions_lo):
+    """Lag-path pair sum with in-kernel minimum image on ``mimask`` axes
+    (ghost extension only along the rest). Returns (total, ok)."""
+    bins, sp, slo, payload, reach, mi_box, ok = _minimage_bins(
+        positions, origin, box, cutoff, mimask, B=B, G=G,
+        positions_lo=positions_lo, need_perm=False,
+    )
+    csq = jnp.asarray(cutoff, positions.dtype) ** 2
+    eff_term = term if payload is None else _pbc_term(term)
+    total = pair_lag_reduce(
+        sp, bins.sorted_keys, bins.info.strides, csq, slo,
+        sorted_payload=payload, M=M, L=L, term=eff_term,
+        interpret=interpret, out_dtype=out_dtype, mi_box=mi_box,
+        key_reach=reach,
+    )
+    ok &= lag_coverage_ok(bins.sorted_keys, bins.info.strides, L,
+                          reach=reach)
+    return total, ok
+
+
 _MASKED_TERMS: dict = {}
 
 
@@ -333,6 +470,7 @@ def pbc_pair_sum(
     interpret: bool = False,
     out_dtype=None,
     positions_lo: jax.Array | None = None,
+    minimage=False,
 ):
     """Sum ``term(dsq)`` over unique minimum-image cutoff pairs under
     orthorhombic PBC. Returns (total, ok).
@@ -346,10 +484,30 @@ def pbc_pair_sum(
     half-energies summed over real rows — no mask plane needed; the
     reference is generic over N, lib.rs:132-135). 2D inputs route to
     "xla" automatically.
+
+    ``minimage`` ("auto" | False | per-axis bool mask; lag path only):
+    folds narrow periodic axes IN-KERNEL instead of materializing ghost
+    images (`minimage_axes`). The reference protocol box (30 x 30 x long,
+    cutoff 10) is ~100% boundary under ghost extension — with its two
+    3-cell axes min-imaged, only the long axis keeps a thin ghost shell
+    and PBC costs about the same as open boundaries. Requires host
+    ``box``/``cutoff`` (the axis split is static configuration).
     """
     n, dim = positions.shape
     if dim != 3:
         path = "xla"
+    mimask = _resolve_minimage(box, cutoff, minimage, dim)
+    if mimask.any():
+        if path != "lag":
+            raise ValueError(
+                "minimage is a lag-path feature (narrow axes are the lag "
+                f"kernel's regime); got path={path!r}"
+            )
+        return _minimage_pair_sum(
+            positions, origin, box, cutoff, mimask, term=term, B=B, G=G,
+            M=M, L=L, interpret=interpret, out_dtype=out_dtype,
+            positions_lo=positions_lo,
+        )
     if B is None or G is None:
         Bd, Gd = suggest_pbc_capacity(n, box, cutoff)
         B = Bd if B is None else B
@@ -448,6 +606,7 @@ def pbc_lj_forces(
     chunk: int = 64,
     interpret: bool = False,
     positions_lo: jax.Array | None = None,
+    minimage=False,
 ):
     """Per-particle forces under orthorhombic PBC, input order.
 
@@ -457,11 +616,38 @@ def pbc_lj_forces(
     half-space + Newton reactions, M/L capacities) or ``"tile"``
     (cubic/wide boxes: full mirrored bands, i-side accumulation, CB/MAXJ
     capacities — ghost reactions were never computed to begin with).
+    ``minimage`` folds narrow axes in-kernel (lag path; see
+    `pbc_pair_sum`) — Newton's +/- g*d on the FOLDED separation IS the
+    minimum-image force, so the un-sort machinery is unchanged.
     Returns ((n, 3) forces, ok).
     """
     n, dim = positions.shape
     if dim != 3:
         path = "xla"
+    mimask = _resolve_minimage(box, cutoff, minimage, dim)
+    if mimask.any():
+        if path != "lag":
+            raise ValueError(
+                "minimage is a lag-path feature (narrow axes are the lag "
+                f"kernel's regime); got path={path!r}"
+            )
+        bins, sp, slo, _payload, reach, mi_box, ok = _minimage_bins(
+            positions, origin, box, cutoff, mimask, B=B, G=G,
+            positions_lo=positions_lo, need_perm=True,
+        )
+        csq = jnp.asarray(cutoff, positions.dtype) ** 2
+        f = pair_lag_forces(
+            sp, bins.sorted_keys, bins.info.strides, csq, slo,
+            M=M, L=L, gfn=gfn, interpret=interpret, mi_box=mi_box,
+            key_reach=reach,
+        )
+        ok &= lag_coverage_ok(bins.sorted_keys, bins.info.strides, L,
+                              reach=reach)
+        _, fx, fy, fz = jax.lax.sort(
+            (bins.perm, f[:, 0], f[:, 1], f[:, 2]), num_keys=1,
+            is_stable=False,
+        )
+        return jnp.stack([fx[:n], fy[:n], fz[:n]], axis=-1), ok
     if B is None or G is None:
         Bd, Gd = suggest_pbc_capacity(n, box, cutoff)
         B = Bd if B is None else B
