@@ -203,6 +203,39 @@ class CellGrid:
     See module docstring for the API contract. The functional core
     (`zelll_tpu.core`) stays jit-pure; this class does the host-side
     orchestration: capacity classes, padding, and iterator materialization.
+
+    Runnable contract (executed by ``tests/test_doctests.py``, the
+    analogue of the reference's doc-tests, e.g. util.rs:268-286):
+
+    >>> import numpy as np
+    >>> pts = np.array([[0.1, 0.1, 0.1], [0.4, 0.2, 0.1], [2.5, 2.5, 2.5]])
+    >>> cg = CellGrid(pts, cutoff=1.0)
+    >>> cg.cutoff()
+    1.0
+    >>> sorted((i, j) for (i, _), (j, _) in cg)  # one candidate pair
+    [(0, 1)]
+    >>> sorted(i for i, _ in cg.neighbors([0.0, 0.0, 0.0]))
+    [0, 1]
+    >>> cg.query_neighbors([99.0, 99.0, 99.0]) is None  # > 1 layer outside
+    True
+    >>> cell = cg.query(pts[0])          # per-cell handle (iters.rs:121)
+    >>> len(cell), sorted(i for i, _ in cell)
+    (2, [0, 1])
+    >>> len(cg.query([1.5, 1.5, 1.5]))   # empty cell: live, empty handle
+    0
+    >>> [len(c) for c in cg.cells()]     # occupied cells, ascending key
+    [2, 1]
+    >>> import pickle
+    >>> cg2 = pickle.loads(pickle.dumps(cg))
+    >>> np.allclose(cg2.positions, pts) and cg2.cutoff() == 1.0
+    True
+    >>> inputs = [(0.0, 0.0, 0.0), "bad", (1.0, 1.0)]  # silent-skip
+    >>> len(CellGrid(inputs, cutoff=1.0).positions)  # (lib.rs:40-58)
+    1
+    >>> CellGrid(np.zeros((2, 1)))       # dim >= 2 required
+    Traceback (most recent call last):
+        ...
+    TypeError: expected an (n, dim>=2) array, got (2, 1)
     """
 
     def __init__(self, particles=None, /, cutoff: float = 1.0,

@@ -96,6 +96,21 @@ class GridInfo:
     All fields are (traced) arrays so a `GridInfo` can be produced inside a
     jitted rebuild step from data-dependent bounding boxes. Mirrors reference
     `GridInfo` (util.rs:82-298).
+
+    Runnable contract (executed by ``tests/test_doctests.py``; golden
+    values transfer from the reference unit test, util.rs:342-431 —
+    shape [3, 3, 3] gets +4-padded strides [1, 7, 49]):
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> aabb = Aabb(jnp.zeros(3), jnp.asarray([2.5, 2.5, 2.5]))
+    >>> info = GridInfo.create(aabb, 1.0)
+    >>> np.asarray(info.shape).tolist()
+    [3, 3, 3]
+    >>> np.asarray(info.strides).tolist()
+    [1, 7, 49]
+    >>> int(info.flat_cell_index(jnp.asarray([1.2, 0.1, 2.3])))  # 1 + 0 + 2*49
+    99
     """
 
     aabb: Aabb
