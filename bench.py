@@ -250,12 +250,31 @@ def cubic_mode(jax, jnp, rtt):
     from zelll_tpu.ops.pallas_pairs import combine_count, count_term, lj_term_fast
     from zelll_tpu.ops.tile_pairs import tile_lj_rebuild_energy
 
-    MAXJ = int(os.environ.get("BENCH_CUBIC_MAXJ", "8"))
     side = (nC / 0.01) ** (1 / 3)
     rng = np.random.default_rng(0)
     pos = jax.device_put(
         jnp.asarray(rng.uniform(0, side, (nC, 3)), jnp.float32)
     )
+
+    mj_env = os.environ.get("BENCH_CUBIC_MAXJ", "auto")
+    if mj_env == "auto":
+        # per-band window capacities measured on this data (the bands'
+        # needs differ ~6x; worth ~8% at 1e7 vs a shared worst case)
+        from zelll_tpu.core.binning import bin_and_sort
+        from zelll_tpu.ops.pallas_pairs import _pad_and_desentinel
+        from zelll_tpu.ops.segments import CHUNK, segment_bands, suggest_maxj
+
+        bins, _ = bin_and_sort(
+            pos, CUTOFF, max_cells=1, need_perm=False, auto_order=True
+        )
+        C = max(-(-nC // (CHUNK * 8)) * 8, 8) * CHUNK
+        MAXJ = suggest_maxj(
+            _pad_and_desentinel(bins.sorted_keys, C),
+            segment_bands(bins.info.strides), per_band=True,
+        )
+        del bins
+    else:
+        MAXJ = int(mj_env)
 
     c, ok = tile_lj_rebuild_energy(
         pos, CUTOFF, MAXJ=MAXJ, term=count_term, out_dtype=jnp.int32

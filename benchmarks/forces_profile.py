@@ -41,13 +41,31 @@ def main():
     from zelll_tpu.utils.profiling import measure_rtt
 
     CB = int(os.environ.get("FP_CB", "8"))
-    MAXJ = int(os.environ.get("FP_MAXJ", "12"))
+    mj_env = os.environ.get("FP_MAXJ", "12")
 
     rtt = measure_rtt()
     rng = np.random.default_rng(0)
     pos = jax.device_put(
         jnp.asarray(rng.uniform(0, side, (n, 3)), jnp.float32)
     )
+    if mj_env == "auto":
+        # per-band capacities for the FULL (mirrored) force bands
+        from zelll_tpu.core.binning import bin_and_sort as _bs
+        from zelll_tpu.ops.pallas_pairs import _pad_and_desentinel
+        from zelll_tpu.ops.segments import CHUNK, segment_bands, suggest_maxj
+
+        b0, _ = _bs(pos, cutoff, max_cells=1, need_perm=False,
+                    auto_order=True)
+        C = max(-(-n // (CHUNK * CB)) * CB, CB) * CHUNK
+        MAXJ = suggest_maxj(
+            _pad_and_desentinel(b0.sorted_keys, C),
+            segment_bands(b0.info.strides, full=True), half=False,
+            per_band=True,
+        )
+        print("per-band MAXJ_F:", MAXJ, flush=True)
+        del b0
+    else:
+        MAXJ = int(mj_env)
     vel = jnp.zeros_like(pos)
     csq = jnp.float32(cutoff**2)
 

@@ -615,3 +615,52 @@ def test_pbc_minimage_tile_raises():
     with pytest.raises(ValueError, match="lag"):
         pbc_lj_energy(pts, origin, box, c, path="tile",
                       minimage=(True, True, False))
+
+
+def test_pbc_minimage_sorted_extremes_path():
+    """n >= 512 single-ghost-axis min-image takes the sorted-extremes
+    fast path (slice + shift + tail merge, no n-row ghost sort): exact
+    vs the oracle, including the non-cell-aligned top face (box/cutoff
+    non-integral -> appended images share the top real cell) and the
+    cell-aligned case."""
+    for boxz, seed in [(40.3, 0), (40.0, 1), (37.7, 2)]:
+        rng = np.random.default_rng(seed)
+        n, c = 1024, 1.0
+        box = np.array([2.5, 2.6, boxz])
+        pts = rng.uniform(0, 1, (n, 3)) * box * (1 - 1e-9)
+        e_ref, n_ref, f_ref = oracle(pts, box, c)
+        kw = dict(M=512, L=512, interpret=True, minimage="auto")
+        ptsj = jnp.asarray(pts)
+        org = jnp.zeros(3)
+        bxj = jnp.asarray(box)
+        e, ok = pbc_lj_energy(ptsj, org, bxj, c, **kw)
+        assert bool(ok), boxz
+        assert abs(float(e) - e_ref) <= 1e-9 * max(1.0, abs(e_ref))
+        cnt, ok = pbc_count_pairs(ptsj, org, bxj, c, **kw)
+        assert bool(ok) and cnt == n_ref, (boxz, cnt, n_ref)
+        f, ok = pbc_lj_forces(ptsj, org, bxj, c, **kw)
+        assert bool(ok)
+        np.testing.assert_allclose(np.asarray(f), f_ref, rtol=1e-9,
+                                   atol=1e-9)
+
+
+def test_pbc_minimage_sorted_extremes_wrap_and_empty_face():
+    """Out-of-box inputs wrap first; a cloud leaving the high face empty
+    still works (the suffix slice holds non-boundary rows, all its ghost
+    candidates invalid)."""
+    rng = np.random.default_rng(3)
+    n, c = 1024, 1.0
+    box = np.array([2.5, 2.5, 41.0])
+    pts = rng.uniform(0, 1, (n, 3)) * np.array([2.5, 2.5, 20.0])
+    e_ref, n_ref, _ = oracle(pts, box, c)
+    kw = dict(M=512, L=512, interpret=True, minimage="auto")
+    org = jnp.zeros(3)
+    bxj = jnp.asarray(box)
+    e, ok = pbc_lj_energy(jnp.asarray(pts), org, bxj, c, **kw)
+    assert bool(ok)
+    assert abs(float(e) - e_ref) <= 1e-9 * max(1.0, abs(e_ref))
+    # wrap invariance through the fast path
+    shift = jnp.asarray([[5.0, -2.0, 3.0]]) * bxj
+    e2, ok = pbc_lj_energy(jnp.asarray(pts) + shift, org, bxj, c, **kw)
+    assert bool(ok)
+    assert abs(float(e2) - float(e)) <= 1e-9 * abs(float(e))

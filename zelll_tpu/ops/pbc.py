@@ -355,6 +355,205 @@ def pbc_extend(
     return ext_pos, ext_lo, w, valid, ok
 
 
+# negative-key padding family for invalid prepend-ghost rows: strictly
+# ascending keys far below any real key (real flat keys are >= -S_major
+# for the single prepended image cell), so the concatenated key array
+# stays ascending and `lag_coverage_ok` never sees a mid-array SENTINEL
+# (which would flag the grid uncovered forever).
+_NEG_PAD_KEY_BASE = -(2**28)
+
+
+def _minimage_bins_sorted_extremes(positions, origin, box, cutoff, mimask,
+                                   *, B, positions_lo, need_perm):
+    """Fast `_minimage_bins` when the ONLY ghost axis is the major-stride
+    axis (the ``minimage="auto"`` shape): the ghost axis's boundary rows
+    are the two ENDS of the key-sorted array, so the periodic extension
+    is slice + shift + concat — the n-row boundary-compaction sort of
+    `pbc_extend` (and the larger n+G bin sort) disappear; only two
+    B-row block sorts remain.
+
+    Cells are exactly cutoff wide, so the low-face boundary rows
+    (z < origin + c) are EXACTLY the z-cell-0 rows — a contiguous sorted
+    prefix; the high-face rows are the top cell(s) — a contiguous
+    suffix. Their images keep relative order up to cell-boundary
+    reshuffling (box/cutoff is not integral), handled by one small sort
+    per block; on the append side the images land in the same top cell
+    as real rows (the grid anchors cells at the origin, so only the low
+    face is cell-aligned), so the tail MERGE region (top real cell + the
+    appended block) is re-sorted — capacity B2, flag-guarded.
+
+    Returns the `_minimage_bins` tuple.
+    """
+    import numpy as np
+
+    from ..core.binning import bin_and_sort
+    from ..core.geometry import Aabb, GridInfo
+
+    n, dim = positions.shape
+    dtype = positions.dtype
+    gaxis = int(np.flatnonzero(~mimask)[0])
+    originj = jnp.asarray(origin, dtype).reshape(dim)
+    boxj = jnp.asarray(box, dtype).reshape(dim)
+    cutj = jnp.asarray(cutoff, dtype)
+    pos = wrap_positions(positions, originj, boxj)
+    ok = jnp.all(boxj > 2 * cutj)
+
+    info = GridInfo.create(
+        Aabb(originj, originj + boxj), cutoff, auto_order=True
+    )
+    split = positions_lo is not None
+    cols = [pos] + ([positions_lo] if split else [])
+    stacked = jnp.concatenate(cols, axis=1) if split else pos
+    bins, sorted_cols = bin_and_sort(
+        stacked, cutoff, max_cells=1, need_perm=need_perm, info=info,
+    )
+    sp = sorted_cols[:, :dim]
+    slo = sorted_cols[:, dim : 2 * dim] if split else None
+    keys = bins.sorted_keys
+    perm = bins.perm if need_perm else None
+    # append-side padding keys must stay above every real key
+    ok &= keys[n - 1] < jnp.int32(_PAD_KEY_BASE_APPEND)
+
+    B = min(B, n)
+    B2 = max(2 * B, 512)
+    zg = sp[:, gaxis]
+    low_face = originj[gaxis] + cutj
+    high_face = originj[gaxis] + boxj[gaxis] - cutj
+    # capacity flags (full-n compares are cheap; never silently drop)
+    n_low = jnp.sum(zg < low_face, dtype=jnp.int32)
+    n_high = jnp.sum(zg >= high_face, dtype=jnp.int32)
+    # top real cell index anchors the merge region: count rows whose
+    # CELL (the same floor((p - origin)/c) the key computation uses —
+    # float-consistent by construction) is >= floor(box/c), the lowest
+    # cell an appended image can land in
+    nz_top = jnp.floor(boxj[gaxis] / cutj).astype(jnp.int32)
+    n_topcell = jnp.sum(
+        jnp.floor((zg - originj[gaxis]) / cutj).astype(jnp.int32)
+        >= nz_top,
+        dtype=jnp.int32,
+    )
+    ok &= (n_low <= B) & (n_high <= B) & (n_topcell + B <= B2) & (B2 <= n)
+
+    iota_b = jnp.arange(B, dtype=jnp.int32)
+    spacing = jnp.int32(2**10)
+
+    def ghost_block(block_sp, block_slo, sign, pad_k):
+        """Shift a B-row boundary slice by sign*box along gaxis, recompute
+        keys, pad invalid rows (spread coords, family-disjoint), and sort
+        the block by key. sign=+1: append block (images beyond the high
+        face, from low-face rows); sign=-1: prepend block."""
+        z = block_sp[:, gaxis]
+        valid = (z < low_face) if sign > 0 else (z >= high_face)
+        shift = sign * boxj[gaxis]
+        zs, err = _twosum(z, shift)
+        gsp = block_sp.at[:, gaxis].set(zs)
+        if split:
+            gslo = block_slo.at[:, gaxis].add(err)
+        k = jax.vmap(info.flat_cell_index)(gsp)
+        if sign > 0:
+            padk = jnp.int32(_PAD_KEY_BASE_APPEND) + iota_b * spacing
+        else:
+            padk = jnp.int32(_NEG_PAD_KEY_BASE) + iota_b * spacing
+        k = jnp.where(valid, k, padk)
+        # invalid rows: far-spread coordinates in the module's 4e12
+        # family, offset by pad_k*B so the two blocks stay disjoint
+        kk = (iota_b + 1 + pad_k * B).astype(dtype)
+        side = jnp.asarray(float(int((2 * B) ** 0.5) + 2), dtype)
+        s_ = jnp.asarray(2.0**20, dtype)
+        base = jnp.asarray(4e12, dtype)
+        gx = base + jnp.mod(kk, side) * s_
+        gy = base + (jnp.floor_divide(kk, side) + 1) * s_
+        spread = jnp.stack(
+            [gx, gy] + [jnp.full((B,), base, dtype)] * (dim - 2), axis=-1
+        )
+        gsp = jnp.where(valid[:, None], gsp, spread)
+        w = jnp.where(valid, jnp.asarray(float(sign), dtype),
+                      jnp.zeros((), dtype))
+        ops = (k,) + tuple(gsp[:, a] for a in range(dim)) + (w,)
+        if need_perm:
+            ops = ops + (n + iota_b,)  # ghosts drop in the un-sort
+        if split:
+            gslo = jnp.where(valid[:, None], gslo, jnp.zeros_like(gslo))
+            ops = ops + tuple(gslo[:, a] for a in range(dim))
+        out = jax.lax.sort(ops, num_keys=1, is_stable=False)
+        osp = jnp.stack(out[1 : 1 + dim], axis=-1)
+        ow = out[1 + dim]
+        operm = out[2 + dim] if need_perm else None
+        off = (2 if need_perm else 1) + dim
+        oslo = (
+            jnp.stack(out[off + 1 : off + 1 + dim], axis=-1)
+            if split else None
+        )
+        return out[0], osp, oslo, ow, operm
+
+    pre_k, pre_sp, pre_slo, pre_w, pre_perm = ghost_block(
+        sp[n - B :], slo[n - B :] if split else None, -1, 0
+    )
+    app_k, app_sp, app_slo, app_w, app_perm = ghost_block(
+        sp[:B], slo[:B] if split else None, +1, 1
+    )
+
+    # concat; then re-sort the tail MERGE region (last B2 real rows +
+    # appended block) — appended images share the top real cell
+    ext_k = jnp.concatenate([pre_k, keys, app_k])
+    ext_sp = jnp.concatenate([pre_sp, sp, app_sp])
+    ext_w = jnp.concatenate(
+        [pre_w, jnp.zeros((n,), dtype), app_w]
+    )
+    ext_perm = (
+        jnp.concatenate([pre_perm, perm, app_perm]) if need_perm else None
+    )
+    ext_slo = (
+        jnp.concatenate([pre_slo, slo, app_slo]) if split else None
+    )
+    T = B2 + B  # merge-region rows at the array tail
+    mops = (ext_k[-T:],) + tuple(ext_sp[-T:, a] for a in range(dim)) + (
+        ext_w[-T:],
+    )
+    if need_perm:
+        mops = mops + (ext_perm[-T:],)
+    if split:
+        mops = mops + tuple(ext_slo[-T:, a] for a in range(dim))
+    mout = jax.lax.sort(mops, num_keys=1, is_stable=False)
+    ext_k = jnp.concatenate([ext_k[:-T], mout[0]])
+    ext_sp = jnp.concatenate(
+        [ext_sp[:-T], jnp.stack(mout[1 : 1 + dim], axis=-1)]
+    )
+    ext_w = jnp.concatenate([ext_w[:-T], mout[1 + dim]])
+    off = (2 if need_perm else 1) + dim
+    if need_perm:
+        ext_perm = jnp.concatenate([ext_perm[:-T], mout[2 + dim]])
+    if split:
+        ext_slo = jnp.concatenate(
+            [ext_slo[:-T], jnp.stack(mout[off + 1 : off + 1 + dim],
+                                     axis=-1)]
+        )
+
+    b64 = np.asarray(box, np.float64).reshape(dim)
+    reach = tuple(
+        max(int(np.ceil(b64[a] / float(cutoff))) - 1, 1) if mimask[a] else 1
+        for a in range(dim)
+    )
+    mi_box = jnp.where(jnp.asarray(mimask), boxj, jnp.zeros_like(boxj))
+
+    class _Bins:
+        pass
+
+    out_bins = _Bins()
+    out_bins.sorted_keys = ext_k
+    out_bins.info = info
+    out_bins.perm = ext_perm
+    return out_bins, ext_sp, ext_slo, ext_w[:, None], reach, mi_box, ok
+
+
+# append-side padding keys: above every shifted image key (images sit at
+# most two cells beyond the top real cell) yet far below int32 overflow
+# after per-row spacing; distinct from pallas_pairs._PAD_KEY_BASE (the
+# kernels' own tail family, which `_pad_and_desentinel` appends LAST —
+# these must stay below it so the tail padding remains the maximum).
+_PAD_KEY_BASE_APPEND = 2**28
+
+
 def _minimage_bins(positions, origin, box, cutoff, mimask, *, B, G,
                    positions_lo, need_perm):
     """Shared binning for the min-image lag paths: wrap, extend ghosts
@@ -370,6 +569,22 @@ def _minimage_bins(positions, origin, box, cutoff, mimask, *, B, G,
 
     n, dim = positions.shape
     dtype = positions.dtype
+    # fast path: one ghost axis and it is the largest-extent axis (the
+    # `minimage="auto"` shape) — boundary rows are the sorted extremes,
+    # so the n-row ghost-compaction sort disappears
+    ghost_axes_idx = np.flatnonzero(~mimask)
+    if (
+        len(ghost_axes_idx) == 1
+        and ghost_axes_idx[0]
+        == int(np.argmax(np.asarray(box, np.float64).reshape(-1)))
+        and n >= 512
+    ):
+        if B is None:
+            B = suggest_pbc_capacity(n, box, cutoff, axes=~mimask)[0]
+        return _minimage_bins_sorted_extremes(
+            positions, origin, box, cutoff, mimask, B=B,
+            positions_lo=positions_lo, need_perm=need_perm,
+        )
     originj = jnp.asarray(origin, dtype).reshape(dim)
     boxj = jnp.asarray(box, dtype).reshape(dim)
     cutj = jnp.asarray(cutoff, dtype)
