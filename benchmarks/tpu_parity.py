@@ -497,6 +497,32 @@ def main():
                   np.abs(np.asarray(sig, np.float64) - sig_mi64).max()
                   / sscale_mi64, 2e-6)
 
+        # min-image stress + RDF (round 9 completion: the folded
+        # separation feeds the d_a d_b outer product / the bin compare)
+        if minimage_axes(boxa, CUTOFF).any():
+            sig, ok = pbc_stress_fused(
+                hi_p, org, boxj, CUTOFF, M=4096, L=1024, minimage="auto",
+            )
+            assert bool(ok)
+            check(f"pbc_mi_stress_f32[{boxname}]",
+                  np.abs(np.asarray(sig, np.float64) - sig_mi).max()
+                  / sscale_mi, f32_tol)
+            sig, ok = pbc_stress_fused(
+                hi_p, org, boxj, CUTOFF, M=4096, L=1024, minimage="auto",
+                positions_lo=lo_p,
+            )
+            assert bool(ok)
+            check(f"pbc_mi_stress_split[{boxname}]",
+                  np.abs(np.asarray(sig, np.float64) - sig_mi64).max()
+                  / sscale_mi64, 2e-6)
+            _, g_hw, ok = rdf(hi_p, org, boxj, edges_p, positions_lo=lo_p,
+                              M=4096, L=1024, minimage="auto")
+            assert bool(ok)
+            cum_hw = np.cumsum(g_hw * np.diff(edges_p**3))
+            check(f"pbc_mi_rdf_split[{boxname}]",
+                  float(np.abs(cum_hw - cum_mi).max())
+                  / max(abs(cum_mi[-1]), 1e-30), 1e-4)
+
         if boxname == "cubic":
             # Verlet-skin PBC MD on the tile kernel vs the rebuild-every-
             # step trajectory, both ON HARDWARE: catches Mosaic-only

@@ -227,3 +227,62 @@ def test_rdf_pbc_partial():
     _, g_ref = rdf_normalize_partial(want, edges, na, nb,
                                      float(box.prod()), same=False)
     np.testing.assert_allclose(g, g_ref, rtol=1e-12)
+
+
+def test_rdf_minimage_matches_ghost_and_bruteforce():
+    """In-kernel min-image fold on narrow axes: binned distances are
+    image distances, integer-exact vs brute force and vs the
+    ghost-extension path."""
+    rng = np.random.default_rng(50)
+    box = np.array([2.2, 2.2, 40.0])
+    n = 400
+    pts = rng.uniform(0, 1, size=(n, 3)) * box
+    edges = np.linspace(0.2, 1.0, 9)
+
+    from zelll_tpu.ops.pbc import minimage_axes
+    assert minimage_axes(box, edges[-1]).any()
+
+    r_mid, g, ok = rdf(
+        jnp.asarray(pts), np.zeros(3), box, edges, M=512, L=512,
+        interpret=True, minimage="auto",
+    )
+    assert ok
+    ref_counts = brute_hist_pbc(pts, box, edges)
+    _, g_ref = rdf_normalize(ref_counts, edges, n, float(box.prod()))
+    np.testing.assert_allclose(g, g_ref, rtol=1e-12)
+
+    r2, g2, ok2 = rdf(
+        jnp.asarray(pts), np.zeros(3), box, edges, M=512, L=512,
+        interpret=True,
+    )
+    assert ok2
+    np.testing.assert_allclose(g, g2, rtol=1e-12)
+
+
+def test_rdf_minimage_full_fold():
+    """Every axis narrow -> no ghost extension at all."""
+    rng = np.random.default_rng(51)
+    box = np.array([3.1, 3.3, 3.7])
+    n = 300
+    pts = rng.uniform(0, 1, size=(n, 3)) * box
+    edges = np.linspace(0.3, 1.2, 7)
+    r_mid, g, ok = rdf(
+        jnp.asarray(pts), np.zeros(3), box, edges, M=512, L=512,
+        interpret=True, minimage="auto",
+    )
+    assert ok
+    ref_counts = brute_hist_pbc(pts, box, edges)
+    _, g_ref = rdf_normalize(ref_counts, edges, n, float(box.prod()))
+    np.testing.assert_allclose(g, g_ref, rtol=1e-12)
+
+
+def test_rdf_minimage_species_raises():
+    rng = np.random.default_rng(52)
+    box = np.array([2.2, 2.2, 40.0])
+    pts = rng.uniform(0, 1, size=(64, 3)) * box
+    sp = rng.integers(0, 2, 64)
+    import pytest
+    with pytest.raises(ValueError, match="minimage"):
+        rdf(jnp.asarray(pts), np.zeros(3), box,
+            np.linspace(0.2, 1.0, 5), interpret=True,
+            species=sp, pair=(0, 1), minimage="auto")

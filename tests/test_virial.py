@@ -389,3 +389,79 @@ def test_api_virial_stress_methods():
     np.testing.assert_allclose(np.trace(cg.stress()), cg.virial(), rtol=1e-9)
     # degenerate: empty grid
     assert CellGrid([], cutoff=1.0).virial() == 0.0
+
+
+# -- in-kernel minimum image (narrow axes; round 9) --------------------------
+
+
+@pytest.mark.parametrize("case,mi", [
+    # protocol-shaped slab: x/y folded in-kernel, z keeps its ghost shell
+    (dict(n=256, box=(2.5, 2.5, 40.0), cutoff=1.0, seed=40), "auto"),
+    # every axis narrow -> full fold, no ghost extension at all
+    (dict(n=200, box=(3.1, 3.3, 3.7), cutoff=1.2, seed=41), "auto"),
+    # explicit single-axis fold (y and z keep ghost images)
+    (dict(n=256, box=(2.5, 2.5, 40.0), cutoff=1.0, seed=42),
+     (True, False, False)),
+])
+def test_pbc_stress_minimage_vs_oracle(case, mi):
+    """Min-image stress == ghost-extension == oracle: dx (x) dx on the
+    FOLDED separation is the image outer product, so the shift-sign keep
+    mask is only needed on the still-ghosted axes."""
+    from zelll_tpu.ops.pbc import minimage_axes
+    from zelll_tpu.ops.virial import pbc_stress_fused
+
+    pts, origin, box, cutoff = make_pbc(**case)
+    if mi == "auto":
+        assert minimage_axes(np.asarray(box), cutoff).any()
+    w_ref, sigma_ref = oracle_pbc(pts, box, cutoff)
+    sigma, ok = pbc_stress_fused(
+        pts, origin, box, cutoff, M=512, L=512, interpret=True, minimage=mi
+    )
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(sigma), sigma_ref, rtol=1e-9,
+                               atol=1e-9)
+    assert abs(float(jnp.trace(sigma)) - w_ref) <= 1e-9 * max(1.0, abs(w_ref))
+    # and bit-match the ghost-extension path's convention (same pairs,
+    # same fold tolerances at f64 interpret)
+    sigma_g, ok_g = pbc_stress_fused(
+        pts, origin, box, cutoff, M=512, L=512, interpret=True
+    )
+    assert bool(ok_g)
+    np.testing.assert_allclose(np.asarray(sigma), np.asarray(sigma_g),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_pbc_stress_minimage_split_exact():
+    """Split (hi, lo) planes stay f64-grade THROUGH the wrap: the
+    two-diff residual of the folded hi difference carries into the lo
+    term (`_mi_pair_d`), so a 4096-offset box keeps <= 2e-6 relative."""
+    from zelll_tpu.ops.virial import pbc_stress_fused
+
+    rng = np.random.default_rng(43)
+    n, cutoff = 256, 1.0
+    box = np.array([2.5, 2.5, 40.0])
+    pts64 = rng.uniform(0, 1, size=(n, 3)) * box + 4096.0
+    origin = np.full(3, 4096.0)
+    hi = pts64.astype(np.float32)
+    lo = (pts64 - hi.astype(np.float64)).astype(np.float32)
+    _, sigma_ref = oracle_pbc(pts64 - origin, box, cutoff)
+    sscale = np.abs(sigma_ref).max()
+    sigma, ok = pbc_stress_fused(
+        jnp.asarray(hi), jnp.asarray(origin), jnp.asarray(box), cutoff,
+        M=512, L=512, interpret=True, minimage="auto",
+        positions_lo=jnp.asarray(lo),
+    )
+    assert bool(ok)
+    assert np.abs(np.asarray(sigma, np.float64) - sigma_ref).max() <= (
+        2e-6 * sscale
+    )
+
+
+def test_pbc_stress_minimage_tile_raises():
+    from zelll_tpu.ops.virial import pbc_stress_fused
+
+    pts, origin, box, cutoff = make_pbc(n=64, box=(2.5, 2.5, 40.0),
+                                        cutoff=1.0, seed=44)
+    with pytest.raises(ValueError, match="lag-path"):
+        pbc_stress_fused(pts, origin, box, cutoff, path="tile",
+                         minimage=(True, True, False))

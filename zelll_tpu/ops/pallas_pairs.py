@@ -988,7 +988,8 @@ def pair_lag_reduce(
 
 
 def _make_stress_kernel(M: int, L: int, gfn: Callable, n_planes: int,
-                        split: bool, dtype, n_payload: int, pair_mask):
+                        split: bool, dtype, n_payload: int, pair_mask,
+                        minimage: bool = False):
     """Direct pair-sum stress kernel: accumulates the ncomp upper-triangle
     components of sigma_ab = sum_pairs gfn(dsq) * d_a * d_b, each
     Kahan-compensated, into a revisited (ncomp*Mr, LANES) VMEM block.
@@ -1011,14 +1012,18 @@ def _make_stress_kernel(M: int, L: int, gfn: Callable, n_planes: int,
     comps = [(a, b) for a in range(ncoord) for b in range(a, ncoord)]
     ncomp = len(comps)
 
+    NS = 4 if minimage else 3  # scalar-prefetch count (+ mi box vector)
+
     def kernel(*refs):
-        # refs: wkey, csq, min_islot, blocks (NP), out (ncomp*Mr, LANES),
-        #       window scratch (NP), comp scratch (ncomp*Mr, LANES)
+        # refs: wkey, csq, min_islot, [mi_box], blocks (NP),
+        #       out (ncomp*Mr, LANES), window scratch (NP),
+        #       comp scratch (ncomp*Mr, LANES)
         wkey_ref, csq_ref, mislot_ref = refs[0], refs[1], refs[2]
-        blocks = refs[3 : 3 + NP]
-        out_ref = refs[3 + NP]
-        wins = refs[4 + NP : 4 + 2 * NP]
-        comp_ref = refs[4 + 2 * NP]
+        mibox_ref = refs[3] if minimage else None
+        blocks = refs[NS : NS + NP]
+        out_ref = refs[NS + NP]
+        wins = refs[NS + 1 + NP : NS + 1 + 2 * NP]
+        comp_ref = refs[NS + 1 + 2 * NP]
         kw = wins[-1]
 
         p = pl.program_id(0)
@@ -1075,9 +1080,8 @@ def _make_stress_kernel(M: int, L: int, gfn: Callable, n_planes: int,
             d = []
             dsq = jnp.zeros((Mr, LANES), dtype)
             for a in range(ncoord):
-                da = own[a] - j[a]
-                if split:
-                    da = da + (own[a + ncoord] - j[a + ncoord])
+                da = _mi_pair_d(own, j, a, ncoord, split, mibox_ref,
+                                minimage)
                 d.append(da)
                 dsq = dsq + da * da
             keymask = jk >= own_k - w_key
@@ -1138,6 +1142,8 @@ def pair_lag_stress(
     interpret: bool = False,
     min_islot=0,
     pair_mask=None,
+    mi_box: jax.Array | None = None,
+    key_reach=None,
 ):
     """Configurational stress tensor sigma_ab = sum_pairs gfn(dsq) d_a d_b
     over unique cutoff pairs, as a DIRECT fused pair sum (the pair list
@@ -1147,9 +1153,13 @@ def pair_lag_stress(
 
     ``pair_mask`` + ``sorted_payload`` compose exactly like
     `pair_lag_hist` (PBC image dedup via the shift-sign plane, halo
-    ownership via ``min_islot``). The reference exposes raw pair
-    iteration from which users fold such sums
-    (`/root/reference/src/cellgrid.rs:338-340`).
+    ownership via ``min_islot``). ``mi_box``/``key_reach`` enable
+    in-kernel minimum-image folding for narrow periodic axes exactly
+    like `pair_lag_reduce` (see `_mi_pair_d`: the folded separation
+    feeds BOTH dsq and the d_a d_b outer product, so the stress of a
+    wrapped pair uses the image vector — the correct configurational
+    convention). The reference exposes raw pair iteration from which
+    users fold such sums (`/root/reference/src/cellgrid.rs:338-340`).
     """
     from .lj import lj_force_factor
 
@@ -1192,24 +1202,29 @@ def pair_lag_stress(
         )
     kp = keys_p.reshape(-1, LANES)
 
-    w_key = key_window(strides).astype(jnp.int32).reshape(1)
+    w_key = key_window(strides, key_reach).astype(jnp.int32).reshape(1)
     csq = jnp.asarray(cutoff_sq, dtype).reshape(1)
     mislot = jnp.asarray(min_islot, jnp.int32).reshape(1)
+    minimage = mi_box is not None
+    scalars = [w_key, csq, mislot]
+    if minimage:
+        scalars.append(jnp.asarray(mi_box, dtype).reshape(dim))
 
     Mr = M // LANES
     ncomp = dim * (dim + 1) // 2
     kernel = _make_stress_kernel(
-        M, L, gfn, n_planes, split, dtype, n_payload, pair_mask
+        M, L, gfn, n_planes, split, dtype, n_payload, pair_mask,
+        minimage=minimage,
     )
-    bs = lambda: pl.BlockSpec((Mr, LANES), lambda p, s1, s2, s3: (p, 0))
+    bs = lambda: pl.BlockSpec((Mr, LANES), lambda p, *s: (p, 0))
     win = lambda dt: pltpu.VMEM((Mr + L // LANES, LANES), dt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=len(scalars),
         grid=(P,),
         in_specs=[bs() for _ in range(n_planes + n_payload + 1)],
         out_specs=pl.BlockSpec(
             (ncomp * Mr, LANES),
-            lambda p, s1, s2, s3: (0, 0),
+            lambda p, *s: (0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[win(dtype) for _ in range(n_planes + n_payload)]
@@ -1220,7 +1235,7 @@ def pair_lag_stress(
         out_shape=jax.ShapeDtypeStruct((ncomp * Mr, LANES), dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(w_key, csq, mislot, *planes, kp)
+    )(*scalars, *planes, kp)
     sums = jnp.sum(out.reshape(ncomp, Mr, LANES), axis=(1, 2))
     sig = jnp.zeros((dim, dim), dtype)
     k = 0
@@ -1255,7 +1270,8 @@ def combine_count_vec(packed):
 
 
 def _make_hist_kernel(M: int, L: int, K: int, n_planes: int, split: bool,
-                      dtype, n_payload: int, pair_mask):
+                      dtype, n_payload: int, pair_mask,
+                      minimage: bool = False):
     """Pair-distance histogram kernel: per lag, one masked candidate tile
     is classified against K ascending squared-distance edges and counted
     CUMULATIVELY (count_k = #pairs with dsq < edges[k]); the caller diffs
@@ -1277,13 +1293,16 @@ def _make_hist_kernel(M: int, L: int, K: int, n_planes: int, split: bool,
     Wr = Mr + Lr
     NP = n_planes + n_payload + 1  # + key plane
 
+    NS = 4 if minimage else 3  # scalar-prefetch count (+ mi box vector)
+
     def kernel(*refs):
-        # refs: wkey, edges (K,), min_islot, blocks (NP), out (K*Mr, LANES),
-        #       window scratch (NP)
+        # refs: wkey, edges (K,), min_islot, [mi_box], blocks (NP),
+        #       out (K*Mr, LANES), window scratch (NP)
         wkey_ref, edges_ref, mislot_ref = refs[0], refs[1], refs[2]
-        blocks = refs[3 : 3 + NP]
-        out_ref = refs[3 + NP]
-        wins = refs[4 + NP : 4 + 2 * NP]
+        mibox_ref = refs[3] if minimage else None
+        blocks = refs[NS : NS + NP]
+        out_ref = refs[NS + NP]
+        wins = refs[NS + 1 + NP : NS + 1 + 2 * NP]
         kw = wins[-1]
 
         p = pl.program_id(0)
@@ -1338,9 +1357,8 @@ def _make_hist_kernel(M: int, L: int, K: int, n_planes: int, split: bool,
             jk = j[-1]
             dsq = jnp.zeros((Mr, LANES), dtype)
             for a in range(ncoord):
-                d = own[a] - j[a]
-                if split:
-                    d = d + (own[a + ncoord] - j[a + ncoord])
+                d = _mi_pair_d(own, j, a, ncoord, split, mibox_ref,
+                               minimage)
                 dsq = dsq + d * d
             keymask = jk >= own_k - w_key
             mask = keymask & (dsq < csq) & own_owned
@@ -1380,6 +1398,8 @@ def pair_lag_hist(
     interpret: bool = False,
     min_islot=0,
     pair_mask=None,
+    mi_box: jax.Array | None = None,
+    key_reach=None,
 ):
     """Cumulative pair-distance histogram over unique cutoff pairs:
     ``out[k] = #pairs with dsq < edges_sq[k]`` (shell counts = adjacent
@@ -1393,7 +1413,10 @@ def pair_lag_hist(
     a few energy passes — still no pair list anywhere. ``pair_mask`` +
     ``sorted_payload`` mask candidate pairs exactly like the payload terms
     of `pair_lag_reduce` (PBC image dedup, species filters); ``min_islot``
-    is the distributed halo ownership rule.
+    is the distributed halo ownership rule. ``mi_box``/``key_reach``
+    enable in-kernel minimum-image folding for narrow periodic axes,
+    exactly like `pair_lag_reduce` (binned distances are image
+    distances).
     """
     n = sorted_pos.shape[0]
     split = sorted_pos_lo is not None
@@ -1434,23 +1457,28 @@ def pair_lag_hist(
         )
     kp = keys_p.reshape(-1, LANES)
 
-    w_key = key_window(strides).astype(jnp.int32).reshape(1)
+    w_key = key_window(strides, key_reach).astype(jnp.int32).reshape(1)
     edges = jnp.asarray(edges_sq, dtype).reshape(K)
     mislot = jnp.asarray(min_islot, jnp.int32).reshape(1)
+    minimage = mi_box is not None
+    scalars = [w_key, edges, mislot]
+    if minimage:
+        scalars.append(jnp.asarray(mi_box, dtype).reshape(dim))
 
     Mr = M // LANES
     kernel = _make_hist_kernel(
-        M, L, K, n_planes, split, dtype, n_payload, pair_mask
+        M, L, K, n_planes, split, dtype, n_payload, pair_mask,
+        minimage=minimage,
     )
-    bs = lambda: pl.BlockSpec((Mr, LANES), lambda p, s1, s2, s3: (p, 0))
+    bs = lambda: pl.BlockSpec((Mr, LANES), lambda p, *s: (p, 0))
     win = lambda dt: pltpu.VMEM((Mr + L // LANES, LANES), dt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=len(scalars),
         grid=(P,),
         in_specs=[bs() for _ in range(n_planes + n_payload + 1)],
         out_specs=pl.BlockSpec(
             (K * Mr, LANES),
-            lambda p, s1, s2, s3: (0, 0),
+            lambda p, *s: (0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[win(dtype) for _ in range(n_planes + n_payload)]
@@ -1461,7 +1489,7 @@ def pair_lag_hist(
         out_shape=jax.ShapeDtypeStruct((K * Mr, LANES), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(w_key, edges, mislot, *planes, kp)
+    )(*scalars, *planes, kp)
     per_bin = out.reshape(K, Mr, LANES)
     lo = jnp.sum(per_bin & 0xFFFF, axis=(1, 2))
     hi = jnp.sum(per_bin >> 16, axis=(1, 2))

@@ -173,12 +173,40 @@ def _pbc_species_mask(a: int, b: int):
 
 def _pbc_cum_hist(positions, origin, box, edges, *, positions_lo, B, G, M,
                   L, interpret, path="lag", CB=8, MAXJ=8, species=None,
-                  pair=None):
-    from .pbc import pbc_extend, suggest_pbc_capacity
+                  pair=None, minimage=False):
+    from .pbc import (_minimage_bins, _resolve_minimage, pbc_extend,
+                      suggest_pbc_capacity)
 
     n = positions.shape[0]
+    dim = positions.shape[1]
     cutoff = edges[-1]
     edges_sq = (jnp.asarray(edges, positions.dtype) ** 2).reshape(-1)
+    mimask = _resolve_minimage(box, cutoff, minimage, dim)
+    if mimask.any():
+        if path != "lag":
+            raise ValueError(
+                "minimage is a lag-path feature (narrow axes are the lag "
+                f"kernel's regime); got path={path!r}"
+            )
+        if species is not None:
+            raise ValueError(
+                "species-resolved PBC histograms do not compose with "
+                "minimage yet; pass minimage=False (ghost-image path)"
+            )
+        bins, sp, slo, payload, reach, mi_box, ok = _minimage_bins(
+            positions, origin, box, cutoff, mimask, B=B, G=G,
+            positions_lo=positions_lo, need_perm=False,
+        )
+        packed = pair_lag_hist(
+            sp, bins.sorted_keys, bins.info.strides, edges_sq, slo,
+            sorted_payload=payload,
+            pair_mask=None if payload is None else _pbc_keep,
+            M=M, L=L, interpret=interpret, mi_box=mi_box,
+            key_reach=reach,
+        )
+        ok &= lag_coverage_ok(bins.sorted_keys, bins.info.strides, L,
+                              reach=reach)
+        return packed, ok
     if B is None or G is None:
         Bd, Gd = suggest_pbc_capacity(n, box, cutoff)
         B = Bd if B is None else B
@@ -286,6 +314,7 @@ def rdf(
     MAXJ: int | tuple = 8,
     species=None,
     pair: tuple[int, int] | None = None,
+    minimage=False,
 ):
     """Radial distribution function g(r) under orthorhombic PBC
     (minimum image; requires ``box > 2 * edges[-1]`` per axis like every
@@ -298,7 +327,11 @@ def rdf(
 
     ``species`` ((n,) small non-negative ints) + ``pair=(a, b)`` give the
     partial RDF g_AB (lag path; the species plane rides the kernel
-    payload next to the PBC shift-sign plane)."""
+    payload next to the PBC shift-sign plane).
+
+    ``minimage`` ("auto" | False | per-axis mask; lag path, no species)
+    folds narrow axes in-kernel instead of building their ghost images
+    (`pbc._minimage_bins`) — binned distances are image distances."""
     import numpy as np
 
     assert (species is None) == (pair is None), (
@@ -308,6 +341,7 @@ def rdf(
         positions, origin, box, jnp.asarray(edges),
         positions_lo=positions_lo, B=B, G=G, M=M, L=L, interpret=interpret,
         path=path, CB=CB, MAXJ=MAXJ, species=species, pair=pair,
+        minimage=minimage,
     )
     cum = combine_count_vec(packed)
     counts = cum[1:] - cum[:-1]

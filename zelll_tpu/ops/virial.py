@@ -323,6 +323,7 @@ def pbc_stress_fused(
     CB: int = 8,
     interpret: bool = False,
     positions_lo: jax.Array | None = None,
+    minimage=False,
 ):
     """Configurational stress tensor at fused-kernel speed under
     orthorhombic PBC: ONE direct pair-sum pass over the ghost-image
@@ -333,10 +334,16 @@ def pbc_stress_fused(
     Supersedes the round-8 three-pass (A - B + C)/2 ghost decomposition:
     one pass instead of three AND no box-scale contraction cancellation.
     ``positions_lo`` propagates split precision through the ghosts (exact
-    two-sum residual of hi + shift*box). Returns ((dim, dim), ok);
-    the XLA `pbc_stress` stays as the N-dim fallback.
+    two-sum residual of hi + shift*box). ``minimage`` ("auto" | False |
+    per-axis mask; lag path only) folds narrow axes in-kernel instead of
+    building their ghost images (`pbc._minimage_bins`): dx (x) dx on the
+    FOLDED separation is exactly the image outer product, so only the
+    still-ghosted axes need the shift-sign keep mask. Returns
+    ((dim, dim), ok); the XLA `pbc_stress` stays as the N-dim fallback.
     """
-    from .pbc import pbc_extend, suggest_pbc_capacity
+    from .pallas_pairs import lag_coverage_ok, pair_lag_stress
+    from .pbc import (_minimage_bins, _resolve_minimage, pbc_extend,
+                      suggest_pbc_capacity)
 
     n, dim = positions.shape
     if dim != 3:
@@ -346,6 +353,28 @@ def pbc_stress_fused(
                 "the XLA fallback would silently drop positions_lo"
             )
         return pbc_stress(positions, origin, box, cutoff, gfn=gfn, B=B, G=G)
+    mimask = _resolve_minimage(box, cutoff, minimage, dim)
+    if mimask.any():
+        if path != "lag":
+            raise ValueError(
+                "minimage is a lag-path feature (narrow axes are the lag "
+                f"kernel's regime); got path={path!r}"
+            )
+        bins, sp, slo, payload, reach, mi_box, ok = _minimage_bins(
+            positions, origin, box, cutoff, mimask, B=B, G=G,
+            positions_lo=positions_lo, need_perm=False,
+        )
+        csq = jnp.asarray(cutoff, positions.dtype) ** 2
+        sigma = pair_lag_stress(
+            sp, bins.sorted_keys, bins.info.strides, csq, slo,
+            sorted_payload=payload,
+            pair_mask=None if payload is None else _pbc_keep_mask,
+            M=M, L=L, gfn=gfn or lj_force_factor, interpret=interpret,
+            mi_box=mi_box, key_reach=reach,
+        )
+        ok &= lag_coverage_ok(bins.sorted_keys, bins.info.strides, L,
+                              reach=reach)
+        return sigma, ok
     if B is None or G is None:
         Bd, Gd = suggest_pbc_capacity(n, box, cutoff)
         B = Bd if B is None else B
