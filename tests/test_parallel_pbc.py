@@ -438,3 +438,105 @@ def test_repartition_exchange_pbc_capacity_flag():
         mesh, origin=origin, box=box, cutoff=c
     )(pos_j, vel_j)
     assert not bool(ok)
+
+
+# -- in-kernel minimum image across the mesh (round 9 completion) ------------
+
+
+def test_sharded_pbc_minimage_energy():
+    """Sharded min-image: narrow minor axes folded in-kernel per device
+    (no ghost images), slab/ring axis keeps its halo machinery. Energy
+    == oracle == non-mi sharded path."""
+    pts, origin, box, c = make_case(n=512, box=(2.5, 2.5, 30.0), seed=10)
+    e_ref = oracle_energy(pts, box, c)
+
+    mesh = make_mesh(ND)
+    parts, n_local = partition_by_slab_pbc(pts, origin, box, c, ND)
+    pos = jax.device_put(
+        jnp.asarray(parts),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("z", None)),
+    )
+    kw = dict(mesh=mesh, origin=origin, box=box, cutoff=c, H=n_local,
+              M=512, L=512, interpret=True)
+    e_mi, ok_mi = sharded_pbc_lj_energy(minimage="auto", **kw)(pos)
+    assert bool(ok_mi)
+    assert abs(float(e_mi) - e_ref) <= 1e-9 * abs(e_ref)
+    e_g, ok_g = sharded_pbc_lj_energy(**kw)(pos)
+    assert bool(ok_g)
+    assert abs(float(e_mi) - float(e_g)) <= 1e-9 * abs(float(e_g))
+
+
+def test_sharded_pbc_minimage_md_matches_ghost():
+    """Sharded mi MD trajectory == sharded ghost-path trajectory (same
+    physical forces, 1e-9; jittered lattice so the dynamics stay sane)."""
+    rng = np.random.default_rng(11)
+    k = 8
+    box = np.array([2.6, 2.6, 20.8])
+    cells = np.stack(np.meshgrid(np.arange(2), np.arange(2),
+                                 np.arange(16), indexing="ij"), -1)
+    pts = (cells.reshape(-1, 3) + 0.5) * (box / [2, 2, 16])
+    pts += rng.uniform(-0.05, 0.05, pts.shape)
+    c, dt = 1.0, 1e-4
+    origin = np.zeros(3)
+
+    mesh = make_mesh(ND)
+    parts, n_local = partition_by_slab_pbc(pts, origin, box, c, ND)
+    pos = jax.device_put(
+        jnp.asarray(parts),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("z", None)),
+    )
+    vel = jnp.zeros_like(pos)
+    kw = dict(mesh=mesh, origin=origin, box=box, cutoff=c, H=n_local,
+              dt=dt, M=512, L=512, interpret=True)
+    step_mi = sharded_pbc_md_step(minimage="auto", **kw)
+    step_g = sharded_pbc_md_step(**kw)
+    p1, v1, p2, v2 = pos, vel, pos, vel
+    for _ in range(3):
+        p1, v1, ok1 = step_mi(p1, v1)
+        p2, v2, ok2 = step_g(p2, v2)
+        assert bool(ok1) and bool(ok2)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_sharded_pbc_minimage_md_run():
+    """Whole-trajectory scan entry point composes with minimage."""
+    from zelll_tpu.parallel.pbc import sharded_pbc_md_run
+
+    rng = np.random.default_rng(12)
+    box = np.array([2.6, 2.6, 20.8])
+    cells = np.stack(np.meshgrid(np.arange(2), np.arange(2),
+                                 np.arange(16), indexing="ij"), -1)
+    pts = (cells.reshape(-1, 3) + 0.5) * (box / [2, 2, 16])
+    pts += rng.uniform(-0.05, 0.05, pts.shape)
+    c, dt = 1.0, 1e-4
+    origin = np.zeros(3)
+    mesh = make_mesh(ND)
+    parts, n_local = partition_by_slab_pbc(pts, origin, box, c, ND)
+    pos = jax.device_put(
+        jnp.asarray(parts),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("z", None)),
+    )
+    vel = jnp.zeros_like(pos)
+    kw = dict(mesh=mesh, origin=origin, box=box, cutoff=c, H=n_local,
+              dt=dt, M=512, L=512, interpret=True, steps=3)
+    p_mi, v_mi, ok_mi, e_mi = sharded_pbc_md_run(minimage="auto", **kw)(
+        pos, vel)
+    p_g, v_g, ok_g, e_g = sharded_pbc_md_run(**kw)(pos, vel)
+    assert bool(ok_mi) and bool(ok_g)
+    np.testing.assert_allclose(np.asarray(p_mi), np.asarray(p_g),
+                               rtol=1e-9, atol=1e-9)
+    assert abs(float(e_mi) - float(e_g)) <= 1e-9 * abs(float(e_g))
+
+
+def test_sharded_pbc_minimage_guards():
+    box, c = (2.5, 2.5, 30.0), 1.0
+    mesh = make_mesh(ND)
+    with pytest.raises(ValueError, match="use_tile"):
+        sharded_pbc_lj_energy(mesh, origin=np.zeros(3), box=box, cutoff=c,
+                              H=8, minimage="auto", use_tile=True)
+    with pytest.raises(ValueError, match="slab/ring"):
+        sharded_pbc_lj_energy(mesh, origin=np.zeros(3), box=box, cutoff=c,
+                              H=8, minimage=(False, False, True))

@@ -154,9 +154,14 @@ def _h_eff(H: int, n_loc: int) -> int:
     return min(H, n_loc)
 
 
-def halo_coverage_ok(sorted_keys_loc, strides, H_eff, *, both_sides=True):
+def halo_coverage_ok(sorted_keys_loc, strides, H_eff, *, both_sides=True,
+                     reach=None):
     """Per-device halo capacity check — the slab-boundary analogue of
     `lag_coverage_ok` (one shifted key compare per direction).
+
+    ``reach``: per-axis cell-distance multipliers for the widened
+    minimum-image key window (see `geometry.key_window`) — min-imaged
+    minor axes widen the window every coverage check must honor.
 
     A device's ghosts are the tail/head H_eff rows of its neighbors'
     key-sorted blocks. Every particle a neighbor could pair with must lie
@@ -178,7 +183,7 @@ def halo_coverage_ok(sorted_keys_loc, strides, H_eff, *, both_sides=True):
     if nd == 1:
         return jnp.asarray(True)
     idx = jax.lax.axis_index(AXIS)
-    w = key_window(strides).astype(sorted_keys_loc.dtype)
+    w = key_window(strides, reach).astype(sorted_keys_loc.dtype)
     n_loc = sorted_keys_loc.shape[0]
     fwd = [(i, (i + 1) % nd) for i in range(nd)]
     bwd = [(i, (i - 1) % nd) for i in range(nd)]

@@ -145,12 +145,33 @@ def _own_term(term: Callable) -> Callable:
     return fn
 
 
-def _pool_and_extend(pos, origin, box, cutoff, H, B, G, major, extra=None):
+def _mi_reach(box, cutoff, mimask):
+    """Host-side per-axis key-window reach for min-imaged axes (wrap
+    adjacency spans the occupied cells: ``ceil(box/cutoff) - 1``)."""
+    b64 = np.asarray(box, np.float64).reshape(-1)
+    return tuple(
+        max(int(np.ceil(b64[a] / float(cutoff))) - 1, 1) if mimask[a] else 1
+        for a in range(len(b64))
+    )
+
+
+def _pool_and_extend(pos, origin, box, cutoff, H, B, G, major, extra=None,
+                     mimask=None):
     """Shared per-device pipeline: sort -> ring-shifted halos -> pool ->
     ghost extension -> globally consistent sorted block with the
     ownership plane. ``extra`` (n_loc, k) columns ride the local sort
     (never an n-sized gather). Returns
-    (extra_s, bins, sp, so, ok, n_loc, H_eff, pos_s)."""
+    (extra_s, bins, sp, so, ok, n_loc, H_eff, pos_s, mi_box, reach).
+
+    ``mimask`` ((3,) host bool, never the major/slab axis): axes folded
+    IN-KERNEL to the minimum image (`pallas_pairs._mi_pair_d`) instead
+    of ghost-imaged — `pbc_extend` then images only the remaining axes,
+    so the thin-box ghost blowup (G ~ 2.8n when every particle is
+    boundary on two 3-cell axes) disappears per device exactly like the
+    single-chip `ops.pbc` minimage path. The ownership 0.5*(o_i+o_j)
+    rule is untouched: folded pairs appear as ONE candidate (no image
+    rows), so no dedup plane is needed. The widened key window (reach)
+    flows to every coverage check."""
     nd = jax.lax.axis_size(AXIS)
     idx = jax.lax.axis_index(AXIS)
     n_loc = pos.shape[0]
@@ -161,6 +182,7 @@ def _pool_and_extend(pos, origin, box, cutoff, H, B, G, major, extra=None):
         # ownership shares — keep the slices disjoint
         H_eff = min(H_eff, n_loc // 2)
     dt = pos.dtype
+    box_host = np.asarray(box, np.float64).reshape(3)
     origin = jnp.asarray(origin, dt).reshape(3)
     box = jnp.asarray(box, dt).reshape(3)
     info = _static_info(origin, box, cutoff, dt)
@@ -191,8 +213,20 @@ def _pool_and_extend(pos, origin, box, cutoff, H, B, G, major, extra=None):
         jnp.zeros((H_eff,), dt),
     ])
 
+    if mimask is None:
+        mimask = np.zeros(3, bool)
+    mimask = np.asarray(mimask, bool).reshape(3)
+    assert not mimask[major], (
+        "the slab/ring axis is halo-handled; it can never fold in-kernel"
+    )
+    reach = _mi_reach(box_host, cutoff, mimask)
+    mi_box = (
+        jnp.asarray(np.where(mimask, box_host, 0.0), dt)
+        if mimask.any() else None
+    )
     ext, _, _w, valid, okg = pbc_extend(
-        pool, origin, box, cutoff, B=B, G=G, wrap=False
+        pool, origin, box, cutoff, B=B, G=G, wrap=False,
+        axes=tuple(bool(x) for x in ~mimask) if mimask.any() else None,
     )
     o = jnp.concatenate([own, jnp.zeros((ext.shape[0] - pool.shape[0],), dt)])
     bins, cols = bin_and_sort(
@@ -205,7 +239,8 @@ def _pool_and_extend(pos, origin, box, cutoff, H, B, G, major, extra=None):
     # (coordinate test: rows within cutoff of a major face must fit in
     # the edge device's halo slice)
     halo_ok = halo_coverage_ok(
-        bins0.sorted_keys, info.strides, H_eff, both_sides=True
+        bins0.sorted_keys, info.strides, H_eff, both_sides=True,
+        reach=reach if mimask.any() else None,
     )
     maj = pos_s[:, major]
     cnt_lo = jnp.sum(maj < origin[major] + cutoff)
@@ -225,7 +260,7 @@ def _pool_and_extend(pos, origin, box, cutoff, H, B, G, major, extra=None):
         True,
     )
     ok = okg & halo_ok & ring_ok
-    return extra_s, bins, sp, so, ok, n_loc, H_eff, pos_s
+    return extra_s, bins, sp, so, ok, n_loc, H_eff, pos_s, mi_box, reach
 
 
 def sharded_pbc_lj_energy(
@@ -243,20 +278,26 @@ def sharded_pbc_lj_energy(
     use_tile: bool = False,
     MAXJ: int = 8,
     interpret: bool = False,
+    minimage=False,
 ):
     """Jitted global pair energy of a periodic box over slab-sharded
     positions (`partition_by_slab_pbc` order). ``use_tile=True`` runs the
     segment-tile kernel (cubic/wide boxes, where the lag kernel's key
     window degenerates; ``MAXJ`` = per-chunk partner-window capacity) —
     the ownership payload plane composes identically on both kernels.
-    Returns (energy, ok)."""
+    ``minimage`` ("auto" | False | per-axis mask; lag path only) folds
+    narrow minor axes in-kernel per device instead of ghost-imaging them
+    (`_pool_and_extend`); the slab/ring axis always keeps its halo
+    machinery, so "auto" never selects it and an explicit mask that does
+    raises. Returns (energy, ok)."""
     major = _major_axis(box, cutoff)
+    mimask = _sharded_mimask(box, cutoff, minimage, major, use_tile)
 
     def local(pos):
         return _energy_local(
             pos, origin=origin, box=box, cutoff=cutoff, H=H, B=B, G=G,
             M=M, L=L, term=term, use_tile=use_tile, MAXJ=MAXJ,
-            interpret=interpret,
+            interpret=interpret, mimask=mimask,
         )
 
     return jax.jit(
@@ -270,14 +311,42 @@ def sharded_pbc_lj_energy(
     )
 
 
+def _sharded_mimask(box, cutoff, minimage, major, use_tile):
+    """Host-side mimask for the sharded PBC paths: resolve the spec,
+    force the slab/ring axis OFF for "auto" (its wrap is the ring's
+    job), reject explicit masks that fold it, and reject the tile
+    backend (minimage is a lag-kernel feature)."""
+    from ..ops.pbc import _resolve_minimage
+
+    mimask = _resolve_minimage(box, cutoff, minimage, 3)
+    if not mimask.any():
+        return mimask
+    if use_tile:
+        raise ValueError(
+            "minimage is a lag-path feature; it does not compose with "
+            "use_tile=True"
+        )
+    if minimage == "auto":
+        mimask[major] = False
+    elif mimask[major]:
+        raise ValueError(
+            f"axis {major} is the slab/ring axis (major stride); its wrap "
+            "is handled by ring halos and cannot fold in-kernel"
+        )
+    return mimask
+
+
 def _energy_local(pos, *, origin, box, cutoff, H, B, G, M, L, term,
-                  interpret, use_tile=False, MAXJ=8):
+                  interpret, use_tile=False, MAXJ=8, mimask=None):
     """Per-device body of the sharded PBC energy (inside shard_map)."""
     n_loc = pos.shape[0]
-    Bv = B or suggest_pbc_capacity(n_loc + 2 * min(H, n_loc), box, cutoff)[0]
-    Gv = G or suggest_pbc_capacity(n_loc + 2 * min(H, n_loc), box, cutoff)[1]
-    _, bins, sp, so, ok, n_loc, _, _ = _pool_and_extend(
-        pos, origin, box, cutoff, H, Bv, Gv, _major_axis(box, cutoff)
+    np_pool = n_loc + 2 * min(H, n_loc)
+    axes = None if mimask is None or not mimask.any() else ~mimask
+    Bv = B or suggest_pbc_capacity(np_pool, box, cutoff, axes=axes)[0]
+    Gv = G or suggest_pbc_capacity(np_pool, box, cutoff, axes=axes)[1]
+    _, bins, sp, so, ok, n_loc, _, _, mi_box, reach = _pool_and_extend(
+        pos, origin, box, cutoff, H, Bv, Gv, _major_axis(box, cutoff),
+        mimask=mimask,
     )
     csq = jnp.asarray(cutoff, pos.dtype) ** 2
     if use_tile:
@@ -293,8 +362,12 @@ def _energy_local(pos, *, origin, box, cutoff, H, B, G, M, L, term,
             sp, bins.sorted_keys, bins.info.strides, csq,
             sorted_payload=so[:, None],
             M=M, L=L, term=_own_term(term), interpret=interpret,
+            mi_box=mi_box, key_reach=reach if mi_box is not None else None,
         )
-        ok &= lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
+        ok &= lag_coverage_ok(
+            bins.sorted_keys, bins.info.strides, L,
+            reach=reach if mi_box is not None else None,
+        )
     return jax.lax.psum(e_loc, AXIS), _all_ok(ok)
 
 
@@ -313,20 +386,25 @@ def sharded_pbc_md_step(
     use_tile: bool = False,
     MAXJ: int = 8,
     interpret: bool = False,
+    minimage=False,
 ):
     """Jitted LJ MD step of a periodic box over the mesh: forces from the
     ghost-extended block (every owned row sees its full minimum-image
     neighborhood), semi-implicit Euler, wrap. ``use_tile=True`` uses the
-    segment-tile kernels (cubic/wide periodic boxes). State stays
-    slab-sharded in block-sorted order. Returns
-    step(positions, velocities) -> (positions, velocities, ok)."""
+    segment-tile kernels (cubic/wide periodic boxes); ``minimage`` folds
+    narrow minor axes in-kernel (lag path — Newton's +/- g*d on the
+    FOLDED separation is the minimum-image force, see
+    `ops.pbc.pbc_lj_forces`). State stays slab-sharded in block-sorted
+    order. Returns step(positions, velocities) ->
+    (positions, velocities, ok)."""
     major = _major_axis(box, cutoff)
+    mimask = _sharded_mimask(box, cutoff, minimage, major, use_tile)
 
     def local(pos, vel):
         return _md_step_local(
             pos, vel, origin=origin, box=box, cutoff=cutoff, H=H, B=B,
             G=G, dt=dt, M=M, L=L, major=major, use_tile=use_tile,
-            MAXJ=MAXJ, interpret=interpret,
+            MAXJ=MAXJ, interpret=interpret, mimask=mimask,
         )
 
     return jax.jit(
@@ -341,13 +419,18 @@ def sharded_pbc_md_step(
 
 
 def _md_step_local(pos, vel, *, origin, box, cutoff, H, B, G, dt, M, L,
-                   major, interpret, use_tile=False, MAXJ=8):
+                   major, interpret, use_tile=False, MAXJ=8, mimask=None):
     """Per-device body of one sharded PBC MD step (inside shard_map)."""
     n_loc = pos.shape[0]
-    Bv = B or suggest_pbc_capacity(n_loc + 2 * min(H, n_loc), box, cutoff)[0]
-    Gv = G or suggest_pbc_capacity(n_loc + 2 * min(H, n_loc), box, cutoff)[1]
-    vel_s, bins, sp, _so, ok, n_loc, H_eff, pos_s = _pool_and_extend(
-        pos, origin, box, cutoff, H, Bv, Gv, major, extra=vel
+    np_pool = n_loc + 2 * min(H, n_loc)
+    axes = None if mimask is None or not mimask.any() else ~mimask
+    Bv = B or suggest_pbc_capacity(np_pool, box, cutoff, axes=axes)[0]
+    Gv = G or suggest_pbc_capacity(np_pool, box, cutoff, axes=axes)[1]
+    vel_s, bins, sp, _so, ok, n_loc, H_eff, pos_s, mi_box, reach = (
+        _pool_and_extend(
+            pos, origin, box, cutoff, H, Bv, Gv, major, extra=vel,
+            mimask=mimask,
+        )
     )
     dtp = pos.dtype
     csq = jnp.asarray(cutoff, dtp) ** 2
@@ -363,8 +446,12 @@ def _md_step_local(pos, vel, *, origin, box, cutoff, H, B, G, dt, M, L,
         f = pair_lag_forces(
             sp, bins.sorted_keys, bins.info.strides, csq,
             M=M, L=L, gfn=lj_force_factor, interpret=interpret,
+            mi_box=mi_box, key_reach=reach if mi_box is not None else None,
         )
-        ok &= lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
+        ok &= lag_coverage_ok(
+            bins.sorted_keys, bins.info.strides, L,
+            reach=reach if mi_box is not None else None,
+        )
     # un-sort to pool order, slice the owned run [H_eff, H_eff+n_loc)
     _, fx, fy, fz = jax.lax.sort(
         (bins.perm, f[:, 0], f[:, 1], f[:, 2]), num_keys=1
@@ -402,6 +489,7 @@ def sharded_pbc_md_run(
     use_tile: bool = False,
     MAXJ: int = 8,
     interpret: bool = False,
+    minimage=False,
 ):
     """Jitted ``steps``-step LJ MD trajectory of a periodic box over the
     mesh, scanned inside ONE shard_map dispatch — `sharded_pbc_md_step`
@@ -416,6 +504,7 @@ def sharded_pbc_md_run(
     run(positions, velocities) -> (positions, velocities, ok, energy).
     """
     major = _major_axis(box, cutoff)
+    mimask = _sharded_mimask(box, cutoff, minimage, major, use_tile)
 
     def local(pos, vel):
         def body(carry, _):
@@ -423,7 +512,7 @@ def sharded_pbc_md_run(
             p2, v2, ok2 = _md_step_local(
                 p, v, origin=origin, box=box, cutoff=cutoff, H=H, B=B,
                 G=G, dt=dt, M=M, L=L, major=major, use_tile=use_tile,
-                MAXJ=MAXJ, interpret=interpret,
+                MAXJ=MAXJ, interpret=interpret, mimask=mimask,
             )
             return (p2, v2, ok & ok2), None
 
@@ -433,7 +522,7 @@ def sharded_pbc_md_run(
         e, oke = _energy_local(
             p, origin=origin, box=box, cutoff=cutoff, H=H, B=B, G=G,
             M=M, L=L, term=lj_term, use_tile=use_tile, MAXJ=MAXJ,
-            interpret=interpret,
+            interpret=interpret, mimask=mimask,
         )
         return p, v, ok & oke, e
 
