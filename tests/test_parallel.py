@@ -536,3 +536,45 @@ def test_sharded_pair_hist_tile_backend():
     dist = np.sqrt((d * d).sum(-1))
     want, _ = np.histogram(dist[np.triu_indices(len(pts), 1)], bins=edges)
     np.testing.assert_array_equal(got, want)
+
+
+def _ref_stress(pts, cutoff):
+    d = pts[:, None, :] - pts[None, :, :]
+    dsq = (d * d).sum(-1)
+    np.fill_diagonal(dsq, np.inf)
+    within = np.triu(dsq < cutoff * cutoff)
+    t = 1.0 / np.where(within, dsq, 1.0)
+    t3 = t * t * t
+    g = np.where(within, 24.0 * t3 * (2.0 * t3 - 1.0) * t, 0.0)
+    return np.einsum("ij,ija,ijb->ab", g, d, d)
+
+
+@pytest.mark.parametrize("use_tile", [False, True])
+def test_sharded_stress_matches_oracle(use_tile):
+    """Distributed configurational stress: per-device direct pair-sum
+    stress kernels with larger-slot ownership, psum'd — equals the f64
+    O(n^2) oracle; trace equals the sharded virial."""
+    from zelll_tpu.parallel import sharded_stress
+
+    pts = _cloud(n=500, seed=7)
+    cutoff = 1.0
+    sig_ref = _ref_stress(pts, cutoff)
+    mesh = make_mesh(8)
+    parts, n_local = partition_by_slab(pts, cutoff, 8)
+    sharding = NamedSharding(mesh, P("z", None))
+    positions = jax.device_put(jnp.asarray(parts), sharding)
+
+    sfn = sharded_stress(mesh, cutoff=cutoff, H=64, M=512, L=512,
+                         use_tile=use_tile, MAXJ=16, interpret=True)
+    sig, ok = sfn(positions)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(sig), sig_ref, rtol=1e-9,
+                               atol=1e-9 * np.abs(sig_ref).max())
+    # trace == sharded scalar virial (the term-trick path)
+    from zelll_tpu.ops.virial import lj_virial_term
+
+    wfn = sharded_lj_energy(mesh, cutoff=cutoff, H=64, K=16, chunk=16,
+                            term=lj_virial_term)
+    w, okw = wfn(positions)
+    assert bool(okw)
+    np.testing.assert_allclose(float(jnp.trace(sig)), float(w), rtol=1e-9)

@@ -989,7 +989,7 @@ def pair_lag_reduce(
 
 def _make_stress_kernel(M: int, L: int, gfn: Callable, n_planes: int,
                         split: bool, dtype, n_payload: int, pair_mask,
-                        minimage: bool = False):
+                        minimage: bool = False, pair_weight=None):
     """Direct pair-sum stress kernel: accumulates the ncomp upper-triangle
     components of sigma_ab = sum_pairs gfn(dsq) * d_a * d_b, each
     Kahan-compensated, into a revisited (ncomp*Mr, LANES) VMEM block.
@@ -1086,13 +1086,18 @@ def _make_stress_kernel(M: int, L: int, gfn: Callable, n_planes: int,
                 dsq = dsq + da * da
             keymask = jk >= own_k - w_key
             mask = keymask & (dsq < csq) & own_owned
-            if n_payload:
+            if n_payload and pair_mask is not None:
                 mask = mask & pair_mask(
                     *own[n_planes : n_planes + n_payload],
                     *j[n_planes : n_planes + n_payload],
                 )
             safe = jnp.where(mask, dsq, jnp.ones_like(dsq))
             g = jnp.where(mask, gfn(safe), jnp.zeros_like(safe))
+            if pair_weight is not None:
+                g = g * pair_weight(
+                    *own[n_planes : n_planes + n_payload],
+                    *j[n_planes : n_planes + n_payload],
+                )
             for k, (a, b) in enumerate(comps):
                 # masked rows: g == 0 and d finite (padding coordinates
                 # are large but < f32 max), so the product is exactly 0
@@ -1142,6 +1147,7 @@ def pair_lag_stress(
     interpret: bool = False,
     min_islot=0,
     pair_mask=None,
+    pair_weight=None,
     mi_box: jax.Array | None = None,
     key_reach=None,
 ):
@@ -1158,8 +1164,12 @@ def pair_lag_stress(
     like `pair_lag_reduce` (see `_mi_pair_d`: the folded separation
     feeds BOTH dsq and the d_a d_b outer product, so the stress of a
     wrapped pair uses the image vector — the correct configurational
-    convention). The reference exposes raw pair iteration from which
-    users fold such sums (`/root/reference/src/cellgrid.rs:338-340`).
+    convention). ``pair_weight`` (payload-consuming, MULTIPLICATIVE —
+    the stress analogue of the term-weighting trick the sharded energy
+    paths use) scales each pair's g: the distributed ownership rule
+    ``0.5 * (o_i + o_j)`` makes the global psum of per-device tensors
+    exact. The reference exposes raw pair iteration from which users
+    fold such sums (`/root/reference/src/cellgrid.rs:338-340`).
     """
     from .lj import lj_force_factor
 
@@ -1191,9 +1201,9 @@ def pair_lag_stress(
         ]
     n_planes = len(planes)
     n_payload = 0 if sorted_payload is None else sorted_payload.shape[1]
-    assert (n_payload == 0) == (pair_mask is None), (
-        "pair_mask and sorted_payload go together"
-    )
+    assert (n_payload == 0) == (
+        pair_mask is None and pair_weight is None
+    ), "pair_mask/pair_weight and sorted_payload go together"
     for a in range(n_payload):
         planes.append(
             jnp.concatenate(
@@ -1214,7 +1224,7 @@ def pair_lag_stress(
     ncomp = dim * (dim + 1) // 2
     kernel = _make_stress_kernel(
         M, L, gfn, n_planes, split, dtype, n_payload, pair_mask,
-        minimage=minimage,
+        minimage=minimage, pair_weight=pair_weight,
     )
     bs = lambda: pl.BlockSpec((Mr, LANES), lambda p, *s: (p, 0))
     win = lambda dt: pltpu.VMEM((Mr + L // LANES, LANES), dt)

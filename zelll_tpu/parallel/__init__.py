@@ -9,6 +9,7 @@ from .domain import (
     sharded_lj_energy,
     sharded_md_step,
     sharded_pair_hist,
+    sharded_stress,
 )
 from .pbc import (
     partition_by_slab_pbc,
@@ -16,6 +17,7 @@ from .pbc import (
     sharded_pbc_lj_energy,
     sharded_pbc_md_run,
     sharded_pbc_md_step,
+    sharded_pbc_stress,
 )
 
 __all__ = [
@@ -32,4 +34,6 @@ __all__ = [
     "sharded_pbc_lj_energy",
     "sharded_pbc_md_run",
     "sharded_pbc_md_step",
+    "sharded_pbc_stress",
+    "sharded_stress",
 ]

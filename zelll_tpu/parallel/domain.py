@@ -55,6 +55,7 @@ __all__ = [
     "partition_by_slab",
     "sharded_md_step",
     "sharded_lj_energy",
+    "sharded_stress",
     "make_sharded_potential",
     "repartition",
     "repartition_exchange",
@@ -749,6 +750,72 @@ def sharded_pair_hist(
         # per-device (hi, lo) 16-bit plane sums are < 2^27 each; a psum
         # over any realistic mesh stays far from int32 overflow
         return jax.lax.psum(packed, AXIS), _all_ok(halo_ok & cap_ok)
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(AXIS, None),),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+
+
+def sharded_stress(
+    mesh: Mesh,
+    *,
+    cutoff: float,
+    H: int,
+    gfn: Callable | None = None,
+    M: int = 1024,
+    L: int = 256,
+    use_tile: bool = False,
+    MAXJ: int | tuple = 8,
+    interpret: bool = False,
+):
+    """Jitted global configurational stress tensor over slab-sharded
+    positions (open boundaries): the direct fused pair-sum stress kernels
+    run per device over [left ghosts | owned] with larger-slot ownership
+    (``min_islot`` — the same rule as the sharded energies/histograms),
+    and the (dim, dim) tensors psum. ``use_tile=True`` runs the
+    segment-tile stress kernel (cubic/wide boxes). The tensor's trace is
+    the scalar virial W (`ops.virial.pressure` folds it with the kinetic
+    part). Returns fn(positions) -> ((3, 3) stress, coverage_ok)."""
+    from ..ops.lj import lj_force_factor
+    from ..ops.pallas_pairs import pair_lag_stress
+
+    gfn = gfn or lj_force_factor
+
+    def local(pos):
+        H_eff = _h_eff(H, pos.shape[0])
+        info = _global_grid_info(pos, cutoff)
+        bins, pos_s = bin_and_sort(pos, cutoff, max_cells=1, info=info)
+        gl, gr, *_ = _halo_exchange(pos_s, H_eff)
+        csq = jnp.asarray(cutoff, pos.dtype) ** 2
+        n_loc = pos_s.shape[0]
+        halo_ok = halo_coverage_ok(
+            bins.sorted_keys, info.strides, H_eff, both_sides=False
+        )
+        if use_tile:
+            from ..ops.tile_pairs import tile_pair_stress
+
+            gl_s, _ = _wrap_safe_ghosts(gl, gr, info, cutoff, H_eff)
+            ext = jnp.concatenate([gl_s, pos_s], axis=0)
+            keys_ext = compute_keys(ext, info)
+            sig, cap_ok = tile_pair_stress(
+                ext, keys_ext, info.strides, csq,
+                gfn=gfn, MAXJ=MAXJ, interpret=interpret, min_islot=H_eff,
+            )
+            return jax.lax.psum(sig, AXIS), _all_ok(halo_ok & cap_ok)
+        ext = jnp.concatenate([gl, pos_s], axis=0)
+        keys_ext = compute_keys(ext, info)
+        sig = pair_lag_stress(
+            ext, keys_ext, info.strides, csq,
+            gfn=gfn, M=M, L=L, interpret=interpret, min_islot=H_eff,
+        )
+        cap_ok = _lag_ok_ext(keys_ext, info.strides, L, H_eff, n_loc)
+        return jax.lax.psum(sig, AXIS), _all_ok(halo_ok & cap_ok)
 
     return jax.jit(
         shard_map(

@@ -73,6 +73,7 @@ __all__ = [
     "sharded_pbc_lj_energy",
     "sharded_pbc_md_step",
     "sharded_pbc_md_run",
+    "sharded_pbc_stress",
 ]
 
 
@@ -532,6 +533,82 @@ def sharded_pbc_md_run(
             mesh=mesh,
             in_specs=(P(AXIS, None), P(AXIS, None)),
             out_specs=(P(AXIS, None), P(AXIS, None), P(), P()),
+            check_vma=False,
+        )
+    )
+
+
+def _half_own_weight(oi, oj):
+    """Distributed ownership weight on the o payload plane: an owned-owned
+    pair weighs 1 on its (single) device, a pair with one halo/ghost/image
+    endpoint weighs 1/2 on each of the two devices that realize it — the
+    multiplicative-stress analogue of `_own_term`."""
+    return 0.5 * (oi + oj)
+
+
+def sharded_pbc_stress(
+    mesh: Mesh,
+    *,
+    origin,
+    box,
+    cutoff: float,
+    H: int,
+    B: int | None = None,
+    G: int | None = None,
+    gfn: Callable | None = None,
+    M: int = 4096,
+    L: int = 256,
+    interpret: bool = False,
+    minimage=False,
+):
+    """Jitted global configurational stress tensor of a periodic box over
+    slab-sharded positions: the direct fused pair-sum stress kernel runs
+    per device over the pooled+extended block with each pair's g scaled
+    by the ownership rule ``0.5 * (o_i + o_j)`` (`_half_own_weight` — the
+    exact plane the sharded PBC energies use, applied multiplicatively
+    since stress terms carry d (x) d, not a scalar the term could
+    absorb), and the (3, 3) tensors psum to the minimum-image global
+    stress. ``minimage`` folds narrow minor axes in-kernel per device
+    (`_pool_and_extend`). The trace is the scalar virial W; add the
+    kinetic part via `ops.virial.pressure_tensor`. Lag path only (the
+    tile kernel's packed blocks carry one payload row, which the
+    ownership plane occupies — the energy term trick does not transfer
+    to a multiplicative weight there yet). Returns
+    fn(positions) -> ((3, 3) stress, ok)."""
+    from ..ops.pallas_pairs import pair_lag_stress
+
+    major = _major_axis(box, cutoff)
+    mimask = _sharded_mimask(box, cutoff, minimage, major, False)
+    gfn = gfn or lj_force_factor
+
+    def local(pos):
+        n_loc = pos.shape[0]
+        np_pool = n_loc + 2 * min(H, n_loc)
+        axes = None if not mimask.any() else ~mimask
+        Bv = B or suggest_pbc_capacity(np_pool, box, cutoff, axes=axes)[0]
+        Gv = G or suggest_pbc_capacity(np_pool, box, cutoff, axes=axes)[1]
+        _, bins, sp, so, ok, _, _, _, mi_box, reach = _pool_and_extend(
+            pos, origin, box, cutoff, H, Bv, Gv, major, mimask=mimask,
+        )
+        csq = jnp.asarray(cutoff, pos.dtype) ** 2
+        sig = pair_lag_stress(
+            sp, bins.sorted_keys, bins.info.strides, csq,
+            sorted_payload=so[:, None], pair_weight=_half_own_weight,
+            gfn=gfn, M=M, L=L, interpret=interpret,
+            mi_box=mi_box, key_reach=reach if mi_box is not None else None,
+        )
+        ok &= lag_coverage_ok(
+            bins.sorted_keys, bins.info.strides, L,
+            reach=reach if mi_box is not None else None,
+        )
+        return jax.lax.psum(sig, AXIS), _all_ok(ok)
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(AXIS, None),),
+            out_specs=(P(), P()),
             check_vma=False,
         )
     )
