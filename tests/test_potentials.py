@@ -1,0 +1,168 @@
+"""Standard pair-potential factories (`ops.potentials`): force-factor
+consistency vs numeric derivatives, fused-kernel integration on every
+convention (term= energy, gfn= forces), and cache identity (the
+retrace contract)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zelll_tpu.ops.potentials import (
+    PairPotential,
+    buckingham,
+    gaussian,
+    harmonic,
+    lennard_jones,
+    morse,
+    shifted,
+    soft_sphere,
+    wca,
+    yukawa,
+)
+
+ALL = [
+    ("lennard_jones", lambda: lennard_jones(0.7, 1.1)),
+    ("wca", lambda: wca(0.7, 1.1)),
+    ("soft_sphere", lambda: soft_sphere(0.5, 1.2, n=8)),
+    ("gaussian", lambda: gaussian(2.0, 0.8)),
+    ("morse", lambda: morse(1.3, 2.0, 1.1)),
+    ("yukawa", lambda: yukawa(1.5, 0.7)),
+    ("buckingham", lambda: buckingham(1000.0, 0.3, 1.0)),
+    ("harmonic", lambda: harmonic(3.0, 1.0)),
+]
+
+
+@pytest.mark.parametrize("name,factory", ALL)
+def test_gfn_is_energy_derivative(name, factory):
+    """gfn == -2 dV/d(dsq) (so F_i = gfn * (p_i - p_j) = -grad V),
+    checked against jax.grad of the term at f64 across the well."""
+    pot = factory()
+    dsq = jnp.asarray(np.linspace(0.6, 4.0, 61) ** 2, jnp.float64)
+    dV = jax.vmap(jax.grad(lambda s: pot.term(s).sum()))(dsq)
+    got = np.asarray(jax.vmap(pot.gfn)(dsq), np.float64)
+    want = np.asarray(-2.0 * dV, np.float64)
+    if name == "wca":  # exclude the cut point itself (one-sided)
+        keep = np.abs(dsq - 2.0 ** (1 / 3) * 1.1**2) > 1e-2
+        got, want = got[keep], want[keep]
+    scale = np.abs(want).max() + 1e-12
+    np.testing.assert_allclose(got, want, rtol=1e-9,
+                               atol=1e-9 * scale)
+
+
+@pytest.mark.parametrize("name,factory", ALL)
+def test_cache_identity(name, factory):
+    """Same parameters -> the SAME function objects (kernels jit on term
+    identity; a fresh closure per call would retrace every time)."""
+    a, b = factory(), factory()
+    assert a.term is b.term and a.gfn is b.gfn
+
+
+def test_fused_energy_and_forces_all_paths():
+    """Each potential runs through the fused lag kernel (term= and gfn=)
+    and matches the O(n^2) f64 brute force."""
+    from zelll_tpu.core.binning import bin_and_sort
+    from zelll_tpu.ops.pallas_pairs import (
+        lag_coverage_ok,
+        pair_lag_forces,
+        pair_lag_reduce,
+    )
+
+    rng = np.random.default_rng(5)
+    cutoff = 2.5
+    # jittered lattice: guaranteed minimum separation keeps pairs off the
+    # steep cores so the f64 brute force is well-scaled
+    cells = np.stack(np.meshgrid(np.arange(4), np.arange(4),
+                                 np.arange(18), indexing="ij"), -1)
+    pts = (cells.reshape(-1, 3) + 0.5) * 1.25
+    pts += rng.uniform(-0.2, 0.2, pts.shape)
+    d = pts[:, None] - pts[None]
+    dsq = (d * d).sum(-1)
+    np.fill_diagonal(dsq, np.inf)
+    assert dsq.min() > 0.5
+
+    bins, sp = bin_and_sort(jnp.asarray(pts), cutoff, max_cells=1,
+                            need_perm=False)
+    csq = jnp.asarray(cutoff) ** 2
+    within = np.triu(dsq < cutoff**2)
+    for name, factory in ALL:
+        pot = factory()
+        e = pair_lag_reduce(sp, bins.sorted_keys, bins.info.strides, csq,
+                            M=512, L=512, term=pot.term, interpret=True)
+        assert bool(lag_coverage_ok(bins.sorted_keys, bins.info.strides,
+                                    512))
+        vd = np.asarray(
+            jax.vmap(pot.term)(jnp.asarray(np.where(within, dsq, 1.0)))
+        )
+        e_ref = float(np.where(within, vd, 0.0).sum())
+        scale = max(abs(e_ref), np.abs(np.where(within, vd, 0.0)).sum(),
+                    1e-12)
+        assert abs(float(e) - e_ref) <= 1e-9 * scale, name
+
+        f = pair_lag_forces(sp, bins.sorted_keys, bins.info.strides, csq,
+                            M=512, L=512, gfn=pot.gfn, interpret=True)
+        m = dsq < cutoff**2
+        g = np.asarray(jax.vmap(pot.gfn)(jnp.asarray(np.where(m, dsq, 1.0))))
+        g = np.where(m, g, 0.0)
+        f_ref = (g[..., None] * d).sum(axis=1)
+        # compare in sorted order: recompute brute force on sorted coords
+        spn = np.asarray(sp, np.float64)
+        ds = spn[:, None] - spn[None]
+        dsqs = (ds * ds).sum(-1)
+        np.fill_diagonal(dsqs, np.inf)
+        ms = dsqs < cutoff**2
+        gs = np.asarray(
+            jax.vmap(pot.gfn)(jnp.asarray(np.where(ms, dsqs, 1.0)))
+        )
+        gs = np.where(ms, gs, 0.0)
+        fs_ref = (gs[..., None] * ds).sum(axis=1)
+        fscale = np.abs(fs_ref).max() + 1e-12
+        assert np.abs(np.asarray(f, np.float64) - fs_ref).max() <= (
+            1e-9 * fscale
+        ), name
+
+
+def test_shifted_continuity_and_forces():
+    """shifted(pot, rc): V(rc) == 0 (continuous truncation), forces
+    unchanged, cached on (pot, rc)."""
+    pot = lennard_jones(1.0, 1.0)
+    s = shifted(pot, 2.5)
+    assert shifted(pot, 2.5) is s
+    assert abs(float(s.term(jnp.asarray(2.5**2)))) < 1e-12
+    assert s.gfn is pot.gfn
+    dsq = jnp.asarray(1.7)
+    assert abs(
+        float(s.term(dsq)) - (float(pot.term(dsq)) - float(pot.term(
+            jnp.asarray(2.5**2))))
+    ) < 1e-12
+
+
+def test_potentials_compose_with_pbc_and_virial():
+    """term/gfn plug into the PBC sum and the virial-from-gfn adapter."""
+    from zelll_tpu.ops.pbc import pbc_pair_sum
+    from zelll_tpu.ops.virial import virial_term_from_gfn
+
+    rng = np.random.default_rng(9)
+    box = np.array([4.0, 4.0, 12.0])
+    pts = rng.uniform(0, 1, size=(200, 3)) * box
+    c = 1.5
+    pot = yukawa(1.5, 0.7)
+    e, ok = pbc_pair_sum(jnp.asarray(pts), np.zeros(3), box, c,
+                         term=pot.term, M=512, L=512, interpret=True)
+    assert bool(ok)
+    d = pts[:, None] - pts[None]
+    d -= box * np.round(d / box)
+    dsq = (d * d).sum(-1)
+    np.fill_diagonal(dsq, np.inf)
+    m = np.triu(dsq < c * c)
+    v = np.asarray(jax.vmap(pot.term)(jnp.asarray(np.where(m, dsq, 1.0))))
+    e_ref = float(np.where(m, v, 0.0).sum())
+    assert abs(float(e) - e_ref) <= 1e-9 * max(abs(e_ref), 1e-12)
+
+    wterm = virial_term_from_gfn(pot.gfn)
+    w, okw = pbc_pair_sum(jnp.asarray(pts), np.zeros(3), box, c,
+                          term=wterm, M=512, L=512, interpret=True)
+    assert bool(okw)
+    g = np.asarray(jax.vmap(pot.gfn)(jnp.asarray(np.where(m, dsq, 1.0))))
+    w_ref = float(np.where(m, g * dsq, 0.0).sum())
+    assert abs(float(w) - w_ref) <= 1e-9 * max(abs(w_ref), 1e-12)
