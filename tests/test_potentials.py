@@ -166,3 +166,63 @@ def test_potentials_compose_with_pbc_and_virial():
     g = np.asarray(jax.vmap(pot.gfn)(jnp.asarray(np.where(m, dsq, 1.0))))
     w_ref = float(np.where(m, g * dsq, 0.0).sum())
     assert abs(float(w) - w_ref) <= 1e-9 * max(abs(w_ref), 1e-12)
+
+
+def test_mixed_lj_energy_forces_vs_bruteforce():
+    """Two-species LB-mixed LJ through the payload convention: energy via
+    pair_lag_reduce(sorted_payload=...), forces via the (new) payload
+    forces kernel — exact vs an f64 brute force with per-pair
+    eps_ij = sqrt(eps_i eps_j), sigma_ij = (sigma_i + sigma_j)/2."""
+    from zelll_tpu.core.binning import bin_and_sort
+    from zelll_tpu.ops.pallas_pairs import pair_lag_forces, pair_lag_reduce
+    from zelll_tpu.ops.potentials import lennard_jones_mixed
+
+    rng = np.random.default_rng(11)
+    eps, sig = (1.0, 0.4), (1.0, 1.3)
+    pot = lennard_jones_mixed(eps, sig)
+    assert lennard_jones_mixed(eps, sig) is pot
+
+    cells = np.stack(np.meshgrid(np.arange(3), np.arange(3),
+                                 np.arange(20), indexing="ij"), -1)
+    pts = (cells.reshape(-1, 3) + 0.5) * 1.3
+    pts += rng.uniform(-0.15, 0.15, pts.shape)
+    spec = rng.integers(0, 2, len(pts)).astype(np.float64)
+    cutoff = 3.0
+
+    bins, cols = bin_and_sort(
+        jnp.concatenate([jnp.asarray(pts), jnp.asarray(spec)[:, None]],
+                        axis=1),
+        cutoff, max_cells=1, need_perm=False,
+    )
+    sp, spay = cols[:, :3], cols[:, 3:]
+    csq = jnp.asarray(cutoff) ** 2
+
+    e = pair_lag_reduce(sp, bins.sorted_keys, bins.info.strides, csq,
+                        sorted_payload=spay, term=pot.term,
+                        M=512, L=512, interpret=True)
+    f = pair_lag_forces(sp, bins.sorted_keys, bins.info.strides, csq,
+                        sorted_payload=spay, gfn=pot.gfn,
+                        M=512, L=512, interpret=True)
+
+    # f64 brute force on the SORTED order
+    p = np.asarray(sp, np.float64)
+    s = np.asarray(spay[:, 0], np.float64).astype(int)
+    d = p[:, None] - p[None]
+    dsq = (d * d).sum(-1)
+    np.fill_diagonal(dsq, np.inf)
+    m = dsq < cutoff**2
+    e_i = np.asarray(eps)[s]
+    s_i = np.asarray(sig)[s]
+    e_ij = np.sqrt(e_i[:, None] * e_i[None, :])
+    s_ij = 0.5 * (s_i[:, None] + s_i[None, :])
+    x = np.where(m, (s_ij**2) / np.where(m, dsq, 1.0), 0.0)
+    t = x**3
+    v = 4.0 * e_ij * t * (t - 1.0)
+    e_ref = float(np.where(np.triu(m), v, 0.0).sum())
+    assert abs(float(e) - e_ref) <= 1e-9 * max(abs(e_ref), 1e-12)
+
+    g = np.where(m, 24.0 * e_ij * t * (2.0 * t - 1.0)
+                 / np.where(m, dsq, 1.0), 0.0)
+    f_ref = (g[..., None] * d).sum(axis=1)
+    fscale = np.abs(f_ref).max() + 1e-12
+    assert np.abs(np.asarray(f, np.float64) - f_ref).max() <= 1e-9 * fscale

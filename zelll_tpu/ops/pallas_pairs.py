@@ -582,7 +582,7 @@ def pair_lag_per_particle(
 
 def _make_forces_kernel(M: int, L: int, gfn: Callable, dtype,
                         n_planes: int = 3, split: bool = False,
-                        minimage: bool = False):
+                        minimage: bool = False, n_payload: int = 0):
     """Forces kernel: per unique pair (i, j = i - lag), f_i += g(dsq) * d
     and f_j -= g(dsq) * d (Newton's third law).
 
@@ -603,10 +603,17 @@ def _make_forces_kernel(M: int, L: int, gfn: Callable, dtype,
     Completed force blocks flush to HBM one block behind the compute
     (block p-1 is final once program p ends, since the backward reach is
     L <= M); the grid runs one extra program to flush the last block.
+
+    ``n_payload`` per-particle payload planes (after the coordinate
+    planes) parameterize the interaction: ``gfn`` then receives
+    ``(dsq, own_0.., j_0..)`` — species-dependent force factors
+    (e.g. `ops.potentials.lennard_jones_mixed`). One kernel evaluation
+    serves both Newton sides, so action = reaction holds for ANY gfn;
+    physical gfns should still be symmetric under (own, j) swap.
     """
     Mr, Lr = M // LANES, L // LANES
     Wr = Mr + Lr
-    NP = n_planes + 1  # + key plane
+    NP = n_planes + n_payload + 1  # + key plane
     ncoord = n_planes // 2 if split else n_planes
 
     NS = 3 if minimage else 2  # scalar-prefetch count (+ mi box vector)
@@ -689,9 +696,16 @@ def _make_forces_kernel(M: int, L: int, gfn: Callable, dtype,
                 dsq = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
                 keymask = jk >= own_k - w_key
                 mask = keymask & (dsq < csq) & (dsq > 0)
-                g = jnp.where(
-                    mask, gfn(jnp.where(mask, dsq, jnp.ones_like(dsq))), 0.0
-                ).astype(dtype)
+                safe = jnp.where(mask, dsq, jnp.ones_like(dsq))
+                if n_payload:
+                    gv = gfn(
+                        safe,
+                        *own[n_planes : n_planes + n_payload],
+                        *j[n_planes : n_planes + n_payload],
+                    )
+                else:
+                    gv = gfn(safe)
+                g = jnp.where(mask, gv, 0.0).astype(dtype)
                 for a in range(3):
                     c = g * d[a]
                     acc[a] = acc[a] + c
@@ -752,6 +766,7 @@ def pair_lag_forces(
     strides: jax.Array,
     cutoff_sq,
     sorted_pos_lo: jax.Array | None = None,  # (n, 3) f32x2 low parts
+    sorted_payload: jax.Array | None = None,  # (n, P) per-particle payload
     *,
     M: int = 1024,
     L: int = 256,
@@ -761,6 +776,11 @@ def pair_lag_forces(
     key_reach=None,
 ):
     """Per-particle pairwise forces in sorted-slot order.
+
+    ``sorted_payload`` ((n, P), sorted order) parameterizes the
+    interaction: ``gfn`` then receives ``(dsq, own_0.., j_0..)`` —
+    species-dependent forces (`ops.potentials.lennard_jones_mixed`) in
+    the same payload convention as `pair_lag_reduce`.
 
     ``mi_box``/``key_reach``: in-kernel minimum-image folding for narrow
     periodic axes (see `pair_lag_reduce`); Newton's +/- g*d uses the
@@ -806,6 +826,13 @@ def pair_lag_forces(
             for a in range(3)
         ]
     n_planes = len(planes)
+    n_payload = 0 if sorted_payload is None else sorted_payload.shape[1]
+    for a in range(n_payload):
+        planes.append(
+            jnp.concatenate(
+                [sorted_payload[:, a].astype(dtype), jnp.zeros_like(spread)]
+            ).reshape(-1, LANES)
+        )
     kp = keys_p.reshape(-1, LANES)
 
     w_key = key_window(strides, key_reach).astype(jnp.int32).reshape(1)
@@ -817,7 +844,7 @@ def pair_lag_forces(
 
     Mr = M // LANES
     kernel = _make_forces_kernel(M, L, gfn, dtype, n_planes, split,
-                                 minimage=minimage)
+                                 minimage=minimage, n_payload=n_payload)
     # one extra program flushes the final block; its block reads clamp to
     # the last real block (compute masked off)
     bs = lambda: pl.BlockSpec(
@@ -832,9 +859,10 @@ def pair_lag_forces(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars),
         grid=(P + 1,),
-        in_specs=[bs() for _ in range(n_planes + 1)],
+        in_specs=[bs() for _ in range(n_planes + n_payload + 1)],
         out_specs=[out_bs, out_bs, out_bs],
-        scratch_shapes=[win(dtype, Mr + L // LANES) for _ in range(n_planes)]
+        scratch_shapes=[win(dtype, Mr + L // LANES)
+                        for _ in range(n_planes + n_payload)]
         + [
             win(jnp.int32, Mr + L // LANES),
             win(dtype, 2 * Mr),

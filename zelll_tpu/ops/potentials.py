@@ -38,6 +38,7 @@ __all__ = [
     "gaussian",
     "harmonic",
     "lennard_jones",
+    "lennard_jones_mixed",
     "morse",
     "shifted",
     "soft_sphere",
@@ -198,6 +199,56 @@ def harmonic(k: float = 1.0, r0: float = 1.0) -> PairPotential:
     def gfn(dsq):
         r = jnp.sqrt(dsq)
         return -k * (r - r0) / r
+
+    return PairPotential(term, gfn)
+
+
+@functools.lru_cache(maxsize=None)
+def lennard_jones_mixed(eps: tuple, sigma: tuple) -> PairPotential:
+    """Multi-species LJ with Lorentz-Berthelot mixing, as PAYLOAD-
+    parameterized term/gfn: both receive ``(dsq, s_i, s_j)`` where the
+    s planes carry small integer species ids (0..S-1, as the f32 payload
+    the kernels transport). Per endpoint, eps/sigma are one-hot selected
+    (S multiply-adds each — no gathers, no tables in VMEM); the pair
+    parameters are ``eps_ij = sqrt(eps_i eps_j)``,
+    ``sigma_ij = (sigma_i + sigma_j) / 2``.
+
+    Feed through the payload convention everywhere: energy/virial via
+    ``pair_lag_reduce(sorted_payload=species[:, None], term=pot.term)``,
+    forces via ``pair_lag_forces(sorted_payload=..., gfn=pot.gfn)``
+    (carry the species column through `bin_and_sort` — never a gather).
+    Symmetric under (i, j) swap, so Newton's third law holds exactly.
+    """
+    eps = tuple(float(e) for e in eps)
+    sigma = tuple(float(s) for s in sigma)
+    S = len(eps)
+    assert len(sigma) == S and S >= 1
+
+    def _mix(dsq, si, sj):
+        ei = si * 0.0 + eps[0]
+        si_g = si * 0.0 + sigma[0]
+        ej = sj * 0.0 + eps[0]
+        sj_g = sj * 0.0 + sigma[0]
+        for a in range(1, S):
+            ia = si == a
+            ja = sj == a
+            ei = jnp.where(ia, eps[a], ei)
+            si_g = jnp.where(ia, sigma[a], si_g)
+            ej = jnp.where(ja, eps[a], ej)
+            sj_g = jnp.where(ja, sigma[a], sj_g)
+        e_ij = jnp.sqrt(ei * ej)
+        s_ij = 0.5 * (si_g + sj_g)
+        return e_ij, s_ij * s_ij / dsq
+
+    def term(dsq, si, sj):
+        e_ij, x = _mix(dsq, si, sj)
+        t = x**3
+        return 4.0 * e_ij * t * (t - 1.0)
+
+    def gfn(dsq, si, sj):
+        e_ij, x = _mix(dsq, si, sj)
+        t = x**3
+        return 24.0 * e_ij * t * (2.0 * t - 1.0) / dsq
 
     return PairPotential(term, gfn)
 
