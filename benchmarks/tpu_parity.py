@@ -217,6 +217,52 @@ def main():
         check(f"xla_pair_sum[{boxname}]",
               abs(float(e) - e_ref) / abs(e_ref), f32_tol)
 
+        if boxname == "thin":
+            # mixed-species LJ through the payload kernels (round 10:
+            # payload-parameterized gfn in the forces kernel) — f64
+            # Lorentz-Berthelot brute force on the rounded coordinates
+            from zelll_tpu.core.binning import bin_and_sort as _bas
+            from zelll_tpu.ops.pallas_pairs import (
+                pair_lag_forces as _plf,
+                pair_lag_reduce as _plr,
+            )
+            from zelll_tpu.ops.potentials import lennard_jones_mixed
+
+            mpot = lennard_jones_mixed((1.0, 0.5), (1.0, 1.2))
+            spec = rng.integers(0, 2, N).astype(np.float32)
+            mbins, mcols = _bas(
+                jnp.concatenate([hi, jnp.asarray(spec)[:, None]], axis=1),
+                CUTOFF, max_cells=1, need_perm=False,
+            )
+            msp, mpay = mcols[:, :3], mcols[:, 3:]
+            me = _plr(msp, mbins.sorted_keys, mbins.info.strides, csq,
+                      sorted_payload=mpay, term=mpot.term, M=4096, L=1024)
+            mf = _plf(msp, mbins.sorted_keys, mbins.info.strides, csq,
+                      sorted_payload=mpay, gfn=mpot.gfn, M=4096, L=1024)
+            mp = np.asarray(msp, np.float64)
+            ms = np.asarray(mpay[:, 0]).astype(int)
+            md = mp[:, None] - mp[None]
+            mdsq = (md * md).sum(-1)
+            np.fill_diagonal(mdsq, np.inf)
+            mm = mdsq < csq
+            me_i = np.asarray([1.0, 0.5])[ms]
+            msg_i = np.asarray([1.0, 1.2])[ms]
+            me_ij = np.sqrt(me_i[:, None] * me_i[None])
+            msg_ij = 0.5 * (msg_i[:, None] + msg_i[None])
+            mx = np.where(mm, msg_ij**2 / np.where(mm, mdsq, 1.0), 0.0)
+            mt = mx**3
+            me_ref = float(np.where(np.triu(mm), 4 * me_ij * mt * (mt - 1),
+                                    0.0).sum())
+            mg = np.where(mm, 24 * me_ij * mt * (2 * mt - 1)
+                          / np.where(mm, mdsq, 1.0), 0.0)
+            mf_ref = (mg[..., None] * md).sum(axis=1)
+            check(f"mixed_lj_energy[{boxname}]",
+                  abs(float(me) - me_ref) / max(abs(me_ref), 1e-30),
+                  f32_tol)
+            check(f"mixed_lj_forces[{boxname}]",
+                  np.abs(np.asarray(mf, np.float64) - mf_ref).max()
+                  / (np.abs(mf_ref).max() + 1e-30), f32_tol)
+
         # virial (scalar pair term on both kernels) + fused stress
         # (one forces pass + r(x)f contraction) vs f64 brute force
         from zelll_tpu.ops.tile_pairs import tile_lj_rebuild_energy as _tre
