@@ -226,3 +226,69 @@ def test_mixed_lj_energy_forces_vs_bruteforce():
     f_ref = (g[..., None] * d).sum(axis=1)
     fscale = np.abs(f_ref).max() + 1e-12
     assert np.abs(np.asarray(f, np.float64) - f_ref).max() <= 1e-9 * fscale
+
+
+def test_md_species_matches_numpy():
+    """Multi-species MD (species column rides the sort; payload gfn in
+    the forces kernel) reproduces a numpy semi-implicit Euler reference
+    with per-pair LB parameters, and md_run_species == stepwise."""
+    from zelll_tpu.models.lj_md import MDState, md_run_species, md_step_species
+    from zelll_tpu.ops.potentials import lennard_jones_mixed
+
+    rng = np.random.default_rng(13)
+    eps, sig = (1.0, 0.5), (1.0, 1.2)
+    pot = lennard_jones_mixed(eps, sig)
+    cells = np.stack(np.meshgrid(np.arange(3), np.arange(3),
+                                 np.arange(12), indexing="ij"), -1)
+    pts = (cells.reshape(-1, 3) + 0.5) * 1.4
+    pts += rng.uniform(-0.05, 0.05, pts.shape)
+    spec = rng.integers(0, 2, len(pts)).astype(np.float64)
+    vel = rng.normal(0, 0.05, pts.shape)
+    cutoff, dt, steps = 3.0, 1e-3, 4
+
+    def np_forces(p, s):
+        d = p[:, None] - p[None]
+        dsq = (d * d).sum(-1)
+        np.fill_diagonal(dsq, np.inf)
+        m = dsq < cutoff**2
+        e_i = np.asarray(eps)[s.astype(int)]
+        s_i = np.asarray(sig)[s.astype(int)]
+        e_ij = np.sqrt(e_i[:, None] * e_i[None])
+        s_ij = 0.5 * (s_i[:, None] + s_i[None])
+        x = np.where(m, s_ij**2 / np.where(m, dsq, 1.0), 0.0)
+        t = x**3
+        g = np.where(m, 24.0 * e_ij * t * (2.0 * t - 1.0)
+                     / np.where(m, dsq, 1.0), 0.0)
+        return (g[..., None] * d).sum(axis=1)
+
+    p_np, v_np = pts.copy(), vel.copy()
+    for _ in range(steps):
+        v_np = v_np + dt * np_forces(p_np, spec)
+        p_np = p_np + dt * v_np
+
+    st = MDState(positions=jnp.asarray(pts), velocities=jnp.asarray(vel))
+    sp = jnp.asarray(spec)
+    st1, sp1 = st, sp
+    for _ in range(steps):
+        st1, sp1, ok = md_step_species(st1, sp1, cutoff, dt, pot=pot,
+                                       M=512, L=512, interpret=True)
+        assert bool(ok)
+    # compare as (x, y, z, species) row sets (device state is re-sorted)
+    got = np.concatenate(
+        [np.asarray(st1.positions), np.asarray(sp1)[:, None],
+         np.asarray(st1.velocities)], axis=1)
+    want = np.concatenate([p_np, spec[:, None], v_np], axis=1)
+    order = lambda a: a[np.lexsort(a.T[::-1])]
+    np.testing.assert_allclose(order(got), order(want), rtol=1e-9,
+                               atol=1e-9)
+
+    st2, sp2, ok2, e2 = md_run_species(
+        MDState(positions=jnp.asarray(pts), velocities=jnp.asarray(vel)),
+        jnp.asarray(spec), cutoff, dt, pot=pot, steps=steps,
+        M=512, L=512, interpret=True)
+    assert bool(ok2)
+    got2 = np.concatenate(
+        [np.asarray(st2.positions), np.asarray(sp2)[:, None]], axis=1)
+    np.testing.assert_allclose(order(got2), order(want[:, :4]),
+                               rtol=1e-9, atol=1e-9)
+    assert np.isfinite(float(e2))

@@ -33,7 +33,9 @@ __all__ = [
     "MDState",
     "MDStateSplit",
     "md_step",
+    "md_step_species",
     "md_run",
+    "md_run_species",
     "md_run_vv",
     "md_run_vv_pbc",
     "md_step_split",
@@ -136,6 +138,90 @@ def md_step(
     vel_new = svel + dt * f
     pos_new = spos + dt * vel_new
     return MDState(positions=pos_new, velocities=vel_new), ok
+
+
+@partial(jax.jit, static_argnames=("M", "L", "interpret", "pot"))
+def md_step_species(
+    state: MDState,
+    species: jax.Array,  # (n,) small integer species ids (any float/int)
+    cutoff,
+    dt,
+    *,
+    pot,
+    M: int = 4096,
+    L: int = 256,
+    interpret: bool = False,
+):
+    """One multi-species MD step: the species column rides the re-sort as
+    one more payload column (exactly like velocities — never a gather),
+    and the forces kernel evaluates the payload-parameterized
+    ``pot.gfn(dsq, s_i, s_j)`` (`ops.potentials.lennard_jones_mixed`, or
+    any `PairPotential`-shaped pair of payload term/gfn).
+
+    ``pot`` is static (jit key): pass the SAME cached factory object
+    each call. Returns (new_state, new_species, coverage_ok) — state AND
+    species come back in the new sorted order (3D, lag path).
+    """
+    pos, vel = state.positions, state.velocities
+    assert pos.shape[1] == 3, "md_step_species is 3D (lag kernel)"
+    spec = jnp.asarray(species, pos.dtype).reshape(-1, 1)
+    stacked = jnp.concatenate([pos, vel, spec], axis=1)
+    csq = jnp.asarray(cutoff, pos.dtype) ** 2
+    bins, cols = bin_and_sort(stacked, cutoff, max_cells=1, need_perm=False)
+    spos, svel, sspec = cols[:, :3], cols[:, 3:6], cols[:, 6:]
+    f = pair_lag_forces(
+        spos, bins.sorted_keys, bins.info.strides, csq,
+        sorted_payload=sspec, M=M, L=L, gfn=pot.gfn, interpret=interpret,
+    )
+    ok = lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)
+    vel_new = svel + dt * f
+    pos_new = spos + dt * vel_new
+    return (
+        MDState(positions=pos_new, velocities=vel_new),
+        sspec[:, 0],
+        ok,
+    )
+
+
+@partial(jax.jit, static_argnames=("steps", "M", "L", "interpret", "pot"))
+def md_run_species(
+    state: MDState,
+    species: jax.Array,
+    cutoff,
+    dt,
+    *,
+    pot,
+    steps: int,
+    M: int = 4096,
+    L: int = 256,
+    interpret: bool = False,
+):
+    """`steps` multi-species MD steps in one jitted scan; final energy is
+    the payload term ``pot.term(dsq, s_i, s_j)`` over the final
+    configuration. Returns (state, species, all_covered, energy)."""
+
+    def body(carry, _):
+        st, sp, okacc = carry
+        st, sp, ok = md_step_species(
+            st, sp, cutoff, dt, pot=pot, M=M, L=L, interpret=interpret
+        )
+        return (st, sp, okacc & ok), None
+
+    spec = jnp.asarray(species, state.positions.dtype).reshape(-1)
+    (state, spec, ok), _ = jax.lax.scan(
+        body, (state, spec, jnp.asarray(True)), None, length=steps
+    )
+    bins, cols = bin_and_sort(
+        jnp.concatenate([state.positions, spec[:, None]], axis=1),
+        cutoff, max_cells=1, need_perm=False,
+    )
+    energy = pair_lag_reduce(
+        cols[:, :3], bins.sorted_keys, bins.info.strides,
+        jnp.asarray(cutoff, state.positions.dtype) ** 2,
+        sorted_payload=cols[:, 3:],
+        M=M, L=L, term=pot.term, interpret=interpret,
+    )
+    return state, spec, ok, energy
 
 
 @partial(jax.jit, static_argnames=("M", "L", "interpret"))
