@@ -292,3 +292,58 @@ def test_md_species_matches_numpy():
     np.testing.assert_allclose(order(got2), order(want[:, :4]),
                                rtol=1e-9, atol=1e-9)
     assert np.isfinite(float(e2))
+
+
+@pytest.mark.parametrize("mi", [False, "auto"])
+def test_mixed_pbc_forces_vs_bruteforce(mi):
+    """Species-dependent PBC forces: ghost images inherit their parent's
+    species (ghost branch) / species ride the min-image binning extras
+    (fold branch) — both match the f64 minimum-image LB brute force."""
+    from zelll_tpu.ops.pbc import pbc_lj_forces
+    from zelll_tpu.ops.potentials import lennard_jones_mixed
+
+    rng = np.random.default_rng(17)
+    eps, sig = (1.0, 0.5), (1.0, 1.2)
+    pot = lennard_jones_mixed(eps, sig)
+    box = np.array([2.8, 2.8, 16.8])
+    cells = np.stack(np.meshgrid(np.arange(2), np.arange(2),
+                                 np.arange(12), indexing="ij"), -1)
+    pts = (cells.reshape(-1, 3) + 0.5) * 1.4
+    pts += rng.uniform(-0.05, 0.05, pts.shape)
+    spec = rng.integers(0, 2, len(pts)).astype(np.float64)
+    cutoff = 1.35  # box > 2*cutoff on every axis
+
+    f, ok = pbc_lj_forces(
+        jnp.asarray(pts), np.zeros(3), box, cutoff, gfn=pot.gfn,
+        species=jnp.asarray(spec), M=512, L=512, interpret=True,
+        minimage=mi,
+    )
+    assert bool(ok)
+
+    d = pts[:, None] - pts[None]
+    d -= box * np.round(d / box)
+    dsq = (d * d).sum(-1)
+    np.fill_diagonal(dsq, np.inf)
+    m = dsq < cutoff**2
+    e_i = np.asarray(eps)[spec.astype(int)]
+    s_i = np.asarray(sig)[spec.astype(int)]
+    e_ij = np.sqrt(e_i[:, None] * e_i[None])
+    s_ij = 0.5 * (s_i[:, None] + s_i[None])
+    x = np.where(m, s_ij**2 / np.where(m, dsq, 1.0), 0.0)
+    t = x**3
+    g = np.where(m, 24.0 * e_ij * t * (2.0 * t - 1.0)
+                 / np.where(m, dsq, 1.0), 0.0)
+    f_ref = (g[..., None] * d).sum(axis=1)
+    fscale = np.abs(f_ref).max() + 1e-12
+    assert np.abs(np.asarray(f, np.float64) - f_ref).max() <= 1e-9 * fscale
+
+
+def test_mixed_pbc_forces_tile_raises():
+    from zelll_tpu.ops.pbc import pbc_lj_forces
+    from zelll_tpu.ops.potentials import lennard_jones_mixed
+
+    pot = lennard_jones_mixed((1.0, 0.5), (1.0, 1.2))
+    pts = np.random.default_rng(0).uniform(0, 4, (32, 3))
+    with pytest.raises(ValueError, match="lag path"):
+        pbc_lj_forces(jnp.asarray(pts), np.zeros(3), np.full(3, 4.0), 1.0,
+                      gfn=pot.gfn, species=jnp.zeros(32), path="tile")

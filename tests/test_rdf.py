@@ -276,13 +276,44 @@ def test_rdf_minimage_full_fold():
     np.testing.assert_allclose(g, g_ref, rtol=1e-12)
 
 
-def test_rdf_minimage_species_raises():
+@pytest.mark.parametrize("box", [
+    (2.2, 2.2, 40.0),   # partial fold: z keeps its ghost shell
+    (2.2, 2.4, 2.6),    # full fold: no ghost rows at all
+])
+def test_rdf_minimage_species_partial(box):
+    """Species-resolved partial RDF composes with the in-kernel fold:
+    species ride `_minimage_bins` extras (ghosts inherit the parent's
+    species on any remaining ghost axes)."""
+    from zelll_tpu.ops.rdf import rdf_normalize_partial
+
     rng = np.random.default_rng(52)
-    box = np.array([2.2, 2.2, 40.0])
-    pts = rng.uniform(0, 1, size=(64, 3)) * box
-    sp = rng.integers(0, 2, 64)
-    import pytest
-    with pytest.raises(ValueError, match="minimage"):
-        rdf(jnp.asarray(pts), np.zeros(3), box,
-            np.linspace(0.2, 1.0, 5), interpret=True,
-            species=sp, pair=(0, 1), minimage="auto")
+    box = np.array(box)
+    n = 300
+    pts = rng.uniform(0, 1, size=(n, 3)) * box
+    sp = rng.integers(0, 2, n)
+    edges = np.linspace(0.2, 1.0, 7)
+
+    r_mid, g, ok = rdf(
+        jnp.asarray(pts), np.zeros(3), box, edges, M=512, L=512,
+        interpret=True, species=sp, pair=(0, 1), minimage="auto",
+    )
+    assert ok
+    d = pts[:, None] - pts[None]
+    d -= box * np.round(d / box)
+    dist = np.sqrt((d * d).sum(-1))
+    iu = np.triu_indices(n, 1)
+    m = sp[iu[0]] != sp[iu[1]]
+    want, _ = np.histogram(dist[iu][m], bins=edges)
+    na, nb = int((sp == 0).sum()), int((sp == 1).sum())
+    _, g_ref = rdf_normalize_partial(want, edges, na, nb,
+                                     float(box.prod()), same=False)
+    np.testing.assert_allclose(g, g_ref, rtol=1e-12)
+    # and the ghost path agrees bit-for-bit on counts (explicit
+    # capacities: ~every particle is boundary on this box, the known
+    # ghost-blowup regime the fold exists to avoid)
+    r2, g2, ok2 = rdf(
+        jnp.asarray(pts), np.zeros(3), box, edges, M=1024, L=1024,
+        interpret=True, species=sp, pair=(0, 1), B=n, G=7 * n,
+    )
+    assert ok2
+    np.testing.assert_allclose(g, g2, rtol=1e-12)

@@ -555,14 +555,21 @@ _PAD_KEY_BASE_APPEND = 2**28
 
 
 def _minimage_bins(positions, origin, box, cutoff, mimask, *, B, G,
-                   positions_lo, need_perm):
+                   positions_lo, need_perm, extra=None):
     """Shared binning for the min-image lag paths: wrap, extend ghosts
     along the NON-min-imaged axes only (or skip extension entirely when
     every axis folds in-kernel), and bin on the box aabb (the full
     periodic extent — the grid must cover the box even where no particle
     sits, so wrap-adjacent reach math is exact).
 
-    Returns (bins, sp, slo, payload, reach, mi_box, ok)."""
+    ``extra`` ((n, k) per-particle columns, e.g. species): rides the
+    sort; ghost rows inherit their PARENT's values (one G-sized gather,
+    G << n — the `_pbc_cum_hist` species pattern). Extras take the
+    general path (the sorted-extremes fast path is a pure-coordinate
+    machine; correctness first, it falls back).
+
+    Returns (bins, sp, slo, payload, reach, mi_box, ok[, sorted_extra])
+    — the trailing element only when ``extra`` is given."""
     import numpy as np
 
     from ..core.geometry import Aabb, GridInfo
@@ -574,7 +581,8 @@ def _minimage_bins(positions, origin, box, cutoff, mimask, *, B, G,
     # so the n-row ghost-compaction sort disappears
     ghost_axes_idx = np.flatnonzero(~mimask)
     if (
-        len(ghost_axes_idx) == 1
+        extra is None
+        and len(ghost_axes_idx) == 1
         and ghost_axes_idx[0]
         == int(np.argmax(np.asarray(box, np.float64).reshape(-1)))
         and n >= 512
@@ -590,6 +598,9 @@ def _minimage_bins(positions, origin, box, cutoff, mimask, *, B, G,
     cutj = jnp.asarray(cutoff, dtype)
     pos = wrap_positions(positions, originj, boxj)
     ok = jnp.all(boxj > 2 * cutj)
+    ext_extra = None if extra is None else (
+        jnp.asarray(extra, dtype).reshape(n, -1)
+    )
     if bool(mimask.all()):
         ext, ext_lo, w, valid = pos, positions_lo, None, None
     else:
@@ -598,10 +609,18 @@ def _minimage_bins(positions, origin, box, cutoff, mimask, *, B, G,
             Bd, Gd = suggest_pbc_capacity(n, box, cutoff, axes=~mimask)
             B = Bd if B is None else B
             G = Gd if G is None else G
-        ext, ext_lo, w, valid, okx = pbc_extend(
-            pos, originj, boxj, cutoff, B=B, G=G,
-            positions_lo=positions_lo, wrap=False, axes=ghost_axes,
-        )
+        if extra is None:
+            ext, ext_lo, w, valid, okx = pbc_extend(
+                pos, originj, boxj, cutoff, B=B, G=G,
+                positions_lo=positions_lo, wrap=False, axes=ghost_axes,
+            )
+        else:
+            ext, ext_lo, w, valid, okx, gparent = pbc_extend(
+                pos, originj, boxj, cutoff, B=B, G=G,
+                positions_lo=positions_lo, wrap=False, axes=ghost_axes,
+                return_parents=True,
+            )
+            ext_extra = jnp.concatenate([ext_extra, ext_extra[gparent]])
         ok &= okx
     info = GridInfo.create(
         Aabb(originj, originj + boxj), cutoff, auto_order=True
@@ -611,6 +630,9 @@ def _minimage_bins(positions, origin, box, cutoff, mimask, *, B, G,
         cols.append(ext_lo)
     if w is not None:
         cols.append(w[:, None])
+    n_extra = 0 if ext_extra is None else ext_extra.shape[1]
+    if n_extra:
+        cols.append(ext_extra)
     stacked = jnp.concatenate(cols, axis=1) if len(cols) > 1 else ext
     bins, sorted_cols = bin_and_sort(
         stacked, cutoff, max_cells=1, need_perm=need_perm, valid=valid,
@@ -618,14 +640,17 @@ def _minimage_bins(positions, origin, box, cutoff, mimask, *, B, G,
     )
     sp = sorted_cols[:, :dim]
     slo = sorted_cols[:, dim : 2 * dim] if ext_lo is not None else None
-    payload = sorted_cols[:, -1:] if w is not None else None
+    pay_end = sorted_cols.shape[1] - n_extra
+    payload = sorted_cols[:, pay_end - 1 : pay_end] if w is not None else None
+    sorted_extra = sorted_cols[:, pay_end:] if n_extra else None
     b64 = np.asarray(box, np.float64).reshape(dim)
     reach = tuple(
         max(int(np.ceil(b64[a] / float(cutoff))) - 1, 1) if mimask[a] else 1
         for a in range(dim)
     )
     mi_box = jnp.where(jnp.asarray(mimask), boxj, jnp.zeros_like(boxj))
-    return bins, sp, slo, payload, reach, mi_box, ok
+    base = (bins, sp, slo, payload, reach, mi_box, ok)
+    return base + (sorted_extra,) if extra is not None else base
 
 
 def _minimage_pair_sum(positions, origin, box, cutoff, mimask, *, term,
@@ -822,6 +847,7 @@ def pbc_lj_forces(
     interpret: bool = False,
     positions_lo: jax.Array | None = None,
     minimage=False,
+    species: jax.Array | None = None,
 ):
     """Per-particle forces under orthorhombic PBC, input order.
 
@@ -834,11 +860,20 @@ def pbc_lj_forces(
     ``minimage`` folds narrow axes in-kernel (lag path; see
     `pbc_pair_sum`) — Newton's +/- g*d on the FOLDED separation IS the
     minimum-image force, so the un-sort machinery is unchanged.
+
+    ``species`` ((n,) small ints; lag path): multi-component forces —
+    ghost images inherit their parent's species and ``gfn`` receives
+    ``(dsq, s_i, s_j)`` (`ops.potentials.lennard_jones_mixed`).
     Returns ((n, 3) forces, ok).
     """
     n, dim = positions.shape
     if dim != 3:
         path = "xla"
+    if species is not None and path != "lag":
+        raise ValueError(
+            "species-dependent PBC forces run on the lag path (payload "
+            f"gfn); got path={path!r}"
+        )
     mimask = _resolve_minimage(box, cutoff, minimage, dim)
     if mimask.any():
         if path != "lag":
@@ -846,13 +881,24 @@ def pbc_lj_forces(
                 "minimage is a lag-path feature (narrow axes are the lag "
                 f"kernel's regime); got path={path!r}"
             )
-        bins, sp, slo, _payload, reach, mi_box, ok = _minimage_bins(
-            positions, origin, box, cutoff, mimask, B=B, G=G,
-            positions_lo=positions_lo, need_perm=True,
-        )
+        if species is None:
+            bins, sp, slo, _payload, reach, mi_box, ok = _minimage_bins(
+                positions, origin, box, cutoff, mimask, B=B, G=G,
+                positions_lo=positions_lo, need_perm=True,
+            )
+            spay = None
+        else:
+            bins, sp, slo, _payload, reach, mi_box, ok, spay = (
+                _minimage_bins(
+                    positions, origin, box, cutoff, mimask, B=B, G=G,
+                    positions_lo=positions_lo, need_perm=True,
+                    extra=species,
+                )
+            )
         csq = jnp.asarray(cutoff, positions.dtype) ** 2
         f = pair_lag_forces(
             sp, bins.sorted_keys, bins.info.strides, csq, slo,
+            sorted_payload=spay,
             M=M, L=L, gfn=gfn, interpret=interpret, mi_box=mi_box,
             key_reach=reach,
         )
@@ -867,9 +913,21 @@ def pbc_lj_forces(
         Bd, Gd = suggest_pbc_capacity(n, box, cutoff)
         B = Bd if B is None else B
         G = Gd if G is None else G
-    ext, ext_lo, _w, valid, ok = pbc_extend(
-        positions, origin, box, cutoff, B=B, G=G, positions_lo=positions_lo
-    )
+    if species is None:
+        ext, ext_lo, _w, valid, ok = pbc_extend(
+            positions, origin, box, cutoff, B=B, G=G,
+            positions_lo=positions_lo
+        )
+        ext_spec = None
+    else:
+        # ghost images inherit their parent's species (one G-sized
+        # gather — the `_pbc_cum_hist` species pattern)
+        ext, ext_lo, _w, valid, ok, gparent = pbc_extend(
+            positions, origin, box, cutoff, B=B, G=G,
+            positions_lo=positions_lo, return_parents=True,
+        )
+        spec = jnp.asarray(species, positions.dtype).reshape(-1)
+        ext_spec = jnp.concatenate([spec, spec[gparent]])
     csq = jnp.asarray(cutoff, positions.dtype) ** 2
     if path == "xla":
         from ..core.grid import build
@@ -883,12 +941,15 @@ def pbc_lj_forces(
         ok &= grid.bins.max_cell_count() <= K
         return f[:n], ok
     cols = [ext] if ext_lo is None else [ext, ext_lo]
+    if ext_spec is not None:
+        cols.append(ext_spec[:, None])
     bins, sorted_cols = bin_and_sort(
         jnp.concatenate(cols, axis=1) if len(cols) > 1 else ext,
         cutoff, max_cells=1, need_perm=True, valid=valid, auto_order=True,
     )
     sp = sorted_cols[:, :3]
     slo = sorted_cols[:, 3:6] if ext_lo is not None else None
+    spay = sorted_cols[:, -1:] if ext_spec is not None else None
     if path == "tile":
         from .tile_pairs import tile_pair_forces
 
@@ -900,6 +961,7 @@ def pbc_lj_forces(
     elif path == "lag":
         f = pair_lag_forces(
             sp, bins.sorted_keys, bins.info.strides, csq, slo,
+            sorted_payload=spay,
             M=M, L=L, gfn=gfn, interpret=interpret,
         )
         ok &= lag_coverage_ok(bins.sorted_keys, bins.info.strides, L)

@@ -188,19 +188,32 @@ def _pbc_cum_hist(positions, origin, box, edges, *, positions_lo, B, G, M,
                 "minimage is a lag-path feature (narrow axes are the lag "
                 f"kernel's regime); got path={path!r}"
             )
-        if species is not None:
-            raise ValueError(
-                "species-resolved PBC histograms do not compose with "
-                "minimage yet; pass minimage=False (ghost-image path)"
+        if species is None:
+            bins, sp, slo, payload, reach, mi_box, ok = _minimage_bins(
+                positions, origin, box, cutoff, mimask, B=B, G=G,
+                positions_lo=positions_lo, need_perm=False,
             )
-        bins, sp, slo, payload, reach, mi_box, ok = _minimage_bins(
-            positions, origin, box, cutoff, mimask, B=B, G=G,
-            positions_lo=positions_lo, need_perm=False,
-        )
+            mask = None if payload is None else _pbc_keep
+        else:
+            # species ride `_minimage_bins` extras (ghosts inherit their
+            # parent's species); the pair mask composes with the
+            # shift-sign plane only where ghost axes remain
+            spec = jnp.asarray(species, positions.dtype).reshape(-1)
+            bins, sp, slo, payload, reach, mi_box, ok, sspec = (
+                _minimage_bins(
+                    positions, origin, box, cutoff, mimask, B=B, G=G,
+                    positions_lo=positions_lo, need_perm=False,
+                    extra=spec,
+                )
+            )
+            if payload is None:
+                payload, mask = sspec, _species_mask(*pair)
+            else:
+                payload = jnp.concatenate([payload, sspec], axis=1)
+                mask = _pbc_species_mask(*pair)
         packed = pair_lag_hist(
             sp, bins.sorted_keys, bins.info.strides, edges_sq, slo,
-            sorted_payload=payload,
-            pair_mask=None if payload is None else _pbc_keep,
+            sorted_payload=payload, pair_mask=mask,
             M=M, L=L, interpret=interpret, mi_box=mi_box,
             key_reach=reach,
         )
@@ -329,9 +342,11 @@ def rdf(
     partial RDF g_AB (lag path; the species plane rides the kernel
     payload next to the PBC shift-sign plane).
 
-    ``minimage`` ("auto" | False | per-axis mask; lag path, no species)
-    folds narrow axes in-kernel instead of building their ghost images
-    (`pbc._minimage_bins`) — binned distances are image distances."""
+    ``minimage`` ("auto" | False | per-axis mask; lag path) folds narrow
+    axes in-kernel instead of building their ghost images
+    (`pbc._minimage_bins`) — binned distances are image distances;
+    species compose (they ride the binning as extra columns, ghosts on
+    any remaining axes inheriting their parent's species)."""
     import numpy as np
 
     assert (species is None) == (pair is None), (
