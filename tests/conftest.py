@@ -15,3 +15,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent XLA:CPU compile cache: the suite is compile-dominated on this
+# 1-core host (interpret-mode Pallas = big XLA graphs), and repeat runs hit
+# the same shapes — caching cuts the wall clock by multiples. Safe across
+# xdist workers (the cache is a content-addressed directory).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("ZELLL_TEST_CACHE", "/root/.jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
