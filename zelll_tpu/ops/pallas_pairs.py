@@ -1113,7 +1113,11 @@ def _make_stress_kernel(M: int, L: int, gfn: Callable, n_planes: int,
                 d.append(da)
                 dsq = dsq + da * da
             keymask = jk >= own_k - w_key
-            mask = keymask & (dsq < csq) & own_owned
+            # dsq > 0 excludes self and coincident pairs: gfn(0) = inf
+            # for LJ and inf * d_a * d_b = inf * 0 = NaN would poison
+            # every accumulator component (the forces kernels have the
+            # same guard; the energy path deliberately keeps inf)
+            mask = keymask & (dsq < csq) & (dsq > 0) & own_owned
             if n_payload and pair_mask is not None:
                 mask = mask & pair_mask(
                     *own[n_planes : n_planes + n_payload],

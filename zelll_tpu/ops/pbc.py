@@ -415,24 +415,33 @@ def _minimage_bins_sorted_extremes(positions, origin, box, cutoff, mimask,
     ok &= keys[n - 1] < jnp.int32(_PAD_KEY_BASE_APPEND)
 
     B = min(B, n)
-    B2 = max(2 * B, 512)
+    # merge-region capacity: only containment matters (flagged below);
+    # clamping to n keeps the region inside the real+append tail, so the
+    # oversized-B-heuristic case (2B > n) no longer trips spuriously
+    B2 = min(max(2 * B, 512), n)
     zg = sp[:, gaxis]
     low_face = originj[gaxis] + cutj
     high_face = originj[gaxis] + boxj[gaxis] - cutj
-    # capacity flags (full-n compares are cheap; never silently drop)
+    # capacity flags (full-n compares are cheap; never silently drop).
+    # Low face: cells are origin-anchored, so z < origin + c is EXACTLY
+    # the cell-0 rows — a contiguous sorted prefix, and a count check is
+    # a containment check.
     n_low = jnp.sum(zg < low_face, dtype=jnp.int32)
-    n_high = jnp.sum(zg >= high_face, dtype=jnp.int32)
-    # top real cell index anchors the merge region: count rows whose
-    # CELL (the same floor((p - origin)/c) the key computation uses —
-    # float-consistent by construction) is >= floor(box/c), the lowest
-    # cell an appended image can land in
+    # High face: when box/cutoff is non-integral the rows with
+    # z >= box - c span the top TWO major cells (nz_top - 1 and nz_top)
+    # and are interleaved by minor key with non-boundary rows of cell
+    # nz_top - 1 — they are NOT a contiguous suffix. Flag CONTAINMENT,
+    # not count: every row whose float-consistent major cell (the same
+    # floor((z - origin)/c) the keys use) is >= nz_top - 1 must fit in
+    # the sp[n - B:] slice, so no boundary row can sit outside it.
+    zcell = jnp.floor((zg - originj[gaxis]) / cutj).astype(jnp.int32)
     nz_top = jnp.floor(boxj[gaxis] / cutj).astype(jnp.int32)
-    n_topcell = jnp.sum(
-        jnp.floor((zg - originj[gaxis]) / cutj).astype(jnp.int32)
-        >= nz_top,
-        dtype=jnp.int32,
-    )
-    ok &= (n_low <= B) & (n_high <= B) & (n_topcell + B <= B2) & (B2 <= n)
+    n_face2 = jnp.sum(zcell >= nz_top - 1, dtype=jnp.int32)
+    # top real cell index anchors the merge region: count rows whose
+    # cell is >= floor(box/c), the lowest cell an appended image can
+    # land in
+    n_topcell = jnp.sum(zcell >= nz_top, dtype=jnp.int32)
+    ok &= (n_low <= B) & (n_face2 <= B) & (n_topcell + B <= B2)
 
     iota_b = jnp.arange(B, dtype=jnp.int32)
     spacing = jnp.int32(2**10)

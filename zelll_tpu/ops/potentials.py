@@ -263,7 +263,22 @@ def shifted(pot: PairPotential, cutoff: float) -> PairPotential:
     CLAUDE.md round-8 note: the jump is a potential discontinuity, not
     integrator error). Cached on (pot, cutoff), so repeated calls reuse
     the same function objects (no kernel retrace)."""
+    import inspect
+
     import numpy as np
+
+    # payload-parameterized potentials (lennard_jones_mixed: term takes
+    # (dsq, s_i, s_j)) have no single V(cutoff) to subtract — the shift
+    # depends on the species pair. Raise clearly instead of letting the
+    # eager evaluation below fail with an opaque arity TypeError.
+    n_params = len(inspect.signature(pot.term).parameters)
+    if n_params != 1:
+        raise ValueError(
+            "shifted() supports scalar-dsq potentials only; a payload-"
+            "parameterized potential (term(dsq, s_i, s_j)) needs a "
+            "per-pair shift — subtract term(cutoff**2, s_i, s_j) inside "
+            "a custom term instead"
+        )
 
     vc = float(np.asarray(pot.term(jnp.asarray(float(cutoff) ** 2))))
 
