@@ -65,12 +65,29 @@ def main():
         else:
             MAXJ = int(mj_env)
 
+        # round-3 tile-body knobs (defaults = the fast maskless path;
+        # set CUBIC_BANDMASK=1 to restore the key-band compare)
+        bandmask = os.environ.get("CUBIC_BANDMASK", "0") == "1"
+        safe_term = os.environ.get("CUBIC_SAFE", "0") == "1"
+        kah = os.environ.get("CUBIC_KAHAN", "0")
+        kah = {"0": False, "1": True, "program": "program"}[kah]
+
         c, ok = tile_lj_rebuild_energy(
             pos, cutoff, MAXJ=MAXJ, CB=CBK,
             term=count_term, out_dtype=jnp.int32,
         )
         npairs = combine_count(np.asarray(c))
         assert bool(ok), "tile coverage failed — raise CUBIC_MAXJ"
+        if not bandmask:
+            # maskless precondition (window disjointness) + hardware
+            # cross-check: pair count must match the masked kernel
+            c2, ok2 = tile_lj_rebuild_energy(
+                pos, cutoff, MAXJ=MAXJ, CB=CBK,
+                term=count_term, out_dtype=jnp.int32, bandmask=False,
+            )
+            assert bool(ok2), "maskless windows overlap — use CUBIC_BANDMASK=1"
+            n2 = combine_count(np.asarray(c2))
+            assert n2 == npairs, (npairs, n2)
 
         from zelll_tpu.ops.pallas_pairs import lj_term, lj_term_fast
 
@@ -80,12 +97,14 @@ def main():
         def f(p, i):
             e, _ = tile_lj_rebuild_energy(
                 p + (i % 2).astype(p.dtype) * 1e-6, cutoff,
-                MAXJ=MAXJ, CB=CBK, kahan=False, term=fterm,
+                MAXJ=MAXJ, CB=CBK, kahan=kah, term=fterm,
+                bandmask=bandmask, safe_term=safe_term,
             )
             return e
 
         mj_json = list(MAXJ) if isinstance(MAXJ, tuple) else MAXJ
-        extra = f'"MAXJ": {mj_json}, "CB": {CBK}'
+        extra = (f'"MAXJ": {mj_json}, "CB": {CBK}, '
+                 f'"bandmask": {int(bandmask)}, "safe": {int(safe_term)}')
     else:
         T = int(os.environ.get("CUBIC_T", "3"))
         M = int(os.environ.get("CUBIC_M", "16384"))

@@ -639,7 +639,8 @@ def md_step_cubic(
     return MDState(positions=pos_new, velocities=vel_new), ok
 
 
-@partial(jax.jit, static_argnames=("CB", "MAXJ", "interpret", "fast"))
+@partial(jax.jit, static_argnames=("CB", "MAXJ", "interpret", "fast",
+                                   "bandmask"))
 def md_step_cubic_tile(
     state: MDState,
     cutoff,
@@ -649,12 +650,15 @@ def md_step_cubic_tile(
     MAXJ: int = 8,
     interpret: bool = False,
     fast: bool = False,
+    bandmask: bool = True,
 ):
     """MD step for cubic/wide boxes via the segment-tile forces kernel
     (`ops.tile_pairs.tile_pair_forces`): like the thin-box `md_step`,
     velocities ride the sort as payload and state stays in sorted order
     between steps (no duplication, no owner-copy extraction — the tile
     kernel's full-stencil bands give per-particle forces directly).
+    ``bandmask=False`` runs the maskless tile body (coverage_ok then
+    also guards window disjointness — see `tile_pair_reduce`).
     Returns (new_state, coverage_ok)."""
     from ..ops.lj import lj_force_factor, lj_force_factor_fast
     from ..ops.tile_pairs import _packed_forces_core
@@ -680,7 +684,9 @@ def md_step_cubic_tile(
     fplanes, ok = _packed_forces_core(
         list(planes[:dim]), bins.sorted_keys, bins.info.strides, csq,
         CB=CB, MAXJ=MAXJ, gfn=gfn, interpret=interpret,
-        split=False,
+        # safe_term=False: gfn here is always an LJ force factor, whose
+        # value at masked dsq (0 or huge) is inf-or-0 and select-discarded
+        split=False, bandmask=bandmask, safe_term=False,
     )
     vel_new = [planes[dim + a] + dt * fplanes[a] for a in range(dim)]
     pos_new = [planes[a] + dt * vel_new[a] for a in range(dim)]

@@ -120,6 +120,78 @@ def suggest_maxj(sorted_keys_padded: jax.Array, bands: jax.Array,
     return max(int(jnp.max(jnum)), 1)
 
 
+def band_order(dim: int, full: bool = False) -> tuple:
+    """Band indices sorted by DESCENDING window position in key space
+    (ascending band-hi). Static: follows from the `segment_bands`
+    construction and the stride bounds (sy >= 5, sz > 2*sy + 2), not
+    from the data. Both window starts (kmin - hi_s) and ends
+    (kmax - lo_s) are monotone along this order — the property
+    `trim_windows_disjoint` relies on."""
+    if not full:
+        return tuple(range(num_segments(dim)))
+    return {1: (0,), 2: (2, 0, 1), 3: (8, 7, 6, 5, 0, 1, 2, 3, 4)}[dim]
+
+
+def trim_windows_disjoint(jlo, toff, jnum, order):
+    """Make the executed windows pairwise disjoint BY CONSTRUCTION.
+
+    Chunks straddling a y-row/z-layer key jump span tens of keys, so
+    their band windows genuinely overlap — a maskless tile would then
+    evaluate shared j-chunks once per band and double-count every
+    distance-passing pair (and meet the own chunk without its triangle).
+    Processing bands in descending window position (`band_order`), each
+    band's executed end is clamped to the start of the nearest non-empty
+    higher window. Both starts and ends are monotone along that order,
+    so every trimmed-off region is covered by the higher band: the union
+    of executed chunks — hence pair coverage — is unchanged.
+
+    Returns (toff', jnum') with toff' >= toff (still inside each band's
+    DMA window) and jnum' <= jnum.
+    """
+    start = (jlo + toff).astype(jnp.int32)
+    end = start + jnum
+    nc, S = start.shape
+    run = jnp.full((nc,), jnp.int32(2 ** 30))
+    s2 = [None] * S
+    n2 = [None] * S
+    for s in order:
+        e = jnp.minimum(end[:, s], run)
+        st = jnp.minimum(start[:, s], e)
+        num = jnp.maximum(e - st, 0)
+        run = jnp.where(num > 0, st, run)
+        s2[s] = st
+        n2[s] = num
+    start2 = jnp.stack(s2, axis=-1)
+    num2 = jnp.stack(n2, axis=-1)
+    toff2 = jnp.maximum(start2 - jlo, 0)
+    return toff2, num2
+
+
+def windows_disjoint(jlo: jax.Array, toff: jax.Array,
+                     jnum: jax.Array) -> jax.Array:
+    """True iff every chunk's EXECUTED windows [jlo+toff, jlo+toff+jnum)
+    are pairwise disjoint across bands — the maskless-kernel
+    precondition (`tile_pairs` ``bandmask=False``): with no key-band
+    test in the tile body, a j-chunk shared by two bands' windows would
+    evaluate (and count) its pairs twice.
+
+    At reference density the gap between adjacent bands' key ranges is
+    ~(s_y - 3) keys ~ 1000 slots >> one 128-slot chunk, so windows are
+    comfortably disjoint; small/dense grids trip this and must run with
+    the band mask. Empty windows never overlap.
+    """
+    start = (jlo + toff).astype(jnp.int32)  # (NC, S)
+    end = start + jnum
+    S = start.shape[1]
+    empty = jnum == 0
+    ok = jnp.asarray(True)
+    for a in range(S):
+        for b in range(a + 1, S):
+            sep = (end[:, a] <= start[:, b]) | (end[:, b] <= start[:, a])
+            ok &= jnp.all(sep | empty[:, a] | empty[:, b])
+    return ok
+
+
 def join_bounds(q_keys: jax.Array, p_keys: jax.Array, bands: jax.Array,
                 max_j: int | None = None):
     """Per-QUERY-chunk, per-band windows over a SECOND sorted array.

@@ -258,8 +258,9 @@ def _norm_maxj(MAXJ, S: int, nc_pad: int) -> tuple:
 
 def _make_tile_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                              term: Callable, dtype, out_dtype, split: bool,
-                             kahan: bool, distributed: bool,
-                             n_payload: int = 0):
+                             kahan, distributed: bool,
+                             n_payload: int = 0, bandmask: bool = True,
+                             safe_term: bool = True):
     """Packed-layout variant of `_make_tile_kernel`: each j chunk is ONE
     8-row f32 block [coords (D rows), key-as-f32, zero padding] in a flat
     (nc*8, 128) array, so a tile is one aligned dynamic sublane slice
@@ -274,8 +275,28 @@ def _make_tile_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
     ``MAXJ`` is a length-S tuple of per-band DMA window capacities: the
     bands' true window widths differ ~6x at reference density (own row
     ~2 chunks, z-layer rows ~row population), so per-band capacities cut
-    DMA bytes vs the shared worst-case capacity."""
-    kahan = kahan and jnp.issubdtype(out_dtype, jnp.floating)
+    DMA bytes vs the shared worst-case capacity.
+
+    ``bandmask=False`` drops the key-band compare from the tile body
+    (and the own-key lane broadcast from the chunk hoist): with cell
+    edge == cutoff, any pair in non-stencil cells is >= cutoff apart, so
+    the distance filter alone is exact PROVIDED the executed windows are
+    pairwise disjoint (`segments.windows_disjoint` — the wrapper folds
+    it into coverage_ok). ~20% fewer ops per lane at reference density.
+
+    ``kahan``: True = per-tile compensated accumulation (tightest),
+    "program" = plain adds in tiles + compensated cross-program folding
+    (a lane sees only ~1 nonzero addend per chunk, so the extra error is
+    ~eps per chunk partial — a few e-7 relative at n=1e7), False = plain
+    everywhere. ``safe_term=False`` skips the inner masked-dsq guard
+    (safe for terms whose value at dsq == 0 or huge dsq is finite-or-
+    selected-out, e.g. LJ under the outer where)."""
+    tile_kahan = (kahan is True) and jnp.issubdtype(out_dtype, jnp.floating)
+    prog_kahan = (
+        kahan in (True, "program")
+        and jnp.issubdtype(out_dtype, jnp.floating)
+    )
+    kahan = tile_kahan
     ncoord = D // 2 if split else D
     TJ = sum(MAXJ)  # total window chunks per own chunk
     MOFF = tuple(sum(MAXJ[:s]) for s in range(S))  # band offsets in jbuf
@@ -333,8 +354,10 @@ def _make_tile_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                 jnp.broadcast_to(blkT[:, a : a + 1], (CHUNK, CHUNK))
                 for a in range(D)
             ]
-            own_k = jnp.broadcast_to(blkT[:, D : D + 1],
-                                     (CHUNK, CHUNK))  # f32 keys
+            own_k = (
+                jnp.broadcast_to(blkT[:, D : D + 1], (CHUNK, CHUNK))
+                if bandmask else None
+            )  # f32 keys; maskless mode never reads them
             if n_payload:
                 # payload row D+1; the own-side column broadcast is
                 # hoisted with the others (per chunk, not per tile)
@@ -361,18 +384,6 @@ def _make_tile_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                          own_cols=own_cols, own_k=own_k, oc=oc,
                          own_w=own_w if n_payload else None):
                     blk = jbuf[pl.ds((w0 + t) * RB, RB), :]  # (8, 128)
-                    jk = blk[D : D + 1, :]
-
-                    # the key band IS the half-space + cell-adjacency
-                    # test (f32 diffs of <2^24 integer keys are exact)
-                    diff = own_k - jk  # (128, 128) f32
-                    m = (diff >= lo_s) & (diff <= hi_s)
-                    if distributed:
-                        m = m & owned
-                    if s == 0:
-                        jcg = jlo + t
-                        ocg = p * CB + oc
-                        m = m & (tri | (jcg < ocg))
 
                     dsq = jnp.zeros((CHUNK, CHUNK), dtype)
                     for a in range(ncoord):
@@ -381,8 +392,27 @@ def _make_tile_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                             d = d + (own_cols[a + ncoord]
                                      - blk[a + ncoord : a + ncoord + 1, :])
                         dsq = dsq + d * d
-                    m = m & (dsq < csq)
-                    safe = jnp.where(m, dsq, jnp.ones_like(dsq))
+                    m = dsq < csq
+                    if bandmask:
+                        # the key band IS the half-space + cell-adjacency
+                        # test (f32 diffs of <2^24 int keys are exact);
+                        # maskless mode relies on window disjointness +
+                        # cell edge == cutoff (non-stencil cells fail the
+                        # distance test)
+                        jk = blk[D : D + 1, :]
+                        diff = own_k - jk  # (128, 128) f32
+                        m = m & (diff >= lo_s) & (diff <= hi_s)
+                    if distributed:
+                        m = m & owned
+                    if s == 0:
+                        jcg = jlo + t
+                        ocg = p * CB + oc
+                        m = m & (tri | (jcg < ocg))
+
+                    safe = (
+                        jnp.where(m, dsq, jnp.ones_like(dsq))
+                        if safe_term else dsq
+                    )
                     if n_payload:
                         tv = term(safe, own_w, blk[D + 1 : D + 2, :])
                     else:
@@ -402,9 +432,10 @@ def _make_tile_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
 
                 jax.lax.fori_loop(gtoff, gtoff + gjnum, tile, 0)
 
-        if kahan:
+        if prog_kahan:
+            contrib = (acc_s[...] - comp_s[...]) if kahan else acc_s[...]
             prev = out_ref[...]
-            y = (acc_s[...] - comp_s[...]) - comp_ref[...]
+            y = contrib - comp_ref[...]
             tt = prev + y
             comp_ref[...] = (tt - prev) - y
             out_ref[...] = tt
@@ -746,7 +777,10 @@ def _make_tile_stress_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                                        - blk[a + ncoord : a + ncoord + 1, :])
                         d.append(da)
                         dsq = dsq + da * da
-                    m = m & (dsq < csq)
+                    # dsq > 0 excludes self/coincident pairs: gfn(0) =
+                    # inf (LJ) and inf * 0 = NaN would poison every
+                    # component (forces-kernel semantics)
+                    m = m & (dsq < csq) & (dsq > 0)
                     if n_payload:
                         m = m & pair_mask(own_w, blk[D + 1 : D + 2, :])
                     safe = jnp.where(m, dsq, jnp.ones_like(dsq))
@@ -896,7 +930,9 @@ def tile_pair_stress(
 
 
 def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
-                                    gfn: Callable, dtype, split: bool):
+                                    gfn: Callable, dtype, split: bool,
+                                    bandmask: bool = True,
+                                    safe_term: bool = True):
     """Packed-layout forces kernel: full (mirrored) bands, i-side
     accumulation, own-side broadcasts hoisted per chunk, 8-row j blocks
     (see `_make_tile_kernel_packed`). Tiles accumulate g*d into full
@@ -958,7 +994,10 @@ def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                 jnp.broadcast_to(blkT[:, a : a + 1], (CHUNK, CHUNK))
                 for a in range(D)
             ]
-            own_k = jnp.broadcast_to(blkT[:, D : D + 1], (CHUNK, CHUNK))
+            own_k = (
+                jnp.broadcast_to(blkT[:, D : D + 1], (CHUNK, CHUNK))
+                if bandmask else None
+            )
 
             # per-tile row reductions are DEFERRED: tiles accumulate the
             # full (128,128) g*d matrices elementwise (cheap full-width
@@ -983,10 +1022,7 @@ def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                 def tile(t, _, w0=w0, lo_s=lo_s, hi_s=hi_s,
                          own_cols=own_cols, own_k=own_k):
                     blk = jbuf[pl.ds((w0 + t) * RB, RB), :]  # (8, 128)
-                    jk = blk[D : D + 1, :]
 
-                    diff = own_k - jk
-                    m = (diff >= lo_s) & (diff <= hi_s)
                     d = []
                     dsq = jnp.zeros((CHUNK, CHUNK), dtype)
                     for a in range(ncoord):
@@ -998,10 +1034,15 @@ def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                         dsq = dsq + da * da
                     # dsq > 0 excludes self and coincident particles
                     # (pair_lag_forces semantics; LJ diverges there)
-                    m = m & (dsq < csq) & (dsq > 0)
+                    m = (dsq < csq) & (dsq > 0)
+                    if bandmask:
+                        jk = blk[D : D + 1, :]
+                        diff = own_k - jk
+                        m = m & (diff >= lo_s) & (diff <= hi_s)
                     g = jnp.where(
                         m,
-                        gfn(jnp.where(m, dsq, jnp.ones_like(dsq))),
+                        gfn(jnp.where(m, dsq, jnp.ones_like(dsq))
+                            if safe_term else dsq),
                         jnp.zeros((CHUNK, CHUNK), dtype),
                     )
                     for a in range(ncoord):
@@ -1072,7 +1113,8 @@ def _key_exact_f32(keys_p, cov_ok):
 
 
 def _packed_forces_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
-                        MAXJ, gfn, interpret, split):
+                        MAXJ, gfn, interpret, split, bandmask=True,
+                        safe_term=True):
     """Packed forces pipeline over per-coordinate planes; returns
     ([dim (n,) force planes], coverage_ok) — planes, so large-n callers
     never materialize a lane-padded (n, dim) pallas operand."""
@@ -1091,6 +1133,14 @@ def _packed_forces_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
 
     bands = segment_bands(strides, full=True)
     jlo, toff, jnum, cov_ok = chunk_bounds(keys_p, bands, MAXJ, half=False)
+    if not bandmask:
+        from .segments import band_order, trim_windows_disjoint, \
+            windows_disjoint
+
+        toff, jnum = trim_windows_disjoint(
+            jlo, toff, jnum, band_order(dim, full=True)
+        )
+        cov_ok = cov_ok & windows_disjoint(jlo, toff, jnum)
     bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(nc_pad, 3 * S)
 
     jarr8 = _pack_blocks(planes, keys_p, cutoff_sq, n, C, dtype)
@@ -1098,7 +1148,8 @@ def _packed_forces_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
         cov_ok = _key_exact_f32(keys_p, cov_ok)
 
     kernel = _make_tile_forces_kernel_packed(CB, S, MAXJ, D, gfn, dtype,
-                                             split)
+                                             split, bandmask=bandmask,
+                                             safe_term=safe_term)
     fout = pl.pallas_call(
         kernel,
         grid=(nc_pad // CB,),
@@ -1240,7 +1291,7 @@ def _make_tile_forces_kernel(CB: int, S: int, MAXJ: int, D: int,
 
 def _packed_core(planes, sorted_keys, strides, cutoff_sq, *, CB, MAXJ, term,
                  interpret, out_dtype, min_islot, kahan, distributed, split,
-                 payload=None):
+                 payload=None, bandmask=True, safe_term=True):
     """Shared packed-layout pipeline: pad planes -> window bounds -> 8-row
     blocks -> kernel. ``planes`` is a list of D sorted (n,) coordinate
     planes (hi planes then lo planes when split) — the sort's native form,
@@ -1263,6 +1314,19 @@ def _packed_core(planes, sorted_keys, strides, cutoff_sq, *, CB, MAXJ, term,
 
     bands = segment_bands(strides)
     jlo, toff, jnum, cov_ok = chunk_bounds(keys_p, bands, MAXJ)
+    if not bandmask:
+        # maskless tiles are only exact when no j-chunk is shared by two
+        # bands' executed windows (a shared chunk would double-count and
+        # meet the own chunk without its triangle): trim the windows
+        # pairwise-disjoint (coverage-preserving) and keep the invariant
+        # in the flag — never silently wrong
+        from .segments import band_order, trim_windows_disjoint, \
+            windows_disjoint
+
+        toff, jnum = trim_windows_disjoint(
+            jlo, toff, jnum, band_order(dim)
+        )
+        cov_ok = cov_ok & windows_disjoint(jlo, toff, jnum)
     bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(nc_pad, 3 * S)
 
     jarr8 = _pack_blocks(planes, keys_p, cutoff_sq, n, C, dtype,
@@ -1272,7 +1336,8 @@ def _packed_core(planes, sorted_keys, strides, cutoff_sq, *, CB, MAXJ, term,
 
     kernel = _make_tile_kernel_packed(
         CB, S, MAXJ, D, term, dtype, out_dtype, split, kahan, distributed,
-        n_payload=0 if payload is None else 1,
+        n_payload=0 if payload is None else 1, bandmask=bandmask,
+        safe_term=safe_term,
     )
     out = pl.pallas_call(
         kernel,
@@ -1314,7 +1379,8 @@ def _packed_core(planes, sorted_keys, strides, cutoff_sq, *, CB, MAXJ, term,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("CB", "MAXJ", "term", "kahan", "interpret", "out_dtype"),
+    static_argnames=("CB", "MAXJ", "term", "kahan", "interpret", "out_dtype",
+                     "bandmask", "safe_term"),
 )
 def tile_lj_rebuild_energy(
     positions: jax.Array,
@@ -1324,9 +1390,11 @@ def tile_lj_rebuild_energy(
     CB: int = 8,
     MAXJ: int | tuple = 8,
     term: Callable = lj_term,
-    kahan: bool = True,
+    kahan=True,
     interpret: bool = False,
     out_dtype=None,
+    bandmask: bool = True,
+    safe_term: bool = True,
 ):
     """Full pipeline in one jittable step for cubic/wide boxes (the tile
     sibling of `fused_lj_rebuild_energy`): cell keys -> multi-operand sort
@@ -1359,12 +1427,14 @@ def tile_lj_rebuild_energy(
         CB=CB, MAXJ=MAXJ, term=term, interpret=interpret,
         out_dtype=out_dtype, min_islot=jnp.asarray(0, jnp.int32),
         kahan=kahan, distributed=False, split=split,
+        bandmask=bandmask, safe_term=safe_term,
     )
 
 
 
 @functools.partial(
-    jax.jit, static_argnames=("CB", "MAXJ", "gfn", "interpret", "packed")
+    jax.jit, static_argnames=("CB", "MAXJ", "gfn", "interpret", "packed",
+                              "bandmask", "safe_term")
 )
 def tile_pair_forces(
     sorted_pos: jax.Array,
@@ -1378,6 +1448,8 @@ def tile_pair_forces(
     gfn: Callable = None,
     interpret: bool = False,
     packed: bool = True,
+    bandmask: bool = True,
+    safe_term: bool = True,
 ):
     """Per-particle pairwise forces in sorted-slot order, any box shape.
 
@@ -1403,8 +1475,12 @@ def tile_pair_forces(
         fplanes, ok = _packed_forces_core(
             planes, sorted_keys, strides, cutoff_sq,
             CB=CB, MAXJ=MAXJ, gfn=gfn, interpret=interpret, split=split,
+            bandmask=bandmask, safe_term=safe_term,
         )
         return jnp.stack(fplanes, axis=-1), ok
+    if not bandmask or not safe_term:
+        raise ValueError("bandmask=False / safe_term=False need the "
+                         "packed layout; pass packed=True")
     dtype = sorted_pos.dtype
     D = 2 * dim if split else dim
     S = num_segments(dim, full=True)
@@ -1480,9 +1556,11 @@ def tile_pair_reduce(
     interpret: bool = False,
     out_dtype=None,
     min_islot=0,
-    kahan: bool = True,
+    kahan=True,
     OH: int = 128,
     packed: bool = True,
+    bandmask: bool = True,
+    safe_term: bool = True,
 ):
     """Sum ``term(dsq)`` over all unique cutoff-filtered pairs, any box
     shape (the shape-robust sibling of `pair_lag_reduce`).
@@ -1497,8 +1575,17 @@ def tile_pair_reduce(
     MAXJ; never trust a result with a false flag (the never-silently-drop
     invariant). MAXJ=4 covers reference density (~10/cell) with margin;
     integer outputs return (hi, lo) int32 planes (see `combine_count`).
-    ``kahan=False`` drops the compensated accumulation (~15% faster; use
-    when f32 rounding of the plain sum is acceptable). ``min_islot``
+    ``kahan``: True = per-tile compensated accumulation, ``"program"`` =
+    plain tile adds + compensated cross-program folding (~equally tight
+    in practice: a lane sees ~1 nonzero addend per chunk), False = plain
+    everywhere (~15% faster than True). ``bandmask=False`` (packed only)
+    drops the key-band compare from the tile body — exact whenever the
+    executed windows are pairwise disjoint, which the coverage flag then
+    also guards (`segments.windows_disjoint`; true for cubic boxes at
+    reference density, false for small/dense grids — on a False flag
+    rerun with ``bandmask=True``). ``safe_term=False`` (packed only)
+    skips the masked-dsq guard inside ``term`` (safe for LJ-like terms
+    whose value at garbage dsq is select-discarded). ``min_islot``
     enables distributed pair ownership; a concrete 0 (the default)
     compiles the mask out entirely. ``packed=True`` (default) uses an
     8-row block layout (coords + f32 key per chunk, one DMA per window)
@@ -1515,13 +1602,15 @@ def tile_pair_reduce(
         CB=CB, MAXJ=MAXJ, term=term, interpret=interpret,
         out_dtype=out_dtype, min_islot=jnp.asarray(min_islot, jnp.int32),
         kahan=kahan, distributed=distributed, OH=OH, packed=packed,
+        bandmask=bandmask, safe_term=safe_term,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("CB", "MAXJ", "term", "interpret", "out_dtype",
-                     "kahan", "distributed", "OH", "packed"),
+                     "kahan", "distributed", "OH", "packed", "bandmask",
+                     "safe_term"),
 )
 def _tile_pair_reduce_impl(
     sorted_pos: jax.Array,  # (n, dim) cell-key-sorted positions (hi part)
@@ -1537,14 +1626,19 @@ def _tile_pair_reduce_impl(
     interpret: bool = False,
     out_dtype=None,
     min_islot=0,
-    kahan: bool = True,
+    kahan=True,
     distributed: bool = False,
     OH: int = CHUNK,
     packed: bool = False,
+    bandmask: bool = True,
+    safe_term: bool = True,
 ):
     n, dim = sorted_pos.shape
     if sorted_payload is not None and not packed:
         raise ValueError("sorted_payload needs the packed layout")
+    if not packed and (not bandmask or not safe_term or kahan == "program"):
+        raise ValueError("bandmask=False / safe_term=False / "
+                         'kahan="program" need the packed layout')
     split = sorted_pos_lo is not None
     dtype = sorted_pos.dtype
     out_dtype = out_dtype or dtype
@@ -1571,6 +1665,7 @@ def _tile_pair_reduce_impl(
             CB=CB, MAXJ=MAXJ, term=term, interpret=interpret,
             out_dtype=out_dtype, min_islot=min_islot, kahan=kahan,
             distributed=distributed, split=split, payload=sorted_payload,
+            bandmask=bandmask, safe_term=safe_term,
         )
 
     nc_pad = max(-(-n // (CHUNK * CB)) * CB, CB)
