@@ -11,6 +11,12 @@ from .domain import (
     sharded_pair_hist,
     sharded_stress,
 )
+from .pencil import (
+    make_pencil_mesh,
+    partition_by_pencil,
+    sharded_pencil_lj_energy,
+    sharded_pencil_md_step,
+)
 from .pbc import (
     partition_by_slab_pbc,
     repartition_pbc,
@@ -22,6 +28,10 @@ from .pbc import (
 
 __all__ = [
     "make_mesh",
+    "make_pencil_mesh",
+    "partition_by_pencil",
+    "sharded_pencil_lj_energy",
+    "sharded_pencil_md_step",
     "make_sharded_potential",
     "partition_by_slab",
     "partition_by_slab_pbc",
