@@ -65,6 +65,7 @@ def main():
         else:
             MAXJ = int(mj_env)
 
+
         # round-3 tile-body knobs (defaults = the fast maskless path;
         # set CUBIC_BANDMASK=1 to restore the key-band compare)
         bandmask = os.environ.get("CUBIC_BANDMASK", "0") == "1"
@@ -79,13 +80,13 @@ def main():
         npairs = combine_count(np.asarray(c))
         assert bool(ok), "tile coverage failed — raise CUBIC_MAXJ"
         if not bandmask:
-            # maskless precondition (window disjointness) + hardware
-            # cross-check: pair count must match the masked kernel
+            # maskless precondition + hardware cross-check: pair count
+            # must match the masked all-tile kernel
             c2, ok2 = tile_lj_rebuild_energy(
                 pos, cutoff, MAXJ=MAXJ, CB=CBK,
                 term=count_term, out_dtype=jnp.int32, bandmask=False,
             )
-            assert bool(ok2), "maskless windows overlap — use CUBIC_BANDMASK=1"
+            assert bool(ok2), "maskless coverage failed"
             n2 = combine_count(np.asarray(c2))
             assert n2 == npairs, (npairs, n2)
 

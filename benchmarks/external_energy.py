@@ -102,24 +102,47 @@ def torch_energy(pts):
     return total, npairs
 
 
+def _peak_mb():
+    """Peak RSS of this process in MB (the more_benches.sh 'Mbytes'
+    analogue). Meaningful when each tool runs in its own process —
+    run_comparison.sh invokes this script once per tool."""
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
 def main():
     data_path, n = sys.argv[1], int(sys.argv[2])
+    tools = (sys.argv[3] if len(sys.argv) > 3 else "scipy,torch").split(",")
     pts = parse_lammps_data(data_path, n)
 
-    t0 = time.perf_counter()
-    e, np_ = scipy_energy(pts)
-    dt = time.perf_counter() - t0
-    print(f"{n},1,{e / n!r},{dt:.6g},,scipy_ckdtree")
+    if "scipy" in tools:
+        t0 = time.perf_counter()
+        e, np_ = scipy_energy(pts)
+        dt = time.perf_counter() - t0
+        print(f"{n},1,{e / n!r},{dt:.6g},{_peak_mb():.1f},scipy_ckdtree")
 
-    if n <= TORCH_MAX:
-        try:
-            t0 = time.perf_counter()
-            e, np2 = torch_energy(pts)
-            dt = time.perf_counter() - t0
-            assert np2 == np_, (np2, np_)
-            print(f"{n},1,{e / n!r},{dt:.6g},,torch_bruteforce")
-        except ImportError:
-            pass
+    if "torch" in tools:
+        # O(n^2) f64 brute force: ~1.3e7 pair-evals/s on this 1-core
+        # host => ~770 s at n=1e5 and ~21 h at n=1e6 — the 1e6+ torch
+        # rows are dropped as infeasible, not forgotten (the scipy
+        # kd-tree row carries the external check at those sizes)
+        if n > TORCH_MAX:
+            sys.stderr.write(
+                f"torch brute force skipped at n={n}: O(n^2) f64 needs "
+                f"~{n * n / 2 / 1.3e7 / 3600:.1f} h on this host\n"
+            )
+        else:
+            try:
+                t0 = time.perf_counter()
+                e, np2 = torch_energy(pts)
+                dt = time.perf_counter() - t0
+                if "scipy" in tools:
+                    assert np2 == np_, (np2, np_)
+                print(f"{n},1,{e / n!r},{dt:.6g},{_peak_mb():.1f},"
+                      "torch_bruteforce")
+            except ImportError:
+                pass
 
 
 if __name__ == "__main__":

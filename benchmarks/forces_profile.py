@@ -7,7 +7,7 @@
   step     full md_step_cubic_tile
 
 Usage: python benchmarks/forces_profile.py [n] [reps]
-Env: FP_CB, FP_MAXJ.
+Env: FP_CB, FP_MAXJ, FP_BANDMASK (default 0 = maskless).
 """
 
 import os
@@ -42,6 +42,8 @@ def main():
 
     CB = int(os.environ.get("FP_CB", "8"))
     mj_env = os.environ.get("FP_MAXJ", "12")
+    bandmask = os.environ.get("FP_BANDMASK", "0") == "1"
+
 
     rtt = measure_rtt()
     rng = np.random.default_rng(0)
@@ -114,6 +116,7 @@ def main():
         fpl, ok = _packed_forces_core(
             ps, keys, strides, csq, CB=CB, MAXJ=MAXJ,
             gfn=lj_force_factor, interpret=False, split=False,
+            bandmask=bandmask, safe_term=False,
         )
         return fpl[0][0] + jnp.where(ok, 0.0, jnp.nan)
 
@@ -121,7 +124,8 @@ def main():
 
     def step(i, p, v):
         st = MDState(p + (i % 2).astype(p.dtype) * 1e-6, v)
-        st2, ok = md_step_cubic_tile(st, cutoff, 0.0, CB=CB, MAXJ=MAXJ)
+        st2, ok = md_step_cubic_tile(st, cutoff, 0.0, CB=CB, MAXJ=MAXJ,
+                                     bandmask=bandmask)
         return st2.velocities[0, 0] + jnp.where(ok, 0.0, jnp.nan)
 
     timeit("step", step, pos, vel)

@@ -28,6 +28,7 @@ N = int(float(os.environ.get("PBC_N", "1e7")))
 REPS = int(os.environ.get("PBC_REPS", "5"))
 CUTOFF = 10.0
 MAXJ = 24
+BANDMASK = os.environ.get("PBC_BANDMASK", "0") == "1"
 DT = 1e-4
 
 
@@ -47,7 +48,7 @@ def main():
             p, v = carry
             p2, v2, ok = md_step_pbc(
                 p, v, origin, boxj, CUTOFF, DT, B=B, G=G,
-                path="tile", MAXJ=MAXJ,
+                path="tile", MAXJ=MAXJ, bandmask=BANDMASK,
             )
             return p2, v2
 
@@ -61,7 +62,7 @@ def main():
     ms = (time.perf_counter() - t0) / REPS * 1e3
     # coverage flag checked once outside the loop
     _, _, ok = md_step_pbc(pos, vel, origin, boxj, CUTOFF, DT, B=B, G=G,
-                           path="tile", MAXJ=MAXJ)
+                           path="tile", MAXJ=MAXJ, bandmask=BANDMASK)
     print(json.dumps({
         "metric": f"pbc_md_step_cubic_n{N:.0e}",
         "ms_per_step": ms,

@@ -27,9 +27,63 @@ for exponent in $EXPONENTS; do
   >&2 echo "== n=$n: generating $data"
   python "$REPO_DIR/benchmarks/lammps_data.py" "$n" > "$data"
 
-  # zelll_tpu engine + C++ oracle (one process: shares the parsed data)
+  # zelll_tpu engine (three protocol variants: split = f64-grade parity
+  # mode, f32 = speed mode, f32+presorted = the cachemisses.rs
+  # "presorted x f32" variant; sort-based binning makes the engine
+  # input-order-invariant, which the presorted row demonstrates) and the
+  # C++ oracle — each in its OWN process so memory_mb (peak RSS) is
+  # per-tool, like more_benches.sh's Mbytes column
+  for variant in split f32 presorted; do
+    ZELLL_REPO="$REPO_DIR" ZELLL_VARIANT="$variant" \
+      python - "$data" "$n" >> "$OUT" <<'PYEOF'
+import os, sys, time, resource
+import numpy as np
+
+sys.path.insert(0, os.environ["ZELLL_REPO"])
+data_path, n = sys.argv[1], int(sys.argv[2])
+variant = os.environ["ZELLL_VARIANT"]
+
+rows = []
+inside = False
+for line in open(data_path):
+    s = line.strip()
+    if s.startswith("Atoms"):
+        inside = True
+        continue
+    if not inside or not s or s.startswith("#"):
+        continue
+    f = s.split()
+    if len(f) >= 5:
+        rows.append((float(f[2]), float(f[3]), float(f[4])))
+pts = np.asarray(rows)
+assert len(pts) == n, (len(pts), n)
+cutoff = 10.0
+
+if variant == "presorted":
+    # presort by flat cell key on the host (the reference's presorted
+    # cachemiss variant, examples/cachemisses.rs:61-72)
+    org = pts.min(axis=0)
+    cell = np.floor((pts - org) / cutoff).astype(np.int64)
+    shape = cell.max(axis=0) + 1
+    strides = np.array([1, shape[0] + 4, (shape[0] + 4) * (shape[1] + 4)])
+    pts = pts[np.argsort(cell @ strides, kind="stable")]
+
+from zelll_tpu.ops.fused import auto_lj_energy
+
+split = variant == "split"
+t0 = time.perf_counter()
+e, path = auto_lj_energy(pts, cutoff, split=split)
+warm = time.perf_counter() - t0
+t0 = time.perf_counter()
+e, path = auto_lj_energy(pts, cutoff, split=split)
+dt = time.perf_counter() - t0
+mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+print(f"{n},1,{e / n:.14g},{dt:.6g},{mb:.1f},zelll_tpu[{path}|{variant}]")
+PYEOF
+  done
+
   ZELLL_REPO="$REPO_DIR" python - "$data" "$n" >> "$OUT" <<'PYEOF'
-import os, sys, time
+import os, sys, time, resource
 import numpy as np
 
 sys.path.insert(0, os.environ["ZELLL_REPO"])
@@ -51,23 +105,14 @@ pts = np.asarray(rows)
 assert len(pts) == n, (len(pts), n)
 cutoff = 10.0
 
-from zelll_tpu.ops.fused import auto_lj_energy
-
-t0 = time.perf_counter()
-e, path = auto_lj_energy(pts, cutoff, split=True)  # f64-grade parity mode
-warm = time.perf_counter() - t0
-t0 = time.perf_counter()
-e, path = auto_lj_energy(pts, cutoff, split=True)
-dt = time.perf_counter() - t0
-print(f"{n},1,{e / n:.14g},{dt:.6g},,zelll_tpu[{path}]")
-
 from zelll_tpu import oracle
 
 if oracle.available():
     t0 = time.perf_counter()
     e_ref, n_pairs = oracle.lj_energy(pts, cutoff)
     dt = time.perf_counter() - t0
-    print(f"{n},1,{e_ref / n:.14g},{dt:.6g},,cpp_oracle")
+    mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    print(f"{n},1,{e_ref / n:.14g},{dt:.6g},{mb:.1f},cpp_oracle")
 PYEOF
 
   # LAMMPS (if installed)
@@ -103,8 +148,10 @@ PYEOF
   # external-oracle role when LAMMPS/Julia cannot be hosted (see
   # benchmarks/external_energy.py)
   >&2 echo "== n=$n: scipy/torch external rows"
-  python "$REPO_DIR/benchmarks/external_energy.py" "$data" "$n" >> "$OUT" \
-    || >&2 echo "   external_energy.py failed"
+  python "$REPO_DIR/benchmarks/external_energy.py" "$data" "$n" scipy >> "$OUT" \
+    || >&2 echo "   external_energy.py (scipy) failed"
+  python "$REPO_DIR/benchmarks/external_energy.py" "$data" "$n" torch >> "$OUT" \
+    || >&2 echo "   external_energy.py (torch) failed"
 done
 
 >&2 echo "wrote $OUT"

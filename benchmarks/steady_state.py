@@ -68,6 +68,7 @@ def main():
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     skin = float(os.environ.get("SS_SKIN", "0.5"))
     maxj_env = os.environ.get("SS_MAXJ", "20")
+    bandmask = os.environ.get("SS_BANDMASK", "0") == "1"
     dt = float(os.environ.get("SS_DT", "1e-4"))
     cutoff = 10.0
     rng = np.random.default_rng(0)
@@ -125,7 +126,8 @@ def main():
             def full(s0):
                 def body(carry, _):
                     st, okacc = carry
-                    st, ok = md_step_cubic_tile(st, cutoff, dt, MAXJ=maxj)
+                    st, ok = md_step_cubic_tile(st, cutoff, dt, MAXJ=maxj,
+                                                bandmask=bandmask)
                     return (st, okacc & ok), None
 
                 (st, ok), _ = lax.scan(
@@ -135,7 +137,8 @@ def main():
 
             full = jax.jit(full)
             skinf = lambda s: md_run_skin_tile(
-                s, cutoff, dt, steps=steps, skin=skin, MAXJ=maxj
+                s, cutoff, dt, steps=steps, skin=skin, MAXJ=maxj,
+                bandmask=bandmask,
             )
         t_skin, out = time_loop(skinf, st)
         st2, ok, e, nrb = out

@@ -199,6 +199,33 @@ def main():
               np.abs(np.asarray(f, np.float64) - f_ref).max() / fscale,
               2e-6)
 
+        # round-3 maskless tile body (bandmask=False: distance filter
+        # only over disjoint-trimmed windows) — the bench-mode fast
+        # path, which interpret mode cannot vouch for (Mosaic lowering)
+        packed, ok = tile_count_pairs(shi, skeys, strides, csq, MAXJ=24,
+                                      bandmask=False)
+        assert bool(ok)
+        check(f"tile_count_maskless[{boxname}]",
+              abs(combine_count(np.asarray(packed)) - n_ref) / n_ref, 0.0,
+              extra="(integer-exact)")
+        e, ok = tile_lj_rebuild_energy(hi, CUTOFF, MAXJ=24, bandmask=False,
+                                       safe_term=False, kahan="program")
+        assert bool(ok)
+        check(f"tile_energy_maskless[{boxname}]",
+              abs(float(e) - e_ref) / abs(e_ref), f32_tol)
+        e, ok = tile_lj_rebuild_energy(hi, CUTOFF, lo, MAXJ=24,
+                                       bandmask=False)
+        assert bool(ok)
+        check(f"tile_energy_maskless_split[{boxname}]",
+              abs(float(e) - e_ref) / abs(e_ref), 2e-6)
+        f, ok = tile_pair_forces(shi, skeys, strides, csq, MAXJ=24,
+                                 bandmask=False, safe_term=False)
+        assert bool(ok)
+        check(f"tile_forces_maskless[{boxname}]",
+              np.abs(np.asarray(f, np.float64) - f_ref32).max() / fscale,
+              f32_tol)
+
+
         # differentiable potential: jax.grad == -forces ON HARDWARE
         from zelll_tpu.ops.autodiff import make_pair_potential
 

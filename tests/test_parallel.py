@@ -578,3 +578,54 @@ def test_sharded_stress_matches_oracle(use_tile):
     w, okw = wfn(positions)
     assert bool(okw)
     np.testing.assert_allclose(float(jnp.trace(sig)), float(w), rtol=1e-9)
+
+
+@pytest.mark.parametrize("use_tile", [False, True])
+def test_sharded_species_energy(use_tile):
+    """Mixed-species (Lorentz-Berthelot) energy across the mesh: the
+    species column rides partitioning, the local sort, and the halo
+    exchange as a payload column (`sharded_lj_energy(n_payload=1)`)."""
+    from zelll_tpu.ops.potentials import lennard_jones_mixed
+
+    pts = _cloud(n=504, seed=11)
+    cutoff = 1.0
+    rng = np.random.default_rng(3)
+    species = (rng.random(len(pts)) < 0.4).astype(np.float64)
+    pot = lennard_jones_mixed((1.0, 0.5), (1.0, 0.8))
+
+    # f64 oracle with per-pair LB mixing
+    eps = np.where(species > 0.5, 0.5, 1.0)
+    sig = np.where(species > 0.5, 0.8, 1.0)
+    d = pts[:, None, :] - pts[None, :, :]
+    dsq = (d * d).sum(-1)
+    np.fill_diagonal(dsq, np.inf)
+    m = np.triu(dsq < cutoff * cutoff)
+    e_ij = np.sqrt(eps[:, None] * eps[None, :])
+    s_ij = 0.5 * (sig[:, None] + sig[None, :])
+    x = np.where(m, s_ij * s_ij / np.where(m, dsq, 1.0), 0.0) ** 3
+    e_ref = float(np.where(m, 4 * e_ij * x * (x - 1), 0.0).sum())
+
+    # host partition mirror: sort coords + species by the same keys
+    # (n = 504 = 8 * 63, so no pad rows)
+    inf = pts.min(axis=0)
+    shape = np.floor((pts.max(0) - inf) / cutoff).astype(np.int64) + 1
+    perm = np.argsort(shape, kind="stable")
+    padded = shape[perm] + 4
+    s = np.concatenate([[1], np.cumprod(padded[:-1])])
+    strides = np.empty_like(s)
+    strides[perm] = s
+    keys = (np.floor((pts - inf) / cutoff).astype(np.int64) * strides).sum(1)
+    order = np.argsort(keys, kind="stable")
+    parts = np.concatenate([pts[order], species[order, None]], axis=1)
+
+    mesh = make_mesh(8)
+    sharding = NamedSharding(mesh, P("z", None))
+    positions = jax.device_put(jnp.asarray(parts), sharding)
+    efn = sharded_lj_energy(
+        mesh, cutoff=cutoff, H=64, M=512, L=512, interpret=True,
+        n_payload=1, term=pot.term,
+        use_pallas=not use_tile, use_tile=use_tile, MAXJ=16,
+    )
+    e, ok = efn(positions)
+    assert bool(ok)
+    np.testing.assert_allclose(float(e), e_ref, rtol=1e-9)

