@@ -39,6 +39,37 @@ def main():
     print(f"n={N} B={B} G={G} ({G/N:.3f} n)")
     rtt = measure_rtt()
 
+    if os.environ.get("PBC_MICRO", "0") == "1":
+        # micro-breakdown inside pbc_extend: where do the 79 ms live?
+        from zelll_tpu.ops.pbc import wrap_positions
+
+        def wrap_s(p, i):
+            pp = p + (i % 2).astype(p.dtype) * 1e-6
+            pos2 = wrap_positions(pp, origin, box)
+            s = ((pos2 >= origin) & (pos2 < origin + CUTOFF)).astype(
+                jnp.int32
+            ) - (
+                (pos2 >= origin + box - CUTOFF) & (pos2 < origin + box)
+            ).astype(jnp.int32)
+            return pos2.sum() + s.sum()
+
+        t = device_time(wrap_s, pos, reps=REPS, rtt=rtt)
+        print(f"wrap + boundary classify: {t*1e3:.1f} ms")
+
+        def stage1(p, i):
+            pp = p + (i % 2).astype(p.dtype) * 1e-6
+            near = jnp.any(
+                (pp < origin + CUTOFF) | (pp >= origin + box - CUTOFF),
+                axis=1,
+            )
+            key1 = (~near).astype(jnp.int32)
+            iota = jnp.arange(N, dtype=jnp.int32)
+            out = jax.lax.sort((key1, iota), num_keys=1, is_stable=False)
+            return out[1][:B].sum()
+
+        t = device_time(stage1, pos, reps=REPS, rtt=rtt)
+        print(f"stage-1 2-op n-sort alone: {t*1e3:.1f} ms")
+
     def ext_only(p, i):
         ext, _, w, valid, ok = pbc_extend(
             p + (i % 2).astype(p.dtype) * 1e-6, origin, box, CUTOFF,
