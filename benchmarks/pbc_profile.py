@@ -35,8 +35,8 @@ def main():
     pos = jax.device_put(jnp.asarray(pts))
     box = np.full(3, side, np.float32)
     origin = np.zeros(3, np.float32)
-    B, G = suggest_pbc_capacity(N, box, CUTOFF)
-    print(f"n={N} B={B} G={G} ({G/N:.3f} n)")
+    B, G, BE = suggest_pbc_capacity(N, box, CUTOFF, with_multi=True)
+    print(f"n={N} B={B} G={G} BE={BE} ({G/N:.3f} n)")
     rtt = measure_rtt()
 
     if os.environ.get("PBC_MICRO", "0") == "1":
@@ -73,7 +73,7 @@ def main():
     def ext_only(p, i):
         ext, _, w, valid, ok = pbc_extend(
             p + (i % 2).astype(p.dtype) * 1e-6, origin, box, CUTOFF,
-            B=B, G=G,
+            B=B, G=G, BE=BE,
         )
         return ext.sum() + w.sum()
 
@@ -83,7 +83,7 @@ def main():
     def ext_bin(p, i):
         ext, _, w, valid, ok = pbc_extend(
             p + (i % 2).astype(p.dtype) * 1e-6, origin, box, CUTOFF,
-            B=B, G=G,
+            B=B, G=G, BE=BE,
         )
         bins, sc = bin_and_sort(
             jnp.concatenate([ext, w[:, None]], axis=1), CUTOFF,
@@ -98,13 +98,14 @@ def main():
         def full(p, i, bm=bm):
             e, ok = pbc_lj_energy(
                 p + (i % 2).astype(p.dtype) * 1e-6, origin, box, CUTOFF,
-                B=B, G=G, path="tile", MAXJ=MAXJ, bandmask=bm, kahan=False,
+                B=B, G=G, BE=BE, path="tile", MAXJ=MAXJ, bandmask=bm,
+                kahan=False,
             )
             return e
 
         t = device_time(full, pos, reps=REPS, rtt=rtt)
         print(f"full energy (bandmask={int(bm)}): {t*1e3:.1f} ms")
-        e, ok = pbc_lj_energy(pos, origin, box, CUTOFF, B=B, G=G,
+        e, ok = pbc_lj_energy(pos, origin, box, CUTOFF, B=B, G=G, BE=BE,
                               path="tile", MAXJ=MAXJ, bandmask=bm)
         print(f"  ok={bool(ok)} e={float(e):.6g}")
 

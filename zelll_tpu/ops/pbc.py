@@ -149,16 +149,20 @@ def wrap_positions(positions, origin, box):
 
 
 def suggest_pbc_capacity(
-    n: int, box, cutoff, safety: float = 1.6, axes=None
-) -> tuple[int, int]:
-    """Host-side (B, G) capacity estimate for `pbc_extend`.
+    n: int, box, cutoff, safety: float = 1.6, axes=None,
+    with_multi: bool = False,
+):
+    """Host-side (B, G[, BE]) capacity estimate for `pbc_extend`.
 
     B bounds the boundary-particle count (fraction within cutoff of any
     face, assuming roughly uniform density), G the ghost-image count
     (faces dominate; edge/corner images are second order — the safety
     factor and the coverage flag absorb them). ``axes`` restricts the
     estimate to the axes that actually get images (min-imaged axes
-    contribute no ghosts).
+    contribute no ghosts). ``with_multi=True`` additionally returns BE,
+    the multi-face (edge/corner) row capacity: ~2% of B for cubic
+    boxes, most of B for thin ones — `pbc_extend` only generates
+    edge/corner image candidates for those rows.
     """
     import numpy as np
 
@@ -174,7 +178,17 @@ def suggest_pbc_capacity(
     B = int(np.ceil(n * min(1.0, frac_any * safety))) + 8
     G = int(np.ceil(n * min(float(n_img), exp_images * safety))) + 8
     round_up = lambda v: max(128, -(-v // 128) * 128)
-    return min(round_up(B), n), min(round_up(G), n_img * n)
+    Bc, Gc = min(round_up(B), n), min(round_up(G), n_img * n)
+    if not with_multi:
+        return Bc, Gc
+    # P(near >= 2 faces) = P(>= 1) - P(exactly 1)
+    p_eq1 = sum(
+        f * np.prod([1.0 - g for j, g in enumerate(frac_face) if j != a])
+        for a, f in enumerate(frac_face)
+    )
+    p_multi = max(float(frac_any - p_eq1), 0.0)
+    BE = int(np.ceil(n * min(1.0, p_multi * safety * 1.5))) + 8
+    return Bc, Gc, min(round_up(BE), Bc)
 
 
 def _twosum(a, b):
@@ -186,7 +200,8 @@ def _twosum(a, b):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("B", "G", "wrap", "return_parents", "axes")
+    jax.jit,
+    static_argnames=("B", "G", "wrap", "return_parents", "axes", "BE"),
 )
 def pbc_extend(
     positions: jax.Array,  # (n, dim)
@@ -200,6 +215,7 @@ def pbc_extend(
     wrap: bool = True,
     return_parents: bool = False,
     axes: tuple | None = None,
+    BE: int | None = None,
 ):
     """Append ghost images of boundary particles for orthorhombic PBC.
 
@@ -226,7 +242,13 @@ def pbc_extend(
     n_img = len(subsets)  # 3 (2D) or 7 (3D)
     assert B >= 1 and G >= 1
     B = min(B, n)  # stage 1 slices the n-row boundary sort
-    G = min(G, n_img * B)  # ghosts only come from the B boundary rows
+    # multi-face (edge/corner) row capacity: geometry-dependent — ~2% of
+    # B for cubic boxes, ~all of B for thin ones. Default SAFE (= B, the
+    # old 7B-candidate behavior); `suggest_pbc_capacity(with_multi=True)`
+    # provides the tight value and the flag below guards it.
+    BE = B if BE is None else min(max(BE, 128), B)
+    # ghosts only come from dim*B face + (n_img - dim)*BE multi candidates
+    G = min(G, dim * B + (n_img - dim) * BE)
     dtype = positions.dtype
     split = positions_lo is not None
     origin = jnp.asarray(origin, dtype).reshape(dim)
@@ -275,25 +297,56 @@ def pbc_extend(
     if split:
         blo = jnp.take(pos_lo, bpar, axis=0)
 
-    # stage 2: the <= 2^dim - 1 images per boundary particle, compact to G
+    # stage 2: images per boundary particle, compact to G. A multi-axis
+    # subset (edge/corner image) is valid only for rows near >= 2 faces
+    # — ~2% of boundary rows at cubic bench shapes — so generating all
+    # 2^dim - 1 subsets for every row made ~91% of the 7B candidates
+    # dead weight in the compaction sort (measured ~58 ms of the 83 ms
+    # pbc_extend at n = 1e7). Compact the multi-face rows first (one
+    # B-row 2-op sort + BE-sized gathers) and emit multi-axis candidates
+    # only for them: candidates drop from 7B to 3B + 4*BE.
     lex = jnp.asarray([3 ** (dim - 1 - a) for a in range(dim)], jnp.int32)
-    cand_pos, cand_lo, cand_sign, cand_valid = [], [], [], []
-    for m in subsets:
+    singles = [m for m in subsets if sum(m) == 1]
+    multis = [m for m in subsets if sum(m) >= 2]
+    nfaces = jnp.sum(bs != 0, axis=1)
+    is_multi = bvalid & (nfaces >= 2)
+    ok &= jnp.sum(is_multi, dtype=jnp.int32) <= BE
+    oute = jax.lax.sort(
+        ((~is_multi).astype(jnp.int32), jnp.arange(B, dtype=jnp.int32)),
+        num_keys=1, is_stable=False,
+    )
+    evalid = oute[0][:BE] == 0
+    eidx = oute[1][:BE]
+    epos = jnp.take(bpos, eidx, axis=0)
+    es = jnp.take(bs, eidx, axis=0)
+    epar = jnp.take(bpar, eidx)
+    if split:
+        elo = jnp.take(blo, eidx, axis=0)
+
+    cand_pos, cand_lo, cand_sign, cand_valid, cand_par = [], [], [], [], []
+
+    def emit(m, mpos, mlo, ms_, mvalid, mpar):
         mv = jnp.asarray(m, jnp.int32)
-        sv = bs * mv  # (B, dim) this image's shift vector
-        v = bvalid & jnp.all((bs != 0) | (mv == 0), axis=1)
+        sv = ms_ * mv  # this image's shift vector
+        v = mvalid & jnp.all((ms_ != 0) | (mv == 0), axis=1)
         shift = sv.astype(dtype) * box
-        img, err = _twosum(bpos, shift)
+        img, err = _twosum(mpos, shift)
         t = sv @ lex  # lexicographic order statistic, != 0 when v
         cand_pos.append(img)
         if split:
-            cand_lo.append(blo + err)
+            cand_lo.append(mlo + err)
         cand_sign.append(jnp.where(t > 0, 1, -1).astype(jnp.int32))
         cand_valid.append(v)
+        cand_par.append(mpar)
+
+    for m in singles:
+        emit(m, bpos, blo if split else None, bs, bvalid, bpar)
+    for m in multis:
+        emit(m, epos, elo if split else None, es, evalid, epar)
     cpos = jnp.concatenate(cand_pos)
     csign = jnp.concatenate(cand_sign)
     cvalid = jnp.concatenate(cand_valid)
-    cpar = jnp.tile(bpar, len(subsets))
+    cpar = jnp.concatenate(cand_par)
     ok &= jnp.sum(cvalid, dtype=jnp.int32) <= G
 
     key2 = (~cvalid).astype(jnp.int32)
@@ -712,6 +765,7 @@ def pbc_pair_sum(
     minimage=False,
     bandmask: bool = True,
     kahan=True,
+    BE: int | None = None,
 ):
     """Sum ``term(dsq)`` over unique minimum-image cutoff pairs under
     orthorhombic PBC. Returns (total, ok).
@@ -750,11 +804,14 @@ def pbc_pair_sum(
             positions_lo=positions_lo,
         )
     if B is None or G is None:
-        Bd, Gd = suggest_pbc_capacity(n, box, cutoff)
+        Bd, Gd, BEd = suggest_pbc_capacity(n, box, cutoff, with_multi=True)
         B = Bd if B is None else B
         G = Gd if G is None else G
+        if BE is None:
+            BE = BEd  # geometry-aware edge/corner capacity (flag-guarded)
     ext, ext_lo, w, valid, ok = pbc_extend(
-        positions, origin, box, cutoff, B=B, G=G, positions_lo=positions_lo
+        positions, origin, box, cutoff, B=B, G=G,
+        positions_lo=positions_lo, BE=BE,
     )
     csq = jnp.asarray(cutoff, positions.dtype) ** 2
     if path == "xla":
@@ -911,14 +968,16 @@ def pbc_lj_forces(
             is_stable=False,
         )
         return jnp.stack([fx[:n], fy[:n], fz[:n]], axis=-1), ok
+    BE = None
     if B is None or G is None:
-        Bd, Gd = suggest_pbc_capacity(n, box, cutoff)
+        Bd, Gd, BEd = suggest_pbc_capacity(n, box, cutoff, with_multi=True)
         B = Bd if B is None else B
         G = Gd if G is None else G
+        BE = BEd
     if species is None:
         ext, ext_lo, _w, valid, ok = pbc_extend(
             positions, origin, box, cutoff, B=B, G=G,
-            positions_lo=positions_lo
+            positions_lo=positions_lo, BE=BE,
         )
         ext_spec = None
     else:
@@ -926,7 +985,7 @@ def pbc_lj_forces(
         # gather — the `_pbc_cum_hist` species pattern)
         ext, ext_lo, _w, valid, ok, gparent = pbc_extend(
             positions, origin, box, cutoff, B=B, G=G,
-            positions_lo=positions_lo, return_parents=True,
+            positions_lo=positions_lo, return_parents=True, BE=BE,
         )
         spec = jnp.asarray(species, positions.dtype).reshape(-1)
         ext_spec = jnp.concatenate([spec, spec[gparent]])
