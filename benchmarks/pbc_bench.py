@@ -119,22 +119,27 @@ def main():
     ptsc = (rng.random((N, 3)) * boxc).astype(np.float32)
     posc = jnp.asarray(ptsc)
     boxcj = jnp.asarray(boxc, jnp.float32)
-    Bc, Gc = suggest_pbc_capacity(N, boxc, CUTOFF)
+    Bc, Gc, BEc = suggest_pbc_capacity(N, boxc, CUTOFF, with_multi=True)
     MAXJ = 24
+    BMASK = os.environ.get("PBC_BANDMASK", "0") == "1"  # maskless default
 
     open_c = timed(
-        lambda p: tile_lj_rebuild_energy(p, CUTOFF, MAXJ=MAXJ), posc, REPS
+        lambda p: tile_lj_rebuild_energy(p, CUTOFF, MAXJ=MAXJ,
+                                         bandmask=BMASK, safe_term=BMASK,
+                                         kahan=False), posc, REPS
     )
     pbc_c = timed(
         lambda p: pbc_pair_sum(
-            p, origin, boxcj, CUTOFF, B=Bc, G=Gc, path="tile", MAXJ=MAXJ
+            p, origin, boxcj, CUTOFF, B=Bc, G=Gc, BE=BEc, path="tile",
+            MAXJ=MAXJ, bandmask=BMASK, kahan=False,
         ),
         posc,
         REPS,
     )
     # flag check outside the timing loop (host sync)
     _, okc = pbc_pair_sum(
-        posc, origin, boxcj, CUTOFF, B=Bc, G=Gc, path="tile", MAXJ=MAXJ
+        posc, origin, boxcj, CUTOFF, B=Bc, G=Gc, BE=BEc, path="tile",
+        MAXJ=MAXJ, bandmask=BMASK,
     )
     print(json.dumps({
         "metric": f"pbc_overhead_cubic_n{N:.0e}",
