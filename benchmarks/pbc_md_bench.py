@@ -40,14 +40,14 @@ def main():
     vel = jnp.zeros_like(pos)
     origin = jnp.zeros(3, jnp.float32)
     boxj = jnp.asarray(box, jnp.float32)
-    B, G = suggest_pbc_capacity(N, box, CUTOFF)
+    B, G, BE = suggest_pbc_capacity(N, box, CUTOFF, with_multi=True)
 
     @jax.jit
     def loop(p, v):
         def body(i, carry):
             p, v = carry
             p2, v2, ok = md_step_pbc(
-                p, v, origin, boxj, CUTOFF, DT, B=B, G=G,
+                p, v, origin, boxj, CUTOFF, DT, B=B, G=G, BE=BE,
                 path="tile", MAXJ=MAXJ, bandmask=BANDMASK,
             )
             return p2, v2
@@ -62,7 +62,8 @@ def main():
     ms = (time.perf_counter() - t0) / REPS * 1e3
     # coverage flag checked once outside the loop
     _, _, ok = md_step_pbc(pos, vel, origin, boxj, CUTOFF, DT, B=B, G=G,
-                           path="tile", MAXJ=MAXJ, bandmask=BANDMASK)
+                           BE=BE, path="tile", MAXJ=MAXJ,
+                           bandmask=BANDMASK)
     print(json.dumps({
         "metric": f"pbc_md_step_cubic_n{N:.0e}",
         "ms_per_step": ms,

@@ -907,6 +907,7 @@ def pbc_lj_forces(
     minimage=False,
     species: jax.Array | None = None,
     bandmask: bool = True,
+    BE: int | None = None,
 ):
     """Per-particle forces under orthorhombic PBC, input order.
 
@@ -968,12 +969,12 @@ def pbc_lj_forces(
             is_stable=False,
         )
         return jnp.stack([fx[:n], fy[:n], fz[:n]], axis=-1), ok
-    BE = None
     if B is None or G is None:
         Bd, Gd, BEd = suggest_pbc_capacity(n, box, cutoff, with_multi=True)
         B = Bd if B is None else B
         G = Gd if G is None else G
-        BE = BEd
+        if BE is None:
+            BE = BEd
     if species is None:
         ext, ext_lo, _w, valid, ok = pbc_extend(
             positions, origin, box, cutoff, B=B, G=G,
