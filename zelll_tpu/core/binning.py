@@ -117,6 +117,7 @@ def bin_and_sort(
     need_perm: bool = True,
     stacked: bool = True,
     auto_order: bool = False,
+    stable: bool | None = None,
 ) -> tuple[Bins, jax.Array]:
     """Bin (n, N) positions into occupied cells; also return positions in
     sorted (cell-grouped) order.
@@ -140,6 +141,14 @@ def bin_and_sort(
     planes instead of one (n, dim) matrix — the sort's native form; the
     tile kernel's packed block builder consumes planes directly, skipping
     a 17-ms-at-1e7 stack+transpose round trip.
+
+    ``stable`` controls sort stability. Default (None): stable only when
+    the permutation is requested — those callers surface per-cell
+    particle order to users (the reference's scatter keeps input order,
+    cellgrid.rs:215-231). Fused reductions never observe intra-cell
+    order, and an UNSTABLE multi-operand sort measured ~15 ms faster at
+    n=1e7 on v5e (round 4); hot paths that need the perm only to
+    un-sort results pass ``stable=False`` explicitly.
     """
     n, dim = positions.shape
     if max_cells is None:
@@ -174,11 +183,14 @@ def bin_and_sort(
     # sort operand).
     iota0 = jnp.arange(n, dtype=jnp.int32)
     cols = tuple(positions[:, a] for a in range(dim))
+    if stable is None:
+        stable = need_perm
     if need_perm:
-        out = jax.lax.sort((keys, *cols, iota0), num_keys=1, is_stable=True)
+        out = jax.lax.sort((keys, *cols, iota0), num_keys=1,
+                           is_stable=stable)
         sorted_keys, sorted_cols, perm = out[0], out[1:-1], out[-1]
     else:
-        out = jax.lax.sort((keys, *cols), num_keys=1, is_stable=True)
+        out = jax.lax.sort((keys, *cols), num_keys=1, is_stable=stable)
         sorted_keys, sorted_cols, perm = out[0], out[1:], iota0
     sorted_pos = (
         jnp.stack(sorted_cols, axis=-1) if stacked else tuple(sorted_cols)

@@ -102,6 +102,12 @@ def md_step(
     Returns (new_state, coverage_ok). Uses the one-force-evaluation form
     (semi-implicit Euler / leapfrog): v += dt f(x); x += dt v.
 
+    State comes back in cell-key order with UNSPECIFIED order among
+    equal keys (the hot sort is unstable since round 4 — ~15 ms faster
+    at n=1e7); positions/velocities rows always correspond to each
+    other. Map to input order by value if needed, or carry an explicit
+    index payload column.
+
     3D runs the fused Pallas forces kernel; other dimensions use the XLA
     bucketed path (the reference is generic over N, lib.rs:132-135) with
     ``K`` as the static cell-bucket capacity, reflected in coverage_ok.
@@ -522,7 +528,7 @@ def md_run_skin_tile(
     MAXJ: int = 8,
     interpret: bool = False,
     fast: bool = False,
-    bandmask: bool = True,
+    bandmask: bool = False,
 ):
     """Steady-state MD for cubic/wide boxes: Verlet-skin grid reuse over
     the segment-tile forces kernel (the box-shape-robust sibling of
@@ -652,16 +658,16 @@ def md_step_cubic_tile(
     MAXJ: int = 8,
     interpret: bool = False,
     fast: bool = False,
-    bandmask: bool = True,
+    bandmask: bool = False,
 ):
     """MD step for cubic/wide boxes via the segment-tile forces kernel
     (`ops.tile_pairs.tile_pair_forces`): like the thin-box `md_step`,
     velocities ride the sort as payload and state stays in sorted order
     between steps (no duplication, no owner-copy extraction — the tile
     kernel's full-stencil bands give per-particle forces directly).
-    ``bandmask=False`` runs the maskless tile body (coverage_ok then
-    also guards window disjointness — see `tile_pair_reduce`); measured
-    ~18% faster at n = 1e7 cubic.
+    ``bandmask=False`` (the default since round 4) runs the maskless
+    tile body (coverage_ok then also guards window disjointness — see
+    `tile_pair_reduce`); measured ~18% faster at n = 1e7 cubic.
     Returns (new_state, coverage_ok)."""
     from ..ops.lj import lj_force_factor, lj_force_factor_fast
     from ..ops.tile_pairs import _packed_forces_core
@@ -774,7 +780,7 @@ def md_run_skin_pbc(
         out = jax.lax.sort(
             (keys, ext[:, 0], ext[:, 1], ext[:, 2],
              vin[:, 0], vin[:, 1], vin[:, 2], isg, par_in, iota),
-            num_keys=1, is_stable=True,
+            num_keys=1, is_stable=False,
         )
         skeys = out[0]
         spos = jnp.stack(out[1:4], axis=-1)
@@ -784,7 +790,7 @@ def md_run_skin_pbc(
         # inverse permutation and real/ghost slot lists — sort-based
         _, slot_by_input = jax.lax.sort((sinput, slot), num_keys=1)
         _, slots_by_flag = jax.lax.sort(
-            (sisg, slot), num_keys=1, is_stable=True
+            (sisg, slot), num_keys=1, is_stable=False
         )
         real_slots = slots_by_flag[:n]
         ghost_slots = slots_by_flag[n:]
@@ -843,7 +849,7 @@ def md_run_skin_pbc(
 @partial(
     jax.jit,
     static_argnames=("steps", "B", "G", "CB", "MAXJ", "MAXJ_E",
-                     "interpret", "fast"),
+                     "interpret", "fast", "bandmask"),
 )
 def md_run_skin_tile_pbc(
     state: MDState,
@@ -861,6 +867,7 @@ def md_run_skin_tile_pbc(
     MAXJ_E: int | None = None,
     interpret: bool = False,
     fast: bool = False,
+    bandmask: bool = False,
 ):
     """Verlet-skin MD under orthorhombic PBC on the segment-tile kernel —
     `md_run_skin_pbc`'s cubic/wide-box sibling (the lag kernel's key
@@ -926,7 +933,7 @@ def md_run_skin_tile_pbc(
         out = jax.lax.sort(
             (keys, ext[:, 0], ext[:, 1], ext[:, 2],
              vin[0], vin[1], vin[2], isg, par_in, iota),
-            num_keys=1, is_stable=True,
+            num_keys=1, is_stable=False,
         )
         skeys = out[0]
         spos = tuple(out[1:4])
@@ -935,7 +942,7 @@ def md_run_skin_tile_pbc(
         slot = jnp.arange(nG, dtype=jnp.int32)
         _, slot_by_input = jax.lax.sort((sinput, slot), num_keys=1)
         _, slots_by_flag = jax.lax.sort(
-            (sisg, slot), num_keys=1, is_stable=True
+            (sisg, slot), num_keys=1, is_stable=False
         )
         real_slots = slots_by_flag[:n]
         ghost_slots = slots_by_flag[n:]
@@ -975,6 +982,7 @@ def md_run_skin_tile_pbc(
         f_pl, okc = _packed_forces_core(
             list(spos2), keys2, strides2, csq,
             CB=CB, MAXJ=MAXJ, gfn=gfn, interpret=interpret, split=False,
+            bandmask=bandmask, safe_term=False,
         )
         svel3 = tuple(
             svel2[a] + dt * jnp.where(rm2, f_pl[a], 0.0) for a in range(3)
@@ -1003,6 +1011,6 @@ def md_run_skin_tile_pbc(
     )
     energy, oke = pbc_pair_sum(
         R, org, bx, cutoff, term=lj_term, B=B, G=G, path="tile",
-        CB=CB, MAXJ=mj_e, interpret=interpret,
+        CB=CB, MAXJ=mj_e, interpret=interpret, bandmask=bandmask,
     )
     return MDState(positions=R, velocities=V), ok & oke, energy, nrb

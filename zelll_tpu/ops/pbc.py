@@ -407,7 +407,8 @@ _NEG_PAD_KEY_BASE = -(2**28)
 
 
 def _minimage_bins_sorted_extremes(positions, origin, box, cutoff, mimask,
-                                   *, B, positions_lo, need_perm):
+                                   *, B, positions_lo, need_perm,
+                                   stable: bool | None = None):
     """Fast `_minimage_bins` when the ONLY ghost axis is the major-stride
     axis (the ``minimage="auto"`` shape): the ghost axis's boundary rows
     are the two ENDS of the key-sorted array, so the periodic extension
@@ -449,6 +450,7 @@ def _minimage_bins_sorted_extremes(positions, origin, box, cutoff, mimask,
     stacked = jnp.concatenate(cols, axis=1) if split else pos
     bins, sorted_cols = bin_and_sort(
         stacked, cutoff, max_cells=1, need_perm=need_perm, info=info,
+        stable=stable,
     )
     sp = sorted_cols[:, :dim]
     slo = sorted_cols[:, dim : 2 * dim] if split else None
@@ -607,7 +609,8 @@ _PAD_KEY_BASE_APPEND = 2**28
 
 
 def _minimage_bins(positions, origin, box, cutoff, mimask, *, B, G,
-                   positions_lo, need_perm, extra=None):
+                   positions_lo, need_perm, extra=None,
+                   stable: bool | None = None):
     """Shared binning for the min-image lag paths: wrap, extend ghosts
     along the NON-min-imaged axes only (or skip extension entirely when
     every axis folds in-kernel), and bin on the box aabb (the full
@@ -643,7 +646,7 @@ def _minimage_bins(positions, origin, box, cutoff, mimask, *, B, G,
             B = suggest_pbc_capacity(n, box, cutoff, axes=~mimask)[0]
         return _minimage_bins_sorted_extremes(
             positions, origin, box, cutoff, mimask, B=B,
-            positions_lo=positions_lo, need_perm=need_perm,
+            positions_lo=positions_lo, need_perm=need_perm, stable=stable,
         )
     originj = jnp.asarray(origin, dtype).reshape(dim)
     boxj = jnp.asarray(box, dtype).reshape(dim)
@@ -688,6 +691,7 @@ def _minimage_bins(positions, origin, box, cutoff, mimask, *, B, G,
     stacked = jnp.concatenate(cols, axis=1) if len(cols) > 1 else ext
     bins, sorted_cols = bin_and_sort(
         stacked, cutoff, max_cells=1, need_perm=need_perm, valid=valid,
+        stable=stable,
         info=info,
     )
     sp = sorted_cols[:, :dim]
@@ -763,7 +767,7 @@ def pbc_pair_sum(
     out_dtype=None,
     positions_lo: jax.Array | None = None,
     minimage=False,
-    bandmask: bool = True,
+    bandmask: bool | None = None,
     kahan=True,
     BE: int | None = None,
 ):
@@ -797,6 +801,15 @@ def pbc_pair_sum(
             raise ValueError(
                 "minimage is a lag-path feature (narrow axes are the lag "
                 f"kernel's regime); got path={path!r}"
+            )
+        # tile/extend-path options are inert under minimage (the fold
+        # replaces ghost extension and runs the lag kernel) — raise
+        # rather than silently ignore, mirroring the species+minimage
+        # ValueError pattern
+        if bandmask is not None or BE is not None or kahan is not True:
+            raise ValueError(
+                "bandmask/kahan/BE are tile/extend-path options with no "
+                "effect under minimage; leave them at their defaults"
             )
         return _minimage_pair_sum(
             positions, origin, box, cutoff, mimask, term=term, B=B, G=G,
@@ -855,7 +868,8 @@ def pbc_pair_sum(
             sp, bins.sorted_keys, bins.info.strides, csq, slo,
             sorted_cols[:, -1],
             CB=CB, MAXJ=MAXJ, term=_pbc_term(term), interpret=interpret,
-            out_dtype=out_dtype, bandmask=bandmask, kahan=kahan,
+            out_dtype=out_dtype,
+            bandmask=False if bandmask is None else bandmask, kahan=kahan,
         )
         ok &= cov
     elif path == "lag":
@@ -906,7 +920,7 @@ def pbc_lj_forces(
     positions_lo: jax.Array | None = None,
     minimage=False,
     species: jax.Array | None = None,
-    bandmask: bool = True,
+    bandmask: bool | None = None,
     BE: int | None = None,
 ):
     """Per-particle forces under orthorhombic PBC, input order.
@@ -941,17 +955,22 @@ def pbc_lj_forces(
                 "minimage is a lag-path feature (narrow axes are the lag "
                 f"kernel's regime); got path={path!r}"
             )
+        if bandmask is not None or BE is not None:
+            raise ValueError(
+                "bandmask/BE are tile/extend-path options with no effect "
+                "under minimage; leave them at their defaults"
+            )
         if species is None:
             bins, sp, slo, _payload, reach, mi_box, ok = _minimage_bins(
                 positions, origin, box, cutoff, mimask, B=B, G=G,
-                positions_lo=positions_lo, need_perm=True,
+                positions_lo=positions_lo, need_perm=True, stable=False,
             )
             spay = None
         else:
             bins, sp, slo, _payload, reach, mi_box, ok, spay = (
                 _minimage_bins(
                     positions, origin, box, cutoff, mimask, B=B, G=G,
-                    positions_lo=positions_lo, need_perm=True,
+                    positions_lo=positions_lo, need_perm=True, stable=False,
                     extra=species,
                 )
             )
@@ -1007,7 +1026,7 @@ def pbc_lj_forces(
         cols.append(ext_spec[:, None])
     bins, sorted_cols = bin_and_sort(
         jnp.concatenate(cols, axis=1) if len(cols) > 1 else ext,
-        cutoff, max_cells=1, need_perm=True, valid=valid, auto_order=True,
+        cutoff, max_cells=1, need_perm=True, stable=False, valid=valid, auto_order=True,
     )
     sp = sorted_cols[:, :3]
     slo = sorted_cols[:, 3:6] if ext_lo is not None else None
@@ -1018,7 +1037,7 @@ def pbc_lj_forces(
         f, cov = tile_pair_forces(
             sp, bins.sorted_keys, bins.info.strides, csq, slo,
             CB=CB, MAXJ=MAXJ, gfn=gfn, interpret=interpret,
-            bandmask=bandmask,
+            bandmask=False if bandmask is None else bandmask,
         )
         ok &= cov
     elif path == "lag":

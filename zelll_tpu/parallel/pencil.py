@@ -52,6 +52,8 @@ __all__ = [
     "partition_by_pencil",
     "sharded_pencil_lj_energy",
     "sharded_pencil_md_step",
+    "sharded_pencil_md_run",
+    "repartition_pencil",
 ]
 
 ZAX = "z"
@@ -158,49 +160,72 @@ def partition_by_pencil(positions, cutoff, shape: tuple[int, int]):
             jnp.asarray(n_real))
 
 
-def _global_info2(local_pos, cutoff, real):
-    """Global grid geometry over the REAL rows only: pads sit beyond
-    sup along the major axis and must not inflate the box (their keys
-    are computed off this grid and simply sort last)."""
-    big = jnp.asarray(jnp.finfo(local_pos.dtype).max / 4, local_pos.dtype)
-    lo = jnp.where(real[:, None], local_pos, big)
-    hi = jnp.where(real[:, None], local_pos, -big)
+def _global_info2(local_pos, cutoff, real, sdim=3):
+    """Global grid geometry over the REAL rows' SPATIAL columns only:
+    pads sit beyond sup along the major axis and must not inflate the
+    box (their keys are computed off this grid and simply sort last);
+    payload columns (ownership, species) never touch geometry."""
+    sp = local_pos[:, :sdim]
+    big = jnp.asarray(jnp.finfo(sp.dtype).max / 4, sp.dtype)
+    lo = jnp.where(real[:, None], sp, big)
+    hi = jnp.where(real[:, None], sp, -big)
     inf = jax.lax.pmin(jax.lax.pmin(jnp.min(lo, axis=0), ZAX), YAX)
     sup = jax.lax.pmax(jax.lax.pmax(jnp.max(hi, axis=0), ZAX), YAX)
     return GridInfo.create(Aabb(inf=inf, sup=sup), cutoff, auto_order=True)
 
 
-def _axis_unit(strides, which: str):
-    """One-hot (dim,) float selecting the major/mid-stride axis. Stride
-    values are distinct (1, >=5, >=25...), so exact even when traced."""
+def _axis_unit(strides, which: str, width=None):
+    """One-hot (width,) float selecting the major/mid-stride axis (zeros
+    over trailing payload columns). Stride values are distinct
+    (1, >=5, >=25...), so exact even when traced."""
     s = strides
     if which == "major":
-        return (s == jnp.max(s)).astype(jnp.float32)
-    top2 = jnp.sort(s)[-2]
-    return (s == top2).astype(jnp.float32)
+        u = (s == jnp.max(s)).astype(jnp.float32)
+    else:
+        top2 = jnp.sort(s)[-2]
+        u = (s == top2).astype(jnp.float32)
+    if width is not None and width > s.shape[0]:
+        u = jnp.concatenate(
+            [u, jnp.zeros((width - s.shape[0],), u.dtype)])
+    return u
 
 
-def _far_rows(info, cutoff, H, sign, dtype, salt):
-    """(H, dim) key-safe far rows: stacked beyond the box along the major
-    axis (sign=+1 above, -1 below), mutually >= 2*cutoff apart, `salt`
-    offsets families so different call sites never coincide."""
+def _far_rows(info, cutoff, H, sign, dtype, salt, width=None):
+    """(H, width) key-safe far rows: stacked beyond the box along the
+    major axis (sign=+1 above, -1 below), mutually >= 2*cutoff apart.
+
+    The offsets are ODD multiples of cutoff (c*(2r+5)) so this family is
+    disjoint from `partition_by_pencil`'s pad family (EVEN multiples,
+    sup + 2c*k) — a far row and a partitioner pad are always >= cutoff
+    apart. `salt` offsets the z- and y-call sites; same-offset far rows
+    from DIFFERENT devices still coincide exactly (dsq == 0), which is
+    benign by construction: both rows are unowned ghosts, the energy
+    weight 0.5*(o_i+o_j) == 0 selects the term out, and the forces
+    kernels' dsq > 0 guards skip the pair — documented dependency, not
+    an accident. ``width`` > dim appends zero payload columns."""
     dimsz = info.strides.shape[0]
+    width = dimsz if width is None else width
     c = jnp.asarray(cutoff, dtype)
     unit = _axis_unit(info.strides, "major").astype(dtype)
     inf = info.aabb.inf.astype(dtype)
     sup = info.aabb.sup.astype(dtype)
     r = jnp.arange(H, dtype=dtype) + jnp.asarray(salt, dtype)
-    off_lo = -2.0 * c * (r + 2.0)
-    off_hi = jnp.dot(sup - inf, unit) + 2.0 * c * (r + 2.0)
+    off_lo = -c * (2.0 * r + 5.0)
+    off_hi = jnp.dot(sup - inf, unit) + c * (2.0 * r + 5.0)
     base = jnp.broadcast_to(inf, (H, dimsz))
     off = off_hi if sign > 0 else off_lo
-    return base + off[:, None] * unit[None, :]
+    rows = base + off[:, None] * unit[None, :]
+    if width > dimsz:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((H, width - dimsz), dtype)], axis=1)
+    return rows
 
 
 def _zhalo(pos_s, H, info, cutoff, nreal):
     """Phase 1: exchange the REAL tail / head H rows along the z ring
     (pads sort last, so the raw tail would be pads); ring-wrap edges
-    (slab 0's left, slab a-1's right) are replaced by far rows."""
+    (slab 0's left, slab a-1's right) are replaced by far rows. Rows may
+    carry payload columns (width > dim); far rows pad them with zeros."""
     nd = jax.lax.axis_size(ZAX)
     idx = jax.lax.axis_index(ZAX)
     dtype = pos_s.dtype
@@ -215,21 +240,22 @@ def _zhalo(pos_s, H, info, cutoff, nreal):
     )
     gl = jax.lax.ppermute(tail, ZAX, fwd)
     gr = jax.lax.ppermute(pos_s[:H], ZAX, bwd)
-    below = _far_rows(info, cutoff, H, -1, dtype, 0)
-    above = _far_rows(info, cutoff, H, +1, dtype, 0)
+    below = _far_rows(info, cutoff, H, -1, dtype, 0, width=pos_s.shape[1])
+    above = _far_rows(info, cutoff, H, +1, dtype, 0, width=pos_s.shape[1])
     gl = jnp.where(idx == 0, below, gl)
     gr = jnp.where(idx == nd - 1, above, gr)
     return gl, gr
 
 
-def _extract_ycolumn(ext, ycell, target_cell, HY, salt):
+def _extract_ycolumn(ext, ycell, target_cell, HY):
     """Compact the rows with y-cell == target_cell to the front by one
-    stable class-key sort and return (rows (HY, dim), count, ok).
+    class-key sort and return (rows (HY, width), count, ok).
 
     Rows beyond the true count are arbitrary non-boundary rows — safe by
-    distance at the receiver (>= one full cell away from its column) —
-    but rows that are anybody's FAR pads are re-salted so two devices'
-    junk can never coincide within a cutoff of each other."""
+    distance at the receiver (>= one full cell away from its column).
+    Far-pad rows forwarded this way can coincide exactly with another
+    device's far pads; that ghost-ghost coincidence is benign by the
+    dsq > 0 force guards and the w > 0 energy select (see `_far_rows`)."""
     cls = jnp.where(ycell == target_cell, 0, 1).astype(jnp.int32)
     iota = jnp.arange(ext.shape[0], dtype=jnp.int32)
     ops = (cls, iota) + tuple(ext[:, a] for a in range(ext.shape[1]))
@@ -237,6 +263,27 @@ def _extract_ycolumn(ext, ycell, target_cell, HY, salt):
     rows = jnp.stack(out[2:], axis=-1)[:HY]
     cnt = jnp.sum(cls == 0)
     return rows, cnt, cnt <= HY
+
+
+def _ycell_of(rows, info, cutoff):
+    """Mid-axis cell index per row (payload columns ignored); junk rows
+    outside the box along the MAJOR axis map to -9 (never a boundary
+    column): a pad's mid coordinate is inf[mid] -> y == 0 == column 0's
+    edge otherwise."""
+    dtype = rows.dtype
+    unit = _axis_unit(info.strides, "mid", width=rows.shape[1]).astype(dtype)
+    org = jnp.dot(
+        info.aabb.inf.astype(dtype),
+        _axis_unit(info.strides, "mid").astype(dtype))
+    c = jnp.asarray(cutoff, dtype)
+    y = jnp.floor((jnp.dot(rows, unit) - org) / c).astype(jnp.int32)
+    mu = _axis_unit(info.strides, "major", width=rows.shape[1]).astype(dtype)
+    mu3 = _axis_unit(info.strides, "major").astype(dtype)
+    mj = jnp.dot(rows, mu)
+    inbox = (mj >= jnp.dot(info.aabb.inf.astype(dtype), mu3)) & (
+        mj <= jnp.dot(info.aabb.sup.astype(dtype), mu3)
+    )
+    return jnp.where(inbox, y, jnp.int32(-9))
 
 
 def _yhalo(ext1, info, cutoff, HY, mid_bounds):
@@ -250,31 +297,21 @@ def _yhalo(ext1, info, cutoff, HY, mid_bounds):
     if nd == 1 or HY == 0:
         z = jnp.zeros((0, ext1.shape[1]), dtype)
         return z, z, jnp.asarray(True)
-    unit = _axis_unit(info.strides, "mid").astype(dtype)
-    org = jnp.dot(info.aabb.inf.astype(dtype), unit)
-    c = jnp.asarray(cutoff, dtype)
-    y = jnp.floor((jnp.dot(ext1, unit) - org) / c).astype(jnp.int32)
-    # junk rows (pads, wrap-substituted far rows) sit outside the box
-    # along the MAJOR axis; they must not be classified as boundary rows
-    # (a pad's mid coordinate is inf[mid] -> y == 0 == column 0's edge)
-    mu = _axis_unit(info.strides, "major").astype(dtype)
-    mj = jnp.dot(ext1, mu)
-    inbox = (mj >= jnp.dot(info.aabb.inf.astype(dtype), mu)) & (
-        mj <= jnp.dot(info.aabb.sup.astype(dtype), mu)
-    )
-    y = jnp.where(inbox, y, jnp.int32(-9))
+    y = _ycell_of(ext1, info, cutoff)
     y_lo = mid_bounds[idy]
     y_hi = mid_bounds[idy + 1] - 1
 
-    send_l, cnt_l, ok_l = _extract_ycolumn(ext1, y, y_lo, HY, 1)
-    send_r, cnt_r, ok_r = _extract_ycolumn(ext1, y, y_hi, HY, 2)
+    send_l, cnt_l, ok_l = _extract_ycolumn(ext1, y, y_lo, HY)
+    send_r, cnt_r, ok_r = _extract_ycolumn(ext1, y, y_hi, HY)
 
     fwd = [(i, (i + 1) % nd) for i in range(nd)]
     bwd = [(i, (i - 1) % nd) for i in range(nd)]
     ygl = jax.lax.ppermute(send_r, YAX, fwd)   # left neighbor's top column
     ygr = jax.lax.ppermute(send_l, YAX, bwd)   # right neighbor's bottom
-    far_l = _far_rows(info, cutoff, HY, -1, dtype, 3 + 2 * HY)
-    far_r = _far_rows(info, cutoff, HY, +1, dtype, 3 + 2 * HY)
+    far_l = _far_rows(info, cutoff, HY, -1, dtype, 3 + 2 * HY,
+                      width=ext1.shape[1])
+    far_r = _far_rows(info, cutoff, HY, +1, dtype, 3 + 2 * HY,
+                      width=ext1.shape[1])
     ygl = jnp.where(idy == 0, far_l, ygl)
     ygr = jnp.where(idy == nd - 1, far_r, ygr)
     return ygl, ygr, ok_l & ok_r
@@ -312,6 +349,23 @@ def _zhalo_ok(sorted_keys, strides, H, nreal):
     return ok & (nreal > 0)
 
 
+def _ydrift_ok(pos, info, cutoff, real, mid_bounds):
+    """Geometric y-residency check: every REAL row's current y-cell must
+    lie inside this device's column [mid_bounds[idy], mid_bounds[idy+1]).
+
+    The z axis is data-driven (key-window checks), but y coverage is
+    capacity-only — without this check a particle drifting across its
+    pencil's y-cell boundary under repeated MD steps would silently lose
+    its pairs with the next-over column on BOTH devices (it no longer
+    matches the boundary-column extraction, and partners two cells over
+    are never received). Trips coverage_ok instead; callers then
+    repartition (`repartition_pencil`)."""
+    idy = jax.lax.axis_index(YAX)
+    y = _ycell_of(pos, info, cutoff)
+    inside = (y >= mid_bounds[idy]) & (y < mid_bounds[idy + 1])
+    return jnp.all(jnp.where(real, inside, True))
+
+
 def _all_ok2(flag):
     f = jax.lax.pmin(flag.astype(jnp.int32), ZAX)
     return jax.lax.pmin(f, YAX) > 0
@@ -323,44 +377,83 @@ def _my_nreal(n_real):
     return n_real[flat]
 
 
-def _build_ext2(pos, cutoff, HZ, HY, mid_bounds, n_real, need_slot):
+def _build_ext2(pos, cutoff, HZ, HY, mid_bounds, n_real, need_slot,
+                n_payload=0):
     """Shared pencil preamble: local sort, two-phase halos, one re-sort
-    of the extended block. Returns (ext2 sorted (nx, dim), keys, o2
-    ownership plane, slot (or None), info, flags, n_loc, H)."""
+    of the extended block. ``pos`` may carry ``n_payload`` trailing
+    per-particle columns (species, ...) that ride every exchange.
+
+    Returns (ext2 sorted (nx, width), keys, o2 ownership plane,
+    payload planes ((nx, n_payload) or None), slot (or None), info,
+    flags, n_loc, Hg) — Hg is the ACTUAL z-ghost count (0 on a 1-device
+    z axis, where `_zhalo` returns empty ghosts; sizing ownership or
+    force slices by the requested HZ would misalign)."""
     n_loc = pos.shape[0]
+    width = pos.shape[1]
+    sdim = width - n_payload
     nreal = _my_nreal(n_real)
     real = jnp.arange(n_loc) < nreal
-    info = _global_info2(pos, cutoff, real)
+    info = _global_info2(pos, cutoff, real, sdim=sdim)
+    # STABLE local sort: `_md_step_local` feeds an already key-sorted
+    # block (velocities rode the outer sort) — this inner sort must then
+    # be the identity permutation so the force un-sort lines up with the
+    # outer (pos_s, vel_s) pairing; an unstable sort reorders equal-key
+    # rows and silently mismatches forces to velocities (caught by
+    # test_pencil_md_step_forces_match_oracle)
     bins, pos_s = bin_and_sort(pos, cutoff, max_cells=1, info=info)
     dtype = pos_s.dtype
     H = min(HZ, n_loc)
 
     gl, gr = _zhalo(pos_s, H, info, cutoff, nreal)
+    Hg = gl.shape[0]  # 0 when the z axis has one device
     ext1 = jnp.concatenate([gl, pos_s, gr], axis=0)
     # ownership: my REAL rows own their pairs; pads (far rows, no pairs)
     # may carry either value — keep them owned=0 for hygiene
     o1 = jnp.concatenate([
-        jnp.zeros((H,), dtype), real.astype(dtype),
-        jnp.zeros((H,), dtype),
+        jnp.zeros((Hg,), dtype), real.astype(dtype),
+        jnp.zeros((Hg,), dtype),
     ])
     ygl, ygr, y_ok = _yhalo(ext1, info, cutoff, HY, mid_bounds)
     ext2 = jnp.concatenate([ext1, ygl, ygr], axis=0)
     ny = ygl.shape[0] + ygr.shape[0]
     o2 = jnp.concatenate([o1, jnp.zeros((ny,), dtype)])
 
-    keys2 = jax.vmap(info.flat_cell_index)(ext2)
-    ops = (keys2,) + tuple(ext2[:, a] for a in range(ext2.shape[1])) + (o2,)
+    keys2 = jax.vmap(info.flat_cell_index)(ext2[:, :sdim])
+    ops = (keys2,) + tuple(ext2[:, a] for a in range(width)) + (o2,)
     if need_slot:
         ops = ops + (jnp.arange(ext2.shape[0], dtype=jnp.int32),)
     out = jax.lax.sort(ops, num_keys=1, is_stable=False)
     keys_s = out[0]
-    dim = ext2.shape[1]
-    ext_s = jnp.stack(out[1 : 1 + dim], axis=-1)
-    o_s = out[1 + dim]
-    slot_s = out[2 + dim] if need_slot else None
+    ext_s = jnp.stack(out[1 : 1 + sdim], axis=-1)
+    pay_s = (
+        jnp.stack(out[1 + sdim : 1 + width], axis=-1)
+        if n_payload else None
+    )
+    o_s = out[1 + width]
+    slot_s = out[2 + width] if need_slot else None
 
     z_ok = _zhalo_ok(bins.sorted_keys, info.strides, H, nreal)
-    return ext_s, keys_s, o_s, slot_s, info, z_ok & y_ok, n_loc, H
+    drift_ok = _ydrift_ok(pos_s, info, cutoff, real, mid_bounds)
+    return (ext_s, keys_s, o_s, pay_s, slot_s, info,
+            z_ok & y_ok & drift_ok, n_loc, Hg)
+
+
+def _weighted_term(term, n_payload=0):
+    """Ownership-halved term: payload layout per side is (o, p1..pk), so
+    the wrapped ``term`` sees (dsq, p1_i..pk_i, p1_j..pk_j)."""
+    def wterm(dsq, *pay):
+        k = n_payload
+        oi, pi = pay[0], pay[1 : 1 + k]
+        oj, pj = pay[1 + k], pay[2 + k :]
+        # select, not multiply: ghost-ghost far rows can coincide
+        # (dsq == 0, term == inf) and 0 * inf would poison the sum
+        w = 0.5 * (oi + oj)
+        args = pi + pj
+        return jnp.where(
+            w > 0, w * term(jnp.where(w > 0, dsq, 1.0), *args),
+            jnp.zeros_like(dsq))
+
+    return wterm
 
 
 def sharded_pencil_lj_energy(
@@ -374,21 +467,30 @@ def sharded_pencil_lj_energy(
     MAXJ: int = 8,
     use_tile: bool = False,
     term=lj_term,
+    n_payload: int = 0,
     interpret: bool = False,
 ):
     """Jitted global pair energy over pencil-sharded positions.
 
     efn(positions, mid_bounds, n_real) -> (energy, coverage_ok):
     positions is the `partition_by_pencil` layout sharded
-    P((ZAX, YAX), None); mid_bounds and n_real replicated. Every pair is counted exactly once globally
-    by the 0.5*(o_i+o_j) ownership plane (see module docstring).
+    P((ZAX, YAX), None) — optionally with ``n_payload`` trailing
+    per-particle columns (e.g. species), in which case ``term`` receives
+    (dsq, p_i..., p_j...) like `parallel.sharded_lj_energy(n_payload=)`;
+    mid_bounds and n_real replicated. Every pair is counted exactly once
+    globally by the 0.5*(o_i+o_j) ownership plane (module docstring).
     """
-
-    wterm = _weighted_term(term)
+    if use_tile and n_payload:
+        raise ValueError(
+            "use_tile carries ONE packed payload row, already used by "
+            "the ownership plane; payload columns need the lag path"
+        )
+    wterm = _weighted_term(term, n_payload)
 
     def local(pos, mid_bounds, n_real):
-        ext_s, keys_s, o_s, _, info, ok, n_loc, H = _build_ext2(
-            pos, cutoff, HZ, HY, mid_bounds, n_real, need_slot=False
+        ext_s, keys_s, o_s, pay_s, _, info, ok, n_loc, Hg = _build_ext2(
+            pos, cutoff, HZ, HY, mid_bounds, n_real, need_slot=False,
+            n_payload=n_payload,
         )
         csq = jnp.asarray(cutoff, pos.dtype) ** 2
         if use_tile:
@@ -401,9 +503,13 @@ def sharded_pencil_lj_energy(
         else:
             from ..ops.pallas_pairs import lag_coverage_ok
 
+            payload = (
+                o_s[:, None] if pay_s is None
+                else jnp.concatenate([o_s[:, None], pay_s], axis=1)
+            )
             e_loc = pair_lag_reduce(
                 ext_s, keys_s, info.strides, csq,
-                sorted_payload=o_s[:, None], M=M, L=L, term=wterm,
+                sorted_payload=payload, M=M, L=L, term=wterm,
                 interpret=interpret,
             )
             cap = lag_coverage_ok(keys_s, info.strides, L)
@@ -420,15 +526,58 @@ def sharded_pencil_lj_energy(
     return jax.jit(fn)
 
 
-def _weighted_term(term):
-    def wterm(dsq, oi, oj):
-        # select, not multiply: ghost-ghost far rows can coincide
-        # (dsq == 0, term == inf) and 0 * inf would poison the sum
-        w = 0.5 * (oi + oj)
-        return jnp.where(w > 0, w * term(jnp.where(w > 0, dsq, 1.0)),
-                         jnp.zeros_like(dsq))
+def _md_step_local(pos, vel, mid_bounds, n_real, *, cutoff, HZ, HY, dt,
+                   M, L, MAXJ, use_tile, interpret):
+    """One pencil MD step on local blocks (shared by step and run)."""
+    wterm = _weighted_term(lj_term)
+    nreal = _my_nreal(n_real)
+    real = jnp.arange(pos.shape[0]) < nreal
+    info = _global_info2(pos, cutoff, real)
+    # velocities ride the local sort as payload columns
+    bins, cols = bin_and_sort(
+        jnp.concatenate([pos, vel], axis=1), cutoff, max_cells=1,
+        info=info,
+    )
+    dim = pos.shape[1]
+    pos_s, vel_s = cols[:, :dim], cols[:, dim:]
 
-    return wterm
+    (ext_s, keys_s, o_s, _, slot_s, info, ok, n_loc, Hg) = _build_ext2(
+        pos_s, cutoff, HZ, HY, mid_bounds, n_real, need_slot=True
+    )
+    csq = jnp.asarray(cutoff, pos.dtype) ** 2
+    if use_tile:
+        from ..ops.tile_pairs import tile_pair_forces, tile_pair_reduce
+
+        f, cap_f = tile_pair_forces(
+            ext_s, keys_s, info.strides, csq, MAXJ=MAXJ,
+            gfn=lj_force_factor, interpret=interpret,
+        )
+        e_loc, cap_e = tile_pair_reduce(
+            ext_s, keys_s, info.strides, csq, sorted_payload=o_s,
+            MAXJ=MAXJ, term=wterm, interpret=interpret,
+        )
+        cap = cap_f & cap_e
+    else:
+        from ..ops.pallas_pairs import lag_coverage_ok
+
+        f = pair_lag_forces(
+            ext_s, keys_s, info.strides, csq, M=M, L=L,
+            gfn=lj_force_factor, interpret=interpret,
+        )
+        cap = lag_coverage_ok(keys_s, info.strides, L)
+        e_loc = pair_lag_reduce(
+            ext_s, keys_s, info.strides, csq, sorted_payload=o_s[:, None],
+            M=M, L=L, term=wterm, interpret=interpret,
+        )
+    # un-sort forces to pre-sort (concat) order, slice the owned rows
+    uops = (slot_s,) + tuple(f[:, a] for a in range(dim))
+    uout = jax.lax.sort(uops, num_keys=1, is_stable=False)
+    f_own = jnp.stack(uout[1:], axis=-1)[Hg : Hg + n_loc]
+
+    vel_new = vel_s + dt * f_own
+    pos_new = pos_s + dt * vel_new
+    e = jax.lax.psum(jax.lax.psum(e_loc, ZAX), YAX)
+    return pos_new, vel_new, e, _all_ok2(ok & cap)
 
 
 def sharded_pencil_md_step(
@@ -440,61 +589,194 @@ def sharded_pencil_md_step(
     dt: float = 1e-4,
     M: int = 4096,
     L: int = 512,
+    MAXJ: int = 8,
+    use_tile: bool = False,
     interpret: bool = False,
 ):
     """Jitted MD step over the pencil mesh.
 
     step(positions, velocities, mid_bounds, n_real) -> (positions,
-    velocities, energy, coverage_ok); state arrays keep the `partition_by_pencil`
-    layout (each device's block re-sorted by key each step). Forces are
-    full-stencil i-side sums over the extended sorted block — exact for
-    owned rows whenever coverage_ok — then un-sorted back to block
-    order by a second multi-operand sort (never a gather).
+    velocities, energy, coverage_ok); state arrays keep the
+    `partition_by_pencil` layout (each device's block re-sorted by key
+    each step). Forces are full-stencil i-side sums over the extended
+    sorted block — exact for owned rows whenever coverage_ok — then
+    un-sorted back to block order by a second multi-operand sort (never
+    a gather). coverage_ok folds the y-residency check (`_ydrift_ok`):
+    once any particle drifts out of its pencil's y-column the flag trips
+    and the caller must `repartition_pencil`. ``use_tile`` runs the
+    segment-tile kernels (cubic/wide boxes) instead of the lag pair.
     """
-    wterm = _weighted_term(lj_term)
 
     def local(pos, vel, mid_bounds, n_real):
-        nreal = _my_nreal(n_real)
-        real = jnp.arange(pos.shape[0]) < nreal
-        info = _global_info2(pos, cutoff, real)
-        # velocities ride the local sort as payload columns
-        bins, cols = bin_and_sort(
-            jnp.concatenate([pos, vel], axis=1), cutoff, max_cells=1,
-            info=info,
+        return _md_step_local(
+            pos, vel, mid_bounds, n_real, cutoff=cutoff, HZ=HZ, HY=HY,
+            dt=dt, M=M, L=L, MAXJ=MAXJ, use_tile=use_tile,
+            interpret=interpret,
         )
-        dim = pos.shape[1]
-        pos_s, vel_s = cols[:, :dim], cols[:, dim:]
-
-        ext_s, keys_s, o_s, slot_s, info, ok, n_loc, H = _build_ext2(
-            pos_s, cutoff, HZ, HY, mid_bounds, n_real, need_slot=True
-        )
-        csq = jnp.asarray(cutoff, pos.dtype) ** 2
-        f = pair_lag_forces(
-            ext_s, keys_s, info.strides, csq, M=M, L=L,
-            gfn=lj_force_factor, interpret=interpret,
-        )
-        from ..ops.pallas_pairs import lag_coverage_ok
-
-        cap = lag_coverage_ok(keys_s, info.strides, L)
-        e_loc = pair_lag_reduce(
-            ext_s, keys_s, info.strides, csq, sorted_payload=o_s[:, None],
-            M=M, L=L, term=wterm, interpret=interpret,
-        )
-        # un-sort forces to pre-sort (concat) order, slice the owned rows
-        uops = (slot_s,) + tuple(f[:, a] for a in range(dim))
-        uout = jax.lax.sort(uops, num_keys=1, is_stable=False)
-        f_own = jnp.stack(uout[1:], axis=-1)[H : H + n_loc]
-
-        vel_new = vel_s + dt * f_own
-        pos_new = pos_s + dt * vel_new
-        e = jax.lax.psum(jax.lax.psum(e_loc, ZAX), YAX)
-        return pos_new, vel_new, e, _all_ok2(ok & cap)
 
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(P((ZAX, YAX), None), P((ZAX, YAX), None), P(), P()),
         out_specs=(P((ZAX, YAX), None), P((ZAX, YAX), None), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_pencil_md_run(
+    mesh: Mesh,
+    *,
+    cutoff: float,
+    HZ: int,
+    HY: int,
+    steps: int,
+    dt: float = 1e-4,
+    M: int = 4096,
+    L: int = 512,
+    MAXJ: int = 8,
+    use_tile: bool = False,
+    interpret: bool = False,
+):
+    """Whole pencil MD trajectory in ONE jitted dispatch (the pencil
+    sibling of `parallel.sharded_md_run` / `sharded_pbc_md_run`): scans
+    `sharded_pencil_md_step`'s local body, accumulating the coverage
+    flag — including the per-step y-residency check, so a mid-trajectory
+    drift out of a pencil column is reported, never silently wrong.
+
+    run(positions, velocities, mid_bounds, n_real) -> (positions,
+    velocities, final_energy, all_covered)."""
+
+    def local(pos, vel, mid_bounds, n_real):
+        def body(carry, _):
+            p, v, okacc = carry
+            p2, v2, _e, ok = _md_step_local(
+                p, v, mid_bounds, n_real, cutoff=cutoff, HZ=HZ, HY=HY,
+                dt=dt, M=M, L=L, MAXJ=MAXJ, use_tile=use_tile,
+                interpret=interpret,
+            )
+            return (p2, v2, okacc & ok), None
+
+        (p, v, ok), _ = jax.lax.scan(
+            body, (pos, vel, jnp.asarray(True)), None, length=steps
+        )
+        _, _, e, ok_e = _md_step_local(
+            p, v, mid_bounds, n_real, cutoff=cutoff, HZ=HZ, HY=HY,
+            dt=0.0, M=M, L=L, MAXJ=MAXJ, use_tile=use_tile,
+            interpret=interpret,
+        )
+        return p, v, e, ok & ok_e
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P((ZAX, YAX), None), P((ZAX, YAX), None), P(), P()),
+        out_specs=(P((ZAX, YAX), None), P((ZAX, YAX), None), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def repartition_pencil(
+    mesh: Mesh,
+    *,
+    cutoff: float,
+    shape: tuple[int, int],
+    n_payload: int = 0,
+    interpret: bool = False,
+):
+    """Jitted global repartition over the pencil mesh — the migration
+    path `_ydrift_ok` trips toward (the pencil analogue of
+    `parallel.repartition`; all_gather flavor: correctness-first,
+    the O(A) exchange optimization is the slab path's specialty).
+
+    repfn(positions, mid_bounds, n_real) -> (positions, mid_bounds,
+    n_real, ok): re-sorts ALL real rows globally by cell key, re-splits
+    into ``a`` equal slot z-blocks x the SAME y-cell columns
+    (mid_bounds is kept — y splits are cell-granular configuration),
+    and rebuilds each device's block with fresh key-safe pads. ``ok``
+    goes False iff some block outgrows n_local (grow and re-jit;
+    never silently dropped rows). Positions may carry ``n_payload``
+    trailing columns (velocities, species) that ride the migration.
+    """
+    a, b = shape
+
+    def local(pos, mid_bounds, n_real):
+        n_loc = pos.shape[0]
+        width = pos.shape[1]
+        sdim = width - n_payload
+        nreal = _my_nreal(n_real)
+        real = jnp.arange(n_loc) < nreal
+        info = _global_info2(pos, cutoff, real, sdim=sdim)
+
+        # gather every device's block (z-major, then y) + real masks
+        allp = jax.lax.all_gather(pos, ZAX, axis=0, tiled=False)
+        allp = jax.lax.all_gather(allp, YAX, axis=1, tiled=False)
+        allp = allp.reshape(a * b * n_loc, width)
+        allreal = (
+            jnp.arange(n_loc)[None, :] < n_real.reshape(a * b)[:, None]
+        ).reshape(-1)
+
+        keys = jax.vmap(info.flat_cell_index)(allp[:, :sdim])
+        BIGK = jnp.int32(1 << 29)
+        keys = jnp.where(allreal, keys, BIGK)
+        ops = (keys,) + tuple(allp[:, c] for c in range(width))
+        out = jax.lax.sort(ops, num_keys=1, is_stable=False)
+        keys_s = out[0]
+        rows_s = jnp.stack(out[1:], axis=-1)
+        real_s = keys_s < BIGK
+        N = jnp.sum(real_s)
+
+        # z class: equal slot blocks of the real prefix; y class from
+        # the mid-axis cell against mid_bounds
+        slot = jnp.arange(rows_s.shape[0], dtype=jnp.int32)
+        zc = jnp.clip((slot.astype(jnp.int64) * a) // jnp.maximum(N, 1),
+                      0, a - 1).astype(jnp.int32)
+        y = _ycell_of(rows_s[:, :sdim], info, cutoff)
+        yc = jnp.clip(
+            jnp.searchsorted(mid_bounds[1:-1], y, side="right"),
+            0, b - 1,
+        ).astype(jnp.int32)
+        mine = (
+            real_s
+            & (zc == jax.lax.axis_index(ZAX))
+            & (yc == jax.lax.axis_index(YAX))
+        )
+        cls = jnp.where(mine, 0, 1).astype(jnp.int32)
+        ops2 = (cls, keys_s) + tuple(
+            rows_s[:, c] for c in range(width))
+        out2 = jax.lax.sort(ops2, num_keys=2, is_stable=False)
+        blk = jnp.stack(out2[2:], axis=-1)[:n_loc]
+        cnt = jnp.sum(mine).astype(jnp.int32)
+        ok = cnt <= n_loc
+
+        # fresh key-safe pads (device-unique EVEN-multiple family, like
+        # the host partitioner)
+        dtype = pos.dtype
+        unit = _axis_unit(info.strides, "major", width=width).astype(dtype)
+        inf3 = info.aabb.inf.astype(dtype)
+        extent = jnp.dot(
+            info.aabb.sup.astype(dtype) - inf3,
+            _axis_unit(info.strides, "major").astype(dtype))
+        dev = (jax.lax.axis_index(ZAX) * b
+               + jax.lax.axis_index(YAX)).astype(dtype)
+        k = jnp.arange(n_loc, dtype=dtype) + dev * n_loc
+        pad_off = extent + 2.0 * jnp.asarray(cutoff, dtype) * (k + 2.0)
+        base = jnp.concatenate(
+            [inf3, jnp.zeros((width - sdim,), dtype)])
+        pads = base[None, :] + pad_off[:, None] * unit[None, :]
+        row_idx = jnp.arange(n_loc)[:, None]
+        blk = jnp.where(row_idx < cnt, blk, pads)
+
+        cnts = jax.lax.all_gather(cnt, ZAX, axis=0, tiled=False)
+        cnts = jax.lax.all_gather(cnts, YAX, axis=1, tiled=False)
+        return blk, mid_bounds, cnts.reshape(-1), _all_ok2(ok)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P((ZAX, YAX), None), P(), P()),
+        out_specs=(P((ZAX, YAX), None), P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(fn)
