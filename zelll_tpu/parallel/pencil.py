@@ -54,6 +54,10 @@ __all__ = [
     "sharded_pencil_md_step",
     "sharded_pencil_md_run",
     "repartition_pencil",
+    "partition_by_pencil_pbc",
+    "sharded_pencil_pbc_lj_energy",
+    "sharded_pencil_pbc_md_step",
+    "sharded_pencil_pbc_md_run",
 ]
 
 ZAX = "z"
@@ -81,7 +85,8 @@ def _host_order_info(pts, cutoff):
     return inf, sup, shape, strides, perm
 
 
-def partition_by_pencil(positions, cutoff, shape: tuple[int, int]):
+def partition_by_pencil(positions, cutoff, shape: tuple[int, int],
+                        n_payload: int = 0, slack: int = 0):
     """Host-side global pencil partition.
 
     Splits the key-sorted order into ``a`` equal z-blocks (slot
@@ -97,10 +102,12 @@ def partition_by_pencil(positions, cutoff, shape: tuple[int, int]):
     device reads its own entries by `axis_index`).
     """
     a, b = shape
-    pts = np.asarray(positions)
-    n, dim = pts.shape
+    rows = np.asarray(positions)
+    n, width = rows.shape
+    dim = width - n_payload
     if dim != 3:
         raise ValueError("pencil decomposition is 3D-only (use slabs)")
+    pts = rows[:, :dim]
     inf, sup, gshape, strides, perm = _host_order_info(pts, cutoff)
     major = int(perm[-1])
     mid = int(perm[-2])
@@ -108,7 +115,7 @@ def partition_by_pencil(positions, cutoff, shape: tuple[int, int]):
     cell = np.floor((pts - inf) / cutoff).astype(np.int64)
     keys = (cell * strides).sum(1)
     order = np.argsort(keys, kind="stable")
-    pts_s = pts[order]
+    pts_s = rows[order]
     cell_s = cell[order]
 
     # global y split points: ~equal counts at cell granularity
@@ -136,13 +143,15 @@ def partition_by_pencil(positions, cutoff, shape: tuple[int, int]):
         for j in range(b):
             m = (ycells >= mid_bounds[j]) & (ycells < mid_bounds[j + 1])
             blocks.append(pts_s[sl][m])
-    n_local = max(max(len(bk) for bk in blocks), 1)
+    # slack: per-block headroom so `repartition_pencil` can absorb
+    # migration without an immediate host re-partition
+    n_local = max(max(len(bk) for bk in blocks), 1) + slack
 
     # key-safe pads: distinct empty cells beyond sup along the major
     # axis, globally unique so pads never coincide anywhere. Pads sort
     # LAST within each block; the device side must exchange the REAL
     # tail (n_real below), not the pad tail.
-    out = np.empty((a * b * n_local, dim), pts.dtype)
+    out = np.empty((a * b * n_local, width), rows.dtype)
     n_real = np.empty((a * b,), np.int32)
     pad_k = 2
     for d, bk in enumerate(blocks):
@@ -150,7 +159,8 @@ def partition_by_pencil(positions, cutoff, shape: tuple[int, int]):
         n_real[d] = len(bk)
         npad = n_local - len(bk)
         if npad:
-            pad = np.tile(inf, (npad, 1)).astype(pts.dtype)
+            base = np.concatenate([inf, np.zeros(n_payload)])
+            pad = np.tile(base, (npad, 1)).astype(rows.dtype)
             pad[:, major] = sup[major] + 2.0 * cutoff * np.arange(
                 pad_k, pad_k + npad
             )
@@ -294,6 +304,7 @@ def _yhalo(ext1, info, cutoff, HY, mid_bounds):
     nd = jax.lax.axis_size(YAX)
     idy = jax.lax.axis_index(YAX)
     dtype = ext1.dtype
+    HY = min(HY, ext1.shape[0])  # a column can never exceed the pool
     if nd == 1 or HY == 0:
         z = jnp.zeros((0, ext1.shape[1]), dtype)
         return z, z, jnp.asarray(True)
@@ -777,6 +788,486 @@ def repartition_pencil(
         mesh=mesh,
         in_specs=(P((ZAX, YAX), None), P(), P()),
         out_specs=(P((ZAX, YAX), None), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# Periodic boundary conditions on the pencil mesh (round 4): the pencil
+# sibling of `parallel.pbc` — z (major) wraps around the z ring, y (mid)
+# wraps around the y ring, corners ride the same two-phase forwarding,
+# and the minor axis gets `ops.pbc.pbc_extend(axes=minor)` ghost images
+# (including images OF halo rows — corner pairs across the wraps). The
+# ownership plane 0.5*(o_i+o_j) needs no changes: wrapped halo rows and
+# minor images are all unowned copies.
+# ---------------------------------------------------------------------------
+
+
+def _pencil_axes(box, cutoff):
+    """Host (major, mid, minor) axis indices of the static extended
+    grid (`parallel.pbc._static_info` ordering)."""
+    shape = np.floor(
+        (np.asarray(box, np.float64) + 4.0 * cutoff) / cutoff
+    ).astype(np.int64) + 1
+    order = np.argsort(shape, kind="stable")
+    return int(order[-1]), int(order[-2]), int(order[0])
+
+
+def partition_by_pencil_pbc(positions, origin, box, cutoff,
+                            shape: tuple[int, int], n_payload: int = 0,
+                            slack: int = 0):
+    """Host-side pencil partition of a periodic box: wrap, key-sort with
+    the STATIC extended grid ([origin - 2c, origin + box + 2c], matching
+    `_static_info`), split into a equal slot z-blocks x b y-cell columns.
+    y-cells are numbered relative to ``origin`` (cell = floor((y -
+    origin_mid)/cutoff)), the numbering the device side reproduces.
+    Returns (rows ((a*b*n_local, 3+n_payload)), n_local, mid_bounds,
+    n_real)."""
+    a, b = shape
+    rows = np.asarray(positions, np.float64)
+    n, width = rows.shape
+    dim = width - n_payload
+    if dim != 3:
+        raise ValueError("pencil decomposition is 3D-only (use slabs)")
+    origin = np.asarray(origin, np.float64).reshape(3)
+    box = np.asarray(box, np.float64).reshape(3)
+    pts = origin + np.mod(rows[:, :3] - origin, box)
+    rows = rows.copy()
+    rows[:, :3] = pts
+
+    inf = origin - 2.0 * cutoff
+    gshape = np.floor((box + 4.0 * cutoff) / cutoff).astype(np.int64) + 1
+    perm = np.argsort(gshape, kind="stable")
+    padded = gshape[perm] + 4
+    s = np.concatenate([[1], np.cumprod(padded[:-1])])
+    strides = np.empty_like(s)
+    strides[perm] = s
+    major, mid, _ = _pencil_axes(box, cutoff)
+
+    cell = np.floor((pts - inf) / cutoff).astype(np.int64)
+    keys = (cell * strides).sum(1)
+    order = np.argsort(keys, kind="stable")
+    rows_s = rows[order]
+    ycell_s = np.floor(
+        (rows_s[:, mid] - origin[mid]) / cutoff
+    ).astype(np.int64)
+
+    nyc = int(np.floor(box[mid] / cutoff)) + 1
+    hist = np.bincount(np.clip(ycell_s, 0, nyc - 1), minlength=nyc)
+    cum = np.cumsum(hist)
+    mid_bounds = [0]
+    for j in range(1, b):
+        mid_bounds.append(int(np.searchsorted(cum, j * n / b) + 1))
+    mid_bounds.append(nyc)
+    mid_bounds = np.maximum.accumulate(np.asarray(mid_bounds, np.int64))
+    if len(set(mid_bounds.tolist())) != b + 1:
+        raise ValueError(
+            f"cannot split {nyc} y-cells into {b} non-empty columns; "
+            "use fewer y-devices or a bigger box"
+        )
+
+    zsplit = [0] + [(-(-n * i // a)) for i in range(1, a)] + [n]
+    blocks = []
+    for i in range(a):
+        sl = slice(zsplit[i], zsplit[i + 1])
+        yc = np.clip(ycell_s[sl], 0, nyc - 1)
+        for j in range(b):
+            m = (yc >= mid_bounds[j]) & (yc < mid_bounds[j + 1])
+            blocks.append(rows_s[sl][m])
+    n_local = max(max(len(bk) for bk in blocks), 1) + slack
+
+    out = np.empty((a * b * n_local, width), np.float64)
+    n_real = np.empty((a * b,), np.int32)
+    pad_k = 2
+    for d, bk in enumerate(blocks):
+        out[d * n_local : d * n_local + len(bk)] = bk
+        n_real[d] = len(bk)
+        npad = n_local - len(bk)
+        if npad:
+            base = np.concatenate([origin, np.zeros(n_payload)])
+            pad = np.tile(base, (npad, 1))
+            pad[:, major] = origin[major] + box[major] \
+                + 2.0 * cutoff * np.arange(pad_k, pad_k + npad)
+            pad_k += npad
+            out[d * n_local + len(bk) : (d + 1) * n_local] = pad
+    return (out, n_local, jnp.asarray(mid_bounds, jnp.int32),
+            jnp.asarray(n_real))
+
+
+def _zhalo_pbc(pos_s, H, origin, box, major, nreal):
+    """Phase-1 z-ring exchange with PERIODIC wrap: ring-edge halos are
+    the opposite end's rows shifted by -/+ box[major] (the periodic
+    images). Works for a 1-device z axis too (self-permutes: a block's
+    own head/tail become its wrap images). Only in-box rows shift —
+    partitioner pads would otherwise land back inside the box."""
+    nd = jax.lax.axis_size(ZAX)
+    idx = jax.lax.axis_index(ZAX)
+    dtype = pos_s.dtype
+    if H == 0:
+        z = jnp.zeros((0, pos_s.shape[1]), dtype)
+        return z, z
+    fwd = [(i, (i + 1) % nd) for i in range(nd)]
+    bwd = [(i, (i - 1) % nd) for i in range(nd)]
+    tail0 = jnp.clip(nreal - H, 0, pos_s.shape[0] - H)
+    tail = jax.lax.dynamic_slice(
+        pos_s, (tail0, jnp.int32(0)), (H, pos_s.shape[1])
+    )
+    gl = jax.lax.ppermute(tail, ZAX, fwd)
+    gr = jax.lax.ppermute(pos_s[:H], ZAX, bwd)
+    shift = jnp.zeros((pos_s.shape[1],), dtype).at[major].set(
+        jnp.asarray(box, dtype).reshape(3)[major])
+    org_m = jnp.asarray(origin, dtype).reshape(3)[major]
+    sup_m = org_m + jnp.asarray(box, dtype).reshape(3)[major]
+    in_l = (gl[:, major] >= org_m) & (gl[:, major] < sup_m)
+    in_r = (gr[:, major] >= org_m) & (gr[:, major] < sup_m)
+    gl = jnp.where((idx == 0) & in_l[:, None], gl - shift, gl)
+    gr = jnp.where((idx == nd - 1) & in_r[:, None], gr + shift, gr)
+    return gl, gr
+
+
+def _ycell_pbc(rows, origin, box, cutoff, major, mid):
+    """Mid-axis cell index relative to ``origin`` (the partitioner's
+    numbering); rows far outside the box along MAJOR (pads at >= 4c) map
+    to -9, while wrapped z-ghosts (within ~H rows of the faces) keep
+    their true column so corner forwarding sees them."""
+    dtype = rows.dtype
+    org = jnp.asarray(origin, dtype).reshape(3)
+    bx = jnp.asarray(box, dtype).reshape(3)
+    c = jnp.asarray(cutoff, dtype)
+    y = jnp.floor((rows[:, mid] - org[mid]) / c).astype(jnp.int32)
+    mj = rows[:, major]
+    near = (mj >= org[major] - 1.5 * c) & (
+        mj <= org[major] + bx[major] + 1.5 * c)
+    return jnp.where(near, y, jnp.int32(-9))
+
+
+def _yhalo_pbc(ext1, origin, box, cutoff, HY, mid_bounds, major, mid):
+    """Phase-2 y-ring exchange with PERIODIC wrap: mesh-edge columns
+    receive the opposite edge's boundary column shifted by -/+ box[mid].
+    Forwarding the phase-1 result covers the (possibly wrapped) corner
+    pencils exactly like the open-boundary two-phase trick."""
+    nd = jax.lax.axis_size(YAX)
+    idy = jax.lax.axis_index(YAX)
+    dtype = ext1.dtype
+    HY = min(HY, ext1.shape[0])  # a column can never exceed the pool
+    if HY == 0:
+        z = jnp.zeros((0, ext1.shape[1]), dtype)
+        return z, z, jnp.asarray(True)
+    y = _ycell_pbc(ext1, origin, box, cutoff, major, mid)
+    y_lo = mid_bounds[idy]
+    y_hi = mid_bounds[idy + 1] - 1
+
+    send_l, cnt_l, ok_l = _extract_ycolumn(ext1, y, y_lo, HY)
+    send_r, cnt_r, ok_r = _extract_ycolumn(ext1, y, y_hi, HY)
+
+    fwd = [(i, (i + 1) % nd) for i in range(nd)]
+    bwd = [(i, (i - 1) % nd) for i in range(nd)]
+    ygl = jax.lax.ppermute(send_r, YAX, fwd)
+    ygr = jax.lax.ppermute(send_l, YAX, bwd)
+    shift = jnp.zeros((ext1.shape[1],), dtype).at[mid].set(
+        jnp.asarray(box, dtype).reshape(3)[mid])
+    # shift only rows near the box along major AND inside along mid —
+    # junk rows (extraction overfill, pads) must not resurface in-box.
+    org = jnp.asarray(origin, dtype).reshape(3)
+    bx = jnp.asarray(box, dtype).reshape(3)
+    c = jnp.asarray(cutoff, dtype)
+
+    def shiftable(rows):
+        md = rows[:, mid]
+        mj = rows[:, major]
+        return (
+            (md >= org[mid]) & (md < org[mid] + bx[mid])
+            & (mj >= org[major] - 1.5 * c)
+            & (mj <= org[major] + bx[major] + 1.5 * c)
+        )
+
+    ygl = jnp.where((idy == 0) & shiftable(ygl)[:, None], ygl - shift, ygl)
+    ygr = jnp.where((idy == nd - 1) & shiftable(ygr)[:, None],
+                    ygr + shift, ygr)
+    return ygl, ygr, ok_l & ok_r
+
+
+def _build_ext2_pbc(pos, origin, box, cutoff, HZ, HY, B, G, mid_bounds,
+                    n_real, need_slot):
+    """Periodic pencil preamble: static grid, wrap z/y halos, minor-axis
+    ghost images, one re-sort. Returns (ext_s, keys_s, o_s, slot_s,
+    info, ok, n_loc, Hg, pool_len)."""
+    from .pbc import _static_info
+    from ..ops.pbc import pbc_extend
+
+    n_loc = pos.shape[0]
+    dt = pos.dtype
+    nreal = _my_nreal(n_real)
+    real = jnp.arange(n_loc) < nreal
+    org = jnp.asarray(origin, dt).reshape(3)
+    bx = jnp.asarray(box, dt).reshape(3)
+    info = _static_info(org, bx, cutoff, dt)
+    major, mid, minor = _pencil_axes(box, cutoff)
+
+    # stable: the md path feeds a pre-sorted block (see `_build_ext2`)
+    bins, pos_s = bin_and_sort(pos, cutoff, max_cells=1, info=info)
+    H = min(HZ, n_loc)
+    if jax.lax.axis_size(ZAX) == 2:
+        # head and tail halos both come from the one other device; keep
+        # the slices disjoint or shared rows double their 1/2 ownership
+        H = min(H, n_loc // 2)
+
+    gl, gr = _zhalo_pbc(pos_s, H, origin, box, major, nreal)
+    Hg = gl.shape[0]
+    ext1 = jnp.concatenate([gl, pos_s, gr], axis=0)
+    o1 = jnp.concatenate([
+        jnp.zeros((Hg,), dt), real.astype(dt), jnp.zeros((Hg,), dt),
+    ])
+    ygl, ygr, y_ok = _yhalo_pbc(ext1, origin, box, cutoff, HY, mid_bounds,
+                                major, mid)
+    pool = jnp.concatenate([ext1, ygl, ygr], axis=0)
+    ny = ygl.shape[0] + ygr.shape[0]
+    o_pool = jnp.concatenate([o1, jnp.zeros((ny,), dt)])
+
+    # minor-axis periodic images (incl. images of wrapped halo rows)
+    axes = tuple(a == minor for a in range(3))
+    ext, _, _w, valid, okg = pbc_extend(
+        pool, org, bx, cutoff, B=B, G=G, wrap=False, axes=axes,
+    )
+    o = jnp.concatenate(
+        [o_pool, jnp.zeros((ext.shape[0] - pool.shape[0],), dt)])
+
+    from ..core.geometry import SENTINEL_KEY
+
+    keys2 = jax.vmap(info.flat_cell_index)(ext)
+    keys2 = jnp.where(valid, keys2, SENTINEL_KEY)
+    ops = (keys2,) + tuple(ext[:, a] for a in range(3)) + (o,)
+    if need_slot:
+        ops = ops + (jnp.arange(ext.shape[0], dtype=jnp.int32),)
+    out = jax.lax.sort(ops, num_keys=1, is_stable=False)
+    keys_s = out[0]
+    ext_s = jnp.stack(out[1:4], axis=-1)
+    o_s = out[4]
+    slot_s = out[5] if need_slot else None
+
+    # coverage: interior z key windows + ring faces + y capacity +
+    # y residency + extend flags
+    z_ok = _zhalo_ok(bins.sorted_keys, info.strides, H, nreal)
+    # ring faces: rows within cutoff of a major face must fit in the
+    # edge devices' halo slices. Unlike the slab check, pads never eat
+    # halo slots here — `_zhalo_pbc` slices the REAL tail (nreal - H),
+    # so only the face populations themselves bound H.
+    maj = pos_s[:, major]
+    in_box_maj = maj < org[major] + bx[major]
+    cnt_lo = jnp.sum(maj < org[major] + cutoff)
+    cnt_hi = jnp.sum(
+        (maj >= org[major] + bx[major] - cutoff) & in_box_maj)
+    nd = jax.lax.axis_size(ZAX)
+    idx = jax.lax.axis_index(ZAX)
+    ring_ok = jnp.where(
+        nd > 1,
+        jnp.where(idx == 0, cnt_lo <= H, cnt_lo == 0)
+        & jnp.where(idx == nd - 1, cnt_hi <= H, cnt_hi == 0),
+        (cnt_lo <= H) & (cnt_hi <= H),
+    )
+    y = _ycell_pbc(pos_s, origin, box, cutoff, major, mid)
+    idy = jax.lax.axis_index(YAX)
+    inside = (y >= mid_bounds[idy]) & (y < mid_bounds[idy + 1])
+    drift_ok = jnp.all(jnp.where(real, inside, True))
+    ok = z_ok & y_ok & okg & ring_ok & drift_ok
+    return ext_s, keys_s, o_s, slot_s, info, ok, n_loc, Hg
+
+
+def sharded_pencil_pbc_lj_energy(
+    mesh: Mesh,
+    *,
+    origin,
+    box,
+    cutoff: float,
+    HZ: int,
+    HY: int,
+    B: int,
+    G: int,
+    M: int = 4096,
+    L: int = 512,
+    MAXJ: int = 8,
+    use_tile: bool = False,
+    term=lj_term,
+    interpret: bool = False,
+):
+    """Global LJ energy under orthorhombic PBC over the pencil mesh.
+
+    efn(positions, mid_bounds, n_real) -> (energy, ok): positions in the
+    `partition_by_pencil_pbc` layout. All three boundary mechanisms
+    compose under the one ownership plane: z wraps the z ring, y wraps
+    the y ring, the minor axis gets ghost images."""
+    wterm = _weighted_term(term)
+
+    def local(pos, mid_bounds, n_real):
+        ext_s, keys_s, o_s, _, info, ok, _, _ = _build_ext2_pbc(
+            pos, origin, box, cutoff, HZ, HY, B, G, mid_bounds, n_real,
+            need_slot=False,
+        )
+        csq = jnp.asarray(cutoff, pos.dtype) ** 2
+        if use_tile:
+            from ..ops.tile_pairs import tile_pair_reduce
+
+            e_loc, cap = tile_pair_reduce(
+                ext_s, keys_s, info.strides, csq, sorted_payload=o_s,
+                MAXJ=MAXJ, term=wterm, interpret=interpret,
+            )
+        else:
+            from ..ops.pallas_pairs import lag_coverage_ok
+
+            e_loc = pair_lag_reduce(
+                ext_s, keys_s, info.strides, csq,
+                sorted_payload=o_s[:, None], M=M, L=L, term=wterm,
+                interpret=interpret,
+            )
+            cap = lag_coverage_ok(keys_s, info.strides, L)
+        e = jax.lax.psum(jax.lax.psum(e_loc, ZAX), YAX)
+        return e, _all_ok2(ok & cap)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P((ZAX, YAX), None), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def _pbc_md_step_local(pos, vel, mid_bounds, n_real, *, origin, box,
+                       cutoff, HZ, HY, B, G, dt, M, L, interpret):
+    from ..ops.pbc import wrap_positions
+
+    wterm = _weighted_term(lj_term)
+    nreal = _my_nreal(n_real)
+    real = jnp.arange(pos.shape[0]) < nreal
+    from .pbc import _static_info
+
+    info0 = _static_info(
+        jnp.asarray(origin, pos.dtype), jnp.asarray(box, pos.dtype),
+        cutoff, pos.dtype)
+    bins, cols = bin_and_sort(
+        jnp.concatenate([pos, vel], axis=1), cutoff, max_cells=1,
+        info=info0,
+    )
+    dim = pos.shape[1]
+    pos_s, vel_s = cols[:, :dim], cols[:, dim:]
+
+    ext_s, keys_s, o_s, slot_s, info, ok, n_loc, Hg = _build_ext2_pbc(
+        pos_s, origin, box, cutoff, HZ, HY, B, G, mid_bounds, n_real,
+        need_slot=True,
+    )
+    csq = jnp.asarray(cutoff, pos.dtype) ** 2
+    f = pair_lag_forces(
+        ext_s, keys_s, info.strides, csq, M=M, L=L,
+        gfn=lj_force_factor, interpret=interpret,
+    )
+    from ..ops.pallas_pairs import lag_coverage_ok
+
+    cap = lag_coverage_ok(keys_s, info.strides, L)
+    e_loc = pair_lag_reduce(
+        ext_s, keys_s, info.strides, csq, sorted_payload=o_s[:, None],
+        M=M, L=L, term=wterm, interpret=interpret,
+    )
+    uops = (slot_s,) + tuple(f[:, a] for a in range(dim))
+    uout = jax.lax.sort(uops, num_keys=1, is_stable=False)
+    f_own = jnp.stack(uout[1:], axis=-1)[Hg : Hg + n_loc]
+
+    vel_new = vel_s + dt * jnp.where(real[:, None], f_own, 0.0)
+    stepped = pos_s + dt * vel_new
+    pos_new = jnp.where(
+        real[:, None],
+        wrap_positions(
+            stepped, jnp.asarray(origin, pos.dtype),
+            jnp.asarray(box, pos.dtype)),
+        pos_s,
+    )
+    e = jax.lax.psum(jax.lax.psum(e_loc, ZAX), YAX)
+    return pos_new, vel_new, e, _all_ok2(ok & cap)
+
+
+def sharded_pencil_pbc_md_step(
+    mesh: Mesh,
+    *,
+    origin,
+    box,
+    cutoff: float,
+    HZ: int,
+    HY: int,
+    B: int,
+    G: int,
+    dt: float = 1e-4,
+    M: int = 4096,
+    L: int = 512,
+    interpret: bool = False,
+):
+    """One periodic MD step over the pencil mesh (positions wrapped back
+    into the box; pads never integrate). coverage_ok folds the
+    y-residency check — wrap-induced y migration trips it and
+    `repartition_pencil` (with `partition_by_pencil_pbc` numbering) is
+    the recovery path."""
+
+    def local(pos, vel, mid_bounds, n_real):
+        return _pbc_md_step_local(
+            pos, vel, mid_bounds, n_real, origin=origin, box=box,
+            cutoff=cutoff, HZ=HZ, HY=HY, B=B, G=G, dt=dt, M=M, L=L,
+            interpret=interpret,
+        )
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P((ZAX, YAX), None), P((ZAX, YAX), None), P(), P()),
+        out_specs=(P((ZAX, YAX), None), P((ZAX, YAX), None), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_pencil_pbc_md_run(
+    mesh: Mesh,
+    *,
+    origin,
+    box,
+    cutoff: float,
+    HZ: int,
+    HY: int,
+    B: int,
+    G: int,
+    steps: int,
+    dt: float = 1e-4,
+    M: int = 4096,
+    L: int = 512,
+    interpret: bool = False,
+):
+    """Whole periodic pencil trajectory in one dispatch (scan of
+    `sharded_pencil_pbc_md_step`'s body + a final energy)."""
+
+    def local(pos, vel, mid_bounds, n_real):
+        def body(carry, _):
+            p, v, okacc = carry
+            p2, v2, _e, ok = _pbc_md_step_local(
+                p, v, mid_bounds, n_real, origin=origin, box=box,
+                cutoff=cutoff, HZ=HZ, HY=HY, B=B, G=G, dt=dt, M=M, L=L,
+                interpret=interpret,
+            )
+            return (p2, v2, okacc & ok), None
+
+        (p, v, ok), _ = jax.lax.scan(
+            body, (pos, vel, jnp.asarray(True)), None, length=steps
+        )
+        _, _, e, ok_e = _pbc_md_step_local(
+            p, v, mid_bounds, n_real, origin=origin, box=box,
+            cutoff=cutoff, HZ=HZ, HY=HY, B=B, G=G, dt=0.0, M=M, L=L,
+            interpret=interpret,
+        )
+        return p, v, e, ok & ok_e
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P((ZAX, YAX), None), P((ZAX, YAX), None), P(), P()),
+        out_specs=(P((ZAX, YAX), None), P((ZAX, YAX), None), P(), P()),
         check_vma=False,
     )
     return jax.jit(fn)
