@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Round-5 cross-tool comparison: the full reference protocol
+(scripts/more_benches.sh:16-50) — n = 1e2..1e8 with the repeat schedule
+{1e5, 1e4, 1e3, 1e2, 10, 1, 1} so runtime_s measures the WORKLOAD, not
+dispatch (the round-3 CSV's reps=1 rows at small n measured the ~30 ms
+device-tunnel RTT).
+
+Differences from run_comparison.sh (which remains the file-based
+orchestrator): each tool runs in its own subprocess (peak-RSS memory_mb
+like more_benches.sh's Mbytes column) and regenerates the dataset
+in-process from the protocol generator (benchmarks/lammps_data.py uses
+the same `generate_points_random` — the ChaCha12 stream is
+RFC-8439-verified and bit-identical to the data files, test_datagen.py),
+which is what makes 1e8 feasible (a 4 GB text file parsed per tool is
+not). Engine rows time `reps` evaluations inside ONE jitted fori_loop
+(per-iteration input perturbation defeats loop-invariant hoisting).
+
+Omissions at 1e8, documented not forgotten: scipy cKDTree (hours on
+this 1-core host, >20 GB), torch brute force (O(n^2) f64 — ~years);
+LAMMPS/Julia cannot be installed here (no package installs, no egress).
+
+Usage: python benchmarks/run_comparison_r5.py [out.csv] [exponents...]
+"""
+import os
+import subprocess
+import sys
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+REPS = {2: 100000, 3: 10000, 4: 1000, 5: 100, 6: 10, 7: 1, 8: 1}
+
+ENGINE = r'''
+import os, sys, time, resource
+import numpy as np
+sys.path.insert(0, os.environ["ZELLL_REPO"])
+import jax
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_cache"))
+import jax.numpy as jnp
+from zelll_tpu.utils.datagen import generate_points_random, lj_box
+from zelll_tpu.ops.fused import auto_lj_energy, fused_lj_rebuild_energy
+from zelll_tpu.ops.pallas_pairs import suggest_lag
+from zelll_tpu.core.binning import bin_and_sort
+
+n = int(sys.argv[1]); reps = int(sys.argv[2])
+variant = os.environ["ZELLL_VARIANT"]
+cutoff = 10.0
+pts = generate_points_random(n, lj_box(n, cutoff))
+if variant == "presorted":
+    org = pts.min(axis=0)
+    cell = np.floor((pts - org) / cutoff).astype(np.int64)
+    shape = cell.max(axis=0) + 1
+    strides = np.array([1, shape[0] + 4, (shape[0] + 4) * (shape[1] + 4)])
+    pts = pts[np.argsort(cell @ strides, kind="stable")]
+split = variant == "split"
+# one auto call learns the dispatch (path, L) and checks coverage
+e, path = auto_lj_energy(pts, cutoff, split=split)
+if split:
+    pos64 = np.asarray(pts, np.float64)
+    hi = pos64.astype(np.float32)
+    pos = jnp.asarray(hi)
+    pos_lo = jnp.asarray((pos64 - hi.astype(np.float64)).astype(np.float32))
+else:
+    pos = jnp.asarray(pts, np.float32)
+    pos_lo = None
+bins, _ = bin_and_sort(pos, cutoff, max_cells=1, need_perm=False)
+L = suggest_lag(np.asarray(bins.sorted_keys), np.asarray(bins.info.strides))
+M = max(1024, min(16384, L))
+
+@jax.jit
+def loop(p, plo):
+    def body(i, acc):
+        q = p + (i % 2).astype(p.dtype) * 1e-6
+        ev, _ = fused_lj_rebuild_energy(q, cutoff, plo, M=M, L=L)
+        return acc + ev
+    return jax.lax.fori_loop(0, reps, body, jnp.zeros((), pos.dtype))
+
+float(loop(pos, pos_lo))  # warm
+t0 = time.perf_counter()
+float(loop(pos, pos_lo))
+dt = (time.perf_counter() - t0) / reps
+mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+print(f"{n},{reps},{e / n:.14g},{dt:.6g},{mb:.1f},zelll_tpu[{path}|{variant}]")
+'''
+
+ORACLE = r'''
+import os, sys, time, resource
+import numpy as np
+sys.path.insert(0, os.environ["ZELLL_REPO"])
+from zelll_tpu.utils.datagen import generate_points_random, lj_box
+from zelll_tpu import oracle
+n = int(sys.argv[1]); reps = int(sys.argv[2])
+cutoff = 10.0
+pts = generate_points_random(n, lj_box(n, cutoff))
+assert oracle.available()
+e_ref, n_pairs = oracle.lj_energy(pts, cutoff)  # warm
+t0 = time.perf_counter()
+for _ in range(reps):
+    e_ref, n_pairs = oracle.lj_energy(pts, cutoff)
+dt = (time.perf_counter() - t0) / reps
+mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+print(f"{n},{reps},{e_ref / n:.14g},{dt:.6g},{mb:.1f},cpp_oracle")
+'''
+
+EXTERNAL = r'''
+import os, sys, time, resource
+import numpy as np
+sys.path.insert(0, os.environ["ZELLL_REPO"])
+from zelll_tpu.utils.datagen import generate_points_random, lj_box
+n = int(sys.argv[1]); reps = int(sys.argv[2]); tool = sys.argv[3]
+cutoff = 10.0
+pts = generate_points_random(n, lj_box(n, cutoff))
+if tool == "scipy":
+    from scipy.spatial import cKDTree
+    def run():
+        t = cKDTree(pts)
+        pairs = t.query_pairs(cutoff, output_type="ndarray")
+        d = pts[pairs[:, 0]] - pts[pairs[:, 1]]
+        dsq = (d * d).sum(1)
+        x = (1.0 / dsq) ** 3
+        return float((4.0 * x * (x - 1.0)).sum())
+else:
+    import torch
+    def run():
+        p = torch.from_numpy(pts)
+        e = 0.0
+        for lo in range(0, n, 2048):
+            d = p[lo : lo + 2048, None, :] - p[None, :, :]
+            dsq = (d * d).sum(-1)
+            ii = torch.arange(lo, min(lo + 2048, n))
+            gj = torch.arange(n)[None, :].expand(len(ii), n)
+            m = (dsq < cutoff * cutoff) & (gj > ii[:, None])
+            x = torch.where(m, 1.0 / dsq, torch.zeros(())) ** 3
+            e += float((4.0 * x * (x - 1.0) * m).sum())
+        return e
+e = run()  # warm
+t0 = time.perf_counter()
+done = 0
+for _ in range(reps):
+    e = run()
+    done += 1
+    if time.perf_counter() - t0 > 60.0 and done < reps:
+        break  # cap: 1-core host; per-rep time is converged by now
+dt = (time.perf_counter() - t0) / done
+mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+print(f"{n},{done},{e / n:.14g},{dt:.6g},{mb:.1f},{tool}")
+'''
+
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else "benchmarks/comparison_r5.csv"
+    exps = [int(e) for e in sys.argv[2:]] or list(range(2, 9))
+    env = dict(os.environ, ZELLL_REPO=REPO)
+    rows = ["n,reps,energy_per_atom,runtime_s,memory_mb,tool"]
+
+    def run(code, *args, **kw):
+        r = subprocess.run([sys.executable, "-c", code, *map(str, args)],
+                           capture_output=True, text=True,
+                           env=dict(env, **kw), timeout=7200)
+        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+        if r.returncode or not line:
+            sys.stderr.write(f"-- failed ({args}): {r.stderr[-400:]}\n")
+            return None
+        return line
+
+    for exp in exps:
+        n, reps = 10 ** exp, REPS[exp]
+        sys.stderr.write(f"== n=1e{exp} reps={reps}\n")
+        for variant in ("split", "f32", "presorted"):
+            line = run(ENGINE, n, reps, ZELLL_VARIANT=variant)
+            if line:
+                rows.append(line)
+                print(line, flush=True)
+        line = run(ORACLE, n, reps)
+        if line:
+            rows.append(line)
+            print(line, flush=True)
+        if exp <= 7:
+            line = run(EXTERNAL, n, reps, "scipy")
+            if line:
+                rows.append(line)
+                print(line, flush=True)
+        if exp <= 5:
+            line = run(EXTERNAL, n, min(reps, 3), "torch")
+            if line:
+                rows.append(line)
+                print(line, flush=True)
+        with open(out, "w") as f:
+            f.write("\n".join(rows) + "\n")
+    sys.stderr.write(f"wrote {out}\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -217,14 +217,25 @@ def _far_rows(info, cutoff, H, sign, dtype, salt, width=None):
     width = dimsz if width is None else width
     c = jnp.asarray(cutoff, dtype)
     unit = _axis_unit(info.strides, "major").astype(dtype)
+    munit = _axis_unit(info.strides, "mid").astype(dtype)
     inf = info.aabb.inf.astype(dtype)
     sup = info.aabb.sup.astype(dtype)
-    r = jnp.arange(H, dtype=dtype) + jnp.asarray(salt, dtype)
-    off_lo = -c * (2.0 * r + 5.0)
-    off_hi = jnp.dot(sup - inf, unit) + c * (2.0 * r + 5.0)
+    # 2D (major x mid) grid, 2*cutoff spacing: a 1D stack of H + salt
+    # rows would reach ~2c*(H+salt) beyond the box — tens of thousands
+    # of cells at pencil halo sizes, overflowing the tile path's f32
+    # 2^24 key-exactness bound. The grid keeps both offsets ~sqrt(H).
+    import math
+
+    K = max(int(math.isqrt(max(H, 1))), 1)
+    r = jnp.arange(H, dtype=dtype)
+    i = jnp.floor(r / K) + jnp.asarray(salt, dtype)
+    j = jnp.asarray(r % K, dtype)
+    off_lo = -c * (2.0 * i + 5.0)
+    off_hi = jnp.dot(sup - inf, unit) + c * (2.0 * i + 5.0)
     base = jnp.broadcast_to(inf, (H, dimsz))
     off = off_hi if sign > 0 else off_lo
-    rows = base + off[:, None] * unit[None, :]
+    rows = (base + off[:, None] * unit[None, :]
+            + (2.0 * c * j)[:, None] * munit[None, :])
     if width > dimsz:
         rows = jnp.concatenate(
             [rows, jnp.zeros((H, width - dimsz), dtype)], axis=1)
@@ -319,9 +330,14 @@ def _yhalo(ext1, info, cutoff, HY, mid_bounds):
     bwd = [(i, (i - 1) % nd) for i in range(nd)]
     ygl = jax.lax.ppermute(send_r, YAX, fwd)   # left neighbor's top column
     ygr = jax.lax.ppermute(send_l, YAX, bwd)   # right neighbor's bottom
-    far_l = _far_rows(info, cutoff, HY, -1, dtype, 3 + 2 * HY,
+    # salt offsets the y family's major rows past the z family's
+    # (z uses i in [0, ceil(H/K))); sqrt-grid keeps this ~sqrt(H)
+    import math
+
+    ysalt = int(math.isqrt(max(HY, 1))) + 3
+    far_l = _far_rows(info, cutoff, HY, -1, dtype, ysalt,
                       width=ext1.shape[1])
-    far_r = _far_rows(info, cutoff, HY, +1, dtype, 3 + 2 * HY,
+    far_r = _far_rows(info, cutoff, HY, +1, dtype, ysalt,
                       width=ext1.shape[1])
     ygl = jnp.where(idy == 0, far_l, ygl)
     ygr = jnp.where(idy == nd - 1, far_r, ygr)

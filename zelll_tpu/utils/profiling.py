@@ -15,7 +15,8 @@ import time
 
 import numpy as np
 
-__all__ = ["device_time", "stage_report", "trace"]
+__all__ = ["device_time", "stage_report", "trace",
+           "device_memory_peak", "hbm_row"]
 
 
 def measure_rtt():
@@ -128,3 +129,45 @@ def trace(log_dir: str = "/tmp/zelll_tpu_trace"):
         yield log_dir
     finally:
         jax.profiler.stop_trace()
+
+
+def device_memory_peak():
+    """Peak live HBM bytes on device 0 (the massif/Mbytes analogue of the
+    reference's memory instrumentation, README.md:100-103 and the
+    more_benches.sh Mbytes column). Returns -1 when the backend does not
+    expose memory_stats (e.g. the CPU interpreter)."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return int(stats.get("peak_bytes_in_use", -1))
+    except Exception:
+        return -1
+
+
+def hbm_row(stage: str, n: int, variant: str, seconds: float,
+            logical_bytes: int, extra: str = "", live_bytes: int = -1):
+    """One CSV row of the HBM report (the cachemisses.sh analogue): the
+    logical operand traffic of the stage (bytes read + written at the
+    jit boundary, the TPU translation of the Dr/Dw counters) and the
+    achieved bandwidth logical_bytes / time. XLA's internal passes
+    (sort rounds, fusion temporaries) move more than the logical bytes;
+    the logical number is the lower bound a perfect fusion would hit,
+    so achieved-GB/s close to HBM peak means the stage is memory-bound
+    and fused well, far below peak means compute-bound (the pair
+    kernels) or pass-dominated (the sort).
+
+    Rows whose time is below ~4 dispatch-quantum microseconds are
+    latency-bound (the reference's small-n repeats measure the same
+    effect); their bandwidth column is left empty rather than printing
+    an absurd number. ``live_bytes`` is the ANALYTIC peak working set
+    (arrays alive at once); the axon PJRT plugin does not expose
+    memory_stats, so `device_memory_peak` returns -1 through the tunnel
+    and the analytic column is the massif/Mbytes analogue."""
+    if seconds * 1e3 < 0.02:
+        gb = ""
+    else:
+        gb = f"{logical_bytes / max(seconds, 1e-12) / 1e9:.2f}"
+    peak = device_memory_peak()
+    return (f"{stage},{n},{variant},{seconds * 1e3:.3f},"
+            f"{logical_bytes},{gb},{peak},{live_bytes},{extra}")
