@@ -15,9 +15,13 @@ which is what makes 1e8 feasible (a 4 GB text file parsed per tool is
 not). Engine rows time `reps` evaluations inside ONE jitted fori_loop
 (per-iteration input perturbation defeats loop-invariant hoisting).
 
-Omissions at 1e8, documented not forgotten: scipy cKDTree (hours on
-this 1-core host, >20 GB), torch brute force (O(n^2) f64 — ~years);
-LAMMPS/Julia cannot be installed here (no package installs, no egress).
+Omissions at 1e8, documented not forgotten: the engine's split
+(f64-grade) variant — hi+lo planes double every sort operand and the
+16 GB v5e HBM is RESOURCE_EXHAUSTED at n=1e8 (measured; the f32 row
+covers 1e8, and split's 1e-6-grade parity is established at every
+n <= 1e7); scipy cKDTree (hours on this 1-core host, >20 GB); torch
+brute force (O(n^2) f64 — ~years); LAMMPS/Julia cannot be installed
+here (no package installs, no egress).
 
 Usage: python benchmarks/run_comparison_r5.py [out.csv] [exponents...]
 """
@@ -165,7 +169,9 @@ def main():
     for exp in exps:
         n, reps = 10 ** exp, REPS[exp]
         sys.stderr.write(f"== n=1e{exp} reps={reps}\n")
-        for variant in ("split", "f32", "presorted"):
+        variants = (("f32", "presorted") if exp >= 8
+                    else ("split", "f32", "presorted"))
+        for variant in variants:
             line = run(ENGINE, n, reps, ZELLL_VARIANT=variant)
             if line:
                 rows.append(line)

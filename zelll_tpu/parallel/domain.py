@@ -504,8 +504,14 @@ def _repartition_exchange_local(pos, vel, info, cutoff, cap, ring=False):
     idx = jax.lax.axis_index(AXIS)
     n_loc = pos.shape[0]
     stacked = jnp.concatenate([pos, vel], axis=1)
+    # STABLE: the documented contract is bit-identity with the
+    # all_gather `repartition`, whose stable global sort keeps equal-key
+    # rows in (device, input-slot) order — the source-device tie column
+    # restores device order but only a stable local sort preserves the
+    # intra-device input order (round-4 unstable default exempted here)
     bins, cols = bin_and_sort(
-        stacked, cutoff, max_cells=1, info=info, need_perm=False
+        stacked, cutoff, max_cells=1, info=info, need_perm=False,
+        stable=True,
     )
     keys = bins.sorted_keys  # (n_loc,) ascending
     k2 = keys * nd + idx
