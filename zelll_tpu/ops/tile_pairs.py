@@ -453,7 +453,7 @@ def _make_tile_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
 def _make_tile_hist_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                                   K: int, dtype, split: bool,
                                   distributed: bool, n_payload: int,
-                                  pair_mask):
+                                  pair_mask, bandmask: bool = True):
     """Packed-layout histogram kernel: per tile, the masked candidate
     matrix is classified against K ascending squared-distance edges and
     counted CUMULATIVELY into K per-bin (128, 128) int32 planes living
@@ -463,13 +463,29 @@ def _make_tile_hist_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
     linear in K (one compare + one accumulate per bin per tile).
 
     ``pair_mask(own_payload, j_payload) -> bool`` masks candidates from
-    the packed payload row (PBC shift-sign dedup)."""
+    the packed payload row (PBC shift-sign dedup). ``bandmask=False``
+    drops the key-band compare (and the own-key lane broadcast) exactly
+    as in `_make_tile_kernel_packed`: with cell edge == the outermost
+    edge (the effective cutoff) and pairwise-disjoint executed windows
+    (`segments.trim_windows_disjoint`), the distance classification
+    alone is exact.
+
+    Accumulation (round 13): per tile, 4 bins pack into 8-bit fields of
+    one int32 plane (``jnp.where(ind, 1 << 8j, 0)`` adds), so a tile
+    performs ceil(K/4) fused accumulator RMWs instead of K — the K
+    separate (128,128) plane RMWs were the dominant cost of the round-8
+    body (~4x the accumulator traffic of an energy tile at K=32). The
+    packed planes flush into the full-width output once per own chunk;
+    per-(lane, bin) counts within a chunk are bounded by the tile count
+    sum(MAXJ), which the wrapper guards <= 255 (8-bit field capacity)."""
     TJ = sum(MAXJ)
     MOFF = tuple(sum(MAXJ[:s]) for s in range(S))
     ncoord = D // 2 if split else D
+    Kp = (K + 3) // 4  # packed accumulator planes (4 bins x 8-bit fields)
+    assert TJ <= 255, "packed hist accumulation needs sum(MAXJ) <= 255"
 
     def kernel(bands_ref, edges_ref, mislot_ref, bounds_ref, own8_ref,
-               jarr_ref, out_ref, jbuf, sems):
+               jarr_ref, out_ref, pacc, jbuf, sems):
         p = pl.program_id(0)
         csq = edges_ref[K - 1]
         min_islot = mislot_ref[0]
@@ -508,13 +524,18 @@ def _make_tile_hist_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                 jnp.broadcast_to(blkT[:, a : a + 1], (CHUNK, CHUNK))
                 for a in range(D)
             ]
-            own_k = jnp.broadcast_to(blkT[:, D : D + 1], (CHUNK, CHUNK))
+            own_k = (
+                jnp.broadcast_to(blkT[:, D : D + 1], (CHUNK, CHUNK))
+                if bandmask else None
+            )
             if n_payload:
                 own_w = jnp.broadcast_to(blkT[:, D + 1 : D + 2],
                                          (CHUNK, CHUNK))
             if distributed:
                 gslot0 = (p * CB + oc) * CHUNK
                 owned = (row_i[:, 0:1] + gslot0) >= min_islot
+
+            pacc[...] = jnp.zeros_like(pacc)
 
             for s in range(S):
                 jlo, _, jnum = window(oc, s)
@@ -533,15 +554,6 @@ def _make_tile_hist_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                          own_cols=own_cols, own_k=own_k, oc=oc,
                          own_w=own_w if n_payload else None):
                     blk = jbuf[pl.ds((w0 + t) * RB, RB), :]  # (8, 128)
-                    jk = blk[D : D + 1, :]
-                    diff = own_k - jk
-                    m = (diff >= lo_s) & (diff <= hi_s)
-                    if distributed:
-                        m = m & owned
-                    if s == 0:
-                        jcg = jlo + t
-                        ocg = p * CB + oc
-                        m = m & (tri | (jcg < ocg))
                     dsq = jnp.zeros((CHUNK, CHUNK), dtype)
                     for a in range(ncoord):
                         d = own_cols[a] - blk[a : a + 1, :]
@@ -549,24 +561,55 @@ def _make_tile_hist_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                             d = d + (own_cols[a + ncoord]
                                      - blk[a + ncoord : a + ncoord + 1, :])
                         dsq = dsq + d * d
-                    m = m & (dsq < csq)
+                    m = dsq < csq
+                    if bandmask:
+                        jk = blk[D : D + 1, :]
+                        diff = own_k - jk
+                        m = m & (diff >= lo_s) & (diff <= hi_s)
+                    if distributed:
+                        m = m & owned
+                    if s == 0:
+                        jcg = jlo + t
+                        ocg = p * CB + oc
+                        m = m & (tri | (jcg < ocg))
                     if n_payload:
                         m = m & pair_mask(own_w, blk[D + 1 : D + 2, :])
                     safe = jnp.where(m, dsq, big)
-                    for k in range(K):
-                        out_ref[k * CHUNK : (k + 1) * CHUNK] += (
-                            safe < edges_ref[k]
-                        ).astype(jnp.int32)
+                    packs = []
+                    for kp in range(Kp):
+                        v = None
+                        for j in range(4):
+                            k = kp * 4 + j
+                            if k >= K:
+                                break
+                            c = jnp.where(safe < edges_ref[k],
+                                          jnp.int32(1 << (8 * j)),
+                                          jnp.int32(0))
+                            v = c if v is None else v + c
+                        packs.append(v)
+                    pacc[...] += jnp.concatenate(packs, axis=1)
                     return 0
 
                 jax.lax.fori_loop(gtoff, gtoff + gjnum, tile, 0)
+
+            # flush the packed per-chunk counts into the K output planes
+            # (logical shift: the j=3 field legitimately reaches bit 31)
+            for kp in range(Kp):
+                vp = pacc[:, kp * CHUNK : (kp + 1) * CHUNK]
+                for j in range(4):
+                    k = kp * 4 + j
+                    if k >= K:
+                        break
+                    f = vp if j == 0 else jax.lax.shift_right_logical(
+                        vp, jnp.int32(8 * j))
+                    out_ref[k * CHUNK : (k + 1) * CHUNK] += f & 0xFF
 
     return kernel
 
 
 def _packed_hist_core(planes, sorted_keys, strides, edges_sq, *, CB, MAXJ,
                       interpret, split, payload=None, pair_mask=None,
-                      min_islot=0, distributed=False):
+                      min_islot=0, distributed=False, bandmask=False):
     """Packed histogram pipeline (see `_packed_core`): returns
     ((2, K) int32 hi/lo cumulative count planes, coverage_ok)."""
     n = planes[0].shape[0]
@@ -581,12 +624,23 @@ def _packed_hist_core(planes, sorted_keys, strides, edges_sq, *, CB, MAXJ,
 
     nc_pad = max(-(-n // (CHUNK * CB)) * CB, CB)
     MAXJ = _norm_maxj(MAXJ, S, nc_pad)
+    if sum(MAXJ) > 255:
+        raise ValueError(
+            "tile histogram: sum(MAXJ) > 255 exceeds the 8-bit packed "
+            "accumulator field capacity — use smaller per-band capacities"
+        )
     C = nc_pad * CHUNK
     keys_p = _pad_and_desentinel(sorted_keys, C)
 
     csq = edges_sq[K - 1]
     bands = segment_bands(strides)
     jlo, toff, jnum, cov_ok = chunk_bounds(keys_p, bands, MAXJ)
+    if not bandmask:
+        from .segments import trim_windows_disjoint, windows_disjoint
+
+        order = tuple(range(S))
+        toff, jnum = trim_windows_disjoint(jlo, toff, jnum, order)
+        cov_ok = cov_ok & windows_disjoint(jlo, toff, jnum)
     bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(nc_pad, 3 * S)
 
     jarr8 = _pack_blocks(planes, keys_p, csq, n, C, dtype, payload=payload)
@@ -595,7 +649,7 @@ def _packed_hist_core(planes, sorted_keys, strides, edges_sq, *, CB, MAXJ,
 
     kernel = _make_tile_hist_kernel_packed(
         CB, S, MAXJ, D, K, dtype, split, distributed,
-        0 if payload is None else 1, pair_mask,
+        0 if payload is None else 1, pair_mask, bandmask=bandmask,
     )
     out = pl.pallas_call(
         kernel,
@@ -613,6 +667,7 @@ def _packed_hist_core(planes, sorted_keys, strides, edges_sq, *, CB, MAXJ,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((K * CHUNK, CHUNK), jnp.int32),
         scratch_shapes=[
+            pltpu.VMEM((CHUNK, ((K + 3) // 4) * CHUNK), jnp.int32),
             pltpu.VMEM((CB * sum(MAXJ) * RB, CHUNK), dtype),
             pltpu.SemaphoreType.DMA((CB * S,)),
         ],
@@ -644,6 +699,7 @@ def tile_pair_hist(
     interpret: bool = False,
     min_islot=0,
     pair_mask=None,
+    bandmask: bool = False,
 ):
     """Cumulative pair-distance histogram over unique cutoff pairs, any
     box shape (the tile sibling of `pallas_pairs.pair_lag_hist`; the
@@ -651,7 +707,11 @@ def tile_pair_hist(
     must have used). Returns ((2, K) int32 hi/lo planes — see
     `combine_count_vec` — , coverage_ok). K <= 64 (VMEM); cost is linear
     in K. ``sorted_payload`` + ``pair_mask`` mask candidate pairs (PBC
-    image dedup); ``min_islot`` is the distributed ownership rule."""
+    image dedup); ``min_islot`` is the distributed ownership rule.
+    ``bandmask=False`` (default, round 13) runs the maskless tile body
+    over disjoint-trimmed windows (see `tile_pair_reduce`); small/dense
+    grids that trip the disjointness flag must rerun with
+    ``bandmask=True``."""
     n, dim = sorted_pos.shape
     split = sorted_pos_lo is not None
     assert (sorted_payload is None) == (pair_mask is None), (
@@ -668,22 +728,31 @@ def tile_pair_hist(
         planes, sorted_keys, strides, jnp.asarray(edges_sq), CB=CB,
         MAXJ=MAXJ, interpret=interpret, split=split, payload=payload,
         pair_mask=pair_mask, min_islot=min_islot, distributed=distributed,
+        bandmask=bandmask,
     )
 
 
 def _make_tile_stress_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                                     gfn: Callable, dtype, split: bool,
                                     distributed: bool, n_payload: int,
-                                    pair_mask):
+                                    pair_mask, bandmask: bool = True,
+                                    safe_term: bool = True,
+                                    pair_weight=None):
     """Packed-layout stress kernel: per tile, the ncomp upper-triangle
     components of sigma_ab = sum_pairs gfn(dsq) d_a d_b accumulate into
-    per-component (128, 128) planes (Kahan per tile, compensated across
-    programs — the accumulation structure of `_make_tile_kernel_packed`
-    replicated per component). Direct pair terms are bounded by
-    |gfn|*cutoff^2, so there is no box-scale cancellation (see
-    `pallas_pairs._make_stress_kernel`). Half bands: each unique pair
-    contributes once. ``pair_mask(own_payload, j_payload)`` composes the
-    PBC shift-sign dedup, making PBC stress a single pass."""
+    ONE fused (128, ncomp*128) plane RMW (round 13 — the per-component
+    sliced Kahan RMWs were ~24 plane ops per tile; the fused plain add
+    is 2, with the compensation moved to the cross-program fold exactly
+    like ``kahan="program"`` in `_make_tile_kernel_packed`: a lane sees
+    ~1 nonzero addend per chunk, so the extra error is ~eps per chunk
+    partial). Direct pair terms are bounded by |gfn|*cutoff^2, so there
+    is no box-scale cancellation (see `pallas_pairs._make_stress_kernel`).
+    Half bands: each unique pair contributes once.
+    ``pair_mask(own_payload, j_payload)`` composes the PBC shift-sign
+    dedup, making PBC stress a single pass. ``bandmask=False`` /
+    ``safe_term=False`` follow `_make_tile_kernel_packed` (maskless
+    body over disjoint-trimmed windows; the outer where discards the
+    inf/NaN gfn values of unselected lanes)."""
     TJ = sum(MAXJ)
     MOFF = tuple(sum(MAXJ[:s]) for s in range(S))
     ncoord = D // 2 if split else D
@@ -691,7 +760,7 @@ def _make_tile_stress_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
     ncomp = len(comps)
 
     def kernel(bands_ref, csq_ref, mislot_ref, bounds_ref, own8_ref,
-               jarr_ref, out_ref, comp_ref, acc_s, comp_s, jbuf, sems):
+               jarr_ref, out_ref, comp_ref, acc_s, jbuf, sems):
         p = pl.program_id(0)
         num_p = pl.num_programs(0)
         csq = csq_ref[0]
@@ -703,7 +772,6 @@ def _make_tile_stress_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
             comp_ref[...] = jnp.zeros_like(comp_ref)
 
         acc_s[...] = jnp.zeros_like(acc_s)
-        comp_s[...] = jnp.zeros_like(comp_s)
 
         def window(oc, s):
             return (bounds_ref[oc, 3 * s], bounds_ref[oc, 3 * s + 1],
@@ -734,7 +802,10 @@ def _make_tile_stress_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                 jnp.broadcast_to(blkT[:, a : a + 1], (CHUNK, CHUNK))
                 for a in range(D)
             ]
-            own_k = jnp.broadcast_to(blkT[:, D : D + 1], (CHUNK, CHUNK))
+            own_k = (
+                jnp.broadcast_to(blkT[:, D : D + 1], (CHUNK, CHUNK))
+                if bandmask else None
+            )
             if n_payload:
                 own_w = jnp.broadcast_to(blkT[:, D + 1 : D + 2],
                                          (CHUNK, CHUNK))
@@ -759,15 +830,6 @@ def _make_tile_stress_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                          own_cols=own_cols, own_k=own_k, oc=oc,
                          own_w=own_w if n_payload else None):
                     blk = jbuf[pl.ds((w0 + t) * RB, RB), :]  # (8, 128)
-                    jk = blk[D : D + 1, :]
-                    diff = own_k - jk
-                    m = (diff >= lo_s) & (diff <= hi_s)
-                    if distributed:
-                        m = m & owned
-                    if s == 0:
-                        jcg = jlo + t
-                        ocg = p * CB + oc
-                        m = m & (tri | (jcg < ocg))
                     d = []
                     dsq = jnp.zeros((CHUNK, CHUNK), dtype)
                     for a in range(ncoord):
@@ -780,25 +842,39 @@ def _make_tile_stress_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
                     # dsq > 0 excludes self/coincident pairs: gfn(0) =
                     # inf (LJ) and inf * 0 = NaN would poison every
                     # component (forces-kernel semantics)
-                    m = m & (dsq < csq) & (dsq > 0)
-                    if n_payload:
+                    m = (dsq < csq) & (dsq > 0)
+                    if bandmask:
+                        jk = blk[D : D + 1, :]
+                        diff = own_k - jk
+                        m = m & (diff >= lo_s) & (diff <= hi_s)
+                    if distributed:
+                        m = m & owned
+                    if s == 0:
+                        jcg = jlo + t
+                        ocg = p * CB + oc
+                        m = m & (tri | (jcg < ocg))
+                    if n_payload and pair_mask is not None:
                         m = m & pair_mask(own_w, blk[D + 1 : D + 2, :])
-                    safe = jnp.where(m, dsq, jnp.ones_like(dsq))
-                    g = jnp.where(m, gfn(safe), jnp.zeros_like(safe))
-                    for k, (a, b) in enumerate(comps):
-                        rows = slice(k * CHUNK, (k + 1) * CHUNK)
-                        v = (g * d[a]) * d[b]
-                        acc, comp = acc_s[rows], comp_s[rows]
-                        y = v - comp
-                        tt = acc + y
-                        comp_s[rows] = (tt - acc) - y
-                        acc_s[rows] = tt
+                    g = jnp.where(
+                        m,
+                        gfn(jnp.where(m, dsq, jnp.ones_like(dsq))
+                            if safe_term else dsq),
+                        jnp.zeros((CHUNK, CHUNK), dtype),
+                    )
+                    if n_payload and pair_weight is not None:
+                        # MULTIPLICATIVE ownership weight (the d (x) d
+                        # outer product cannot absorb a term-weighting;
+                        # see parallel.pbc.sharded_pbc_stress)
+                        g = g * pair_weight(own_w, blk[D + 1 : D + 2, :])
+                    acc_s[...] += jnp.concatenate(
+                        [(g * d[a]) * d[b] for (a, b) in comps], axis=1)
                     return 0
 
                 jax.lax.fori_loop(gtoff, gtoff + gjnum, tile, 0)
 
+        # compensated cross-program fold (kahan="program" semantics)
         prev = out_ref[...]
-        y = (acc_s[...] - comp_s[...]) - comp_ref[...]
+        y = acc_s[...] - comp_ref[...]
         tt = prev + y
         comp_ref[...] = (tt - prev) - y
         out_ref[...] = tt
@@ -812,7 +888,8 @@ def _make_tile_stress_kernel_packed(CB: int, S: int, MAXJ: tuple, D: int,
 
 def _packed_stress_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
                         MAXJ, gfn, interpret, split, payload=None,
-                        pair_mask=None, min_islot=0, distributed=False):
+                        pair_mask=None, min_islot=0, distributed=False,
+                        bandmask=False, safe_term=True, pair_weight=None):
     """Packed stress pipeline (see `_packed_core`): returns
     ((dim, dim) symmetric stress tensor, coverage_ok)."""
     n = planes[0].shape[0]
@@ -831,6 +908,12 @@ def _packed_stress_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
 
     bands = segment_bands(strides)
     jlo, toff, jnum, cov_ok = chunk_bounds(keys_p, bands, MAXJ)
+    if not bandmask:
+        from .segments import trim_windows_disjoint, windows_disjoint
+
+        order = tuple(range(S))
+        toff, jnum = trim_windows_disjoint(jlo, toff, jnum, order)
+        cov_ok = cov_ok & windows_disjoint(jlo, toff, jnum)
     bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(nc_pad, 3 * S)
 
     jarr8 = _pack_blocks(planes, keys_p, cutoff_sq, n, C, dtype,
@@ -840,7 +923,8 @@ def _packed_stress_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
 
     kernel = _make_tile_stress_kernel_packed(
         CB, S, MAXJ, D, gfn, dtype, split, distributed,
-        0 if payload is None else 1, pair_mask,
+        0 if payload is None else 1, pair_mask, bandmask=bandmask,
+        safe_term=safe_term, pair_weight=pair_weight,
     )
     out = pl.pallas_call(
         kernel,
@@ -854,13 +938,12 @@ def _packed_stress_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
             pl.BlockSpec((CB * RB, CHUNK), lambda p: (p, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((ncomp * CHUNK, CHUNK), lambda p: (0, 0),
+        out_specs=pl.BlockSpec((CHUNK, ncomp * CHUNK), lambda p: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ncomp * CHUNK, CHUNK), dtype),
+        out_shape=jax.ShapeDtypeStruct((CHUNK, ncomp * CHUNK), dtype),
         scratch_shapes=[
-            pltpu.VMEM((ncomp * CHUNK, CHUNK), dtype),
-            pltpu.VMEM((ncomp * CHUNK, CHUNK), dtype),
-            pltpu.VMEM((ncomp * CHUNK, CHUNK), dtype),
+            pltpu.VMEM((CHUNK, ncomp * CHUNK), dtype),
+            pltpu.VMEM((CHUNK, ncomp * CHUNK), dtype),
             pltpu.VMEM((CB * sum(MAXJ) * RB, CHUNK), dtype),
             pltpu.SemaphoreType.DMA((CB * S,)),
         ],
@@ -873,7 +956,7 @@ def _packed_stress_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
         jarr8,
         jarr8,
     )
-    sums = jnp.sum(out.reshape(ncomp, CHUNK, CHUNK), axis=(1, 2))
+    sums = jnp.sum(out.reshape(CHUNK, ncomp, CHUNK), axis=(0, 2))
     sig = jnp.zeros((dim, dim), dtype)
     k = 0
     for a in range(dim):
@@ -899,21 +982,30 @@ def tile_pair_stress(
     interpret: bool = False,
     min_islot=0,
     pair_mask=None,
+    bandmask: bool = False,
+    safe_term: bool = True,
+    pair_weight=None,
 ):
     """Configurational stress tensor over unique cutoff pairs as a direct
     fused pair sum, any box shape (the tile sibling of
     `pallas_pairs.pair_lag_stress`). Returns ((dim, dim), coverage_ok).
     ``sorted_payload`` + ``pair_mask`` mask candidate pairs (PBC image
-    dedup); ``min_islot`` is the distributed ownership rule. The
-    reference folds such sums in user iterator closures
+    dedup); ``pair_weight(w_i, w_j)`` scales each pair's g
+    MULTIPLICATIVELY (the pencil/slab 0.5*(o_i+o_j) ownership rule —
+    term-weighting cannot absorb the d (x) d outer product);
+    ``min_islot`` is the distributed ownership rule.
+    ``bandmask=False`` (default, round 13) runs the maskless tile body
+    over disjoint-trimmed windows; ``safe_term=False`` skips the inner
+    masked-dsq guard (see `tile_pair_reduce`). The reference folds such
+    sums in user iterator closures
     (`/root/reference/src/cellgrid.rs:338-340`)."""
     from .lj import lj_force_factor
 
     n, dim = sorted_pos.shape
     split = sorted_pos_lo is not None
-    assert (sorted_payload is None) == (pair_mask is None), (
-        "pair_mask and sorted_payload go together"
-    )
+    assert (sorted_payload is None) == (
+        pair_mask is None and pair_weight is None
+    ), "pair_mask/pair_weight and sorted_payload go together"
     planes = [sorted_pos[:, a] for a in range(dim)]
     if split:
         planes += [sorted_pos_lo[:, a] for a in range(dim)]
@@ -925,7 +1017,8 @@ def tile_pair_stress(
         planes, sorted_keys, strides, cutoff_sq, CB=CB, MAXJ=MAXJ,
         gfn=gfn or lj_force_factor, interpret=interpret, split=split,
         payload=payload, pair_mask=pair_mask, min_islot=min_islot,
-        distributed=distributed,
+        distributed=distributed, bandmask=bandmask, safe_term=safe_term,
+        pair_weight=pair_weight,
     )
 
 

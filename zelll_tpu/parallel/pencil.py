@@ -405,10 +405,21 @@ def _my_nreal(n_real):
 
 
 def _build_ext2(pos, cutoff, HZ, HY, mid_bounds, n_real, need_slot,
-                n_payload=0):
+                n_payload=0, coord_keys=False):
     """Shared pencil preamble: local sort, two-phase halos, one re-sort
     of the extended block. ``pos`` may carry ``n_payload`` trailing
     per-particle columns (species, ...) that ride every exchange.
+
+    ``coord_keys=True`` sorts the extended block by (key, x.., -o)
+    instead of key alone: every device then orders equal-key rows
+    identically (halo copies are bitwise-equal across devices), so "the
+    larger sorted slot" of any pair names the SAME particle on every
+    device that realizes it — the boolean ownership rule integer
+    observables (pair counts, histograms) need, where the fractional
+    0.5*(o_i+o_j) weight cannot apply. The trailing -o tie key breaks
+    bitwise-coincident real/ghost rows deterministically toward the
+    ghost (such dsq == 0 cross pairs are dropped on every device rather
+    than double-counted on some).
 
     Returns (ext2 sorted (nx, width), keys, o2 ownership plane,
     payload planes ((nx, n_payload) or None), slot (or None), info,
@@ -446,18 +457,28 @@ def _build_ext2(pos, cutoff, HZ, HY, mid_bounds, n_real, need_slot,
     o2 = jnp.concatenate([o1, jnp.zeros((ny,), dtype)])
 
     keys2 = jax.vmap(info.flat_cell_index)(ext2[:, :sdim])
-    ops = (keys2,) + tuple(ext2[:, a] for a in range(width)) + (o2,)
+    if coord_keys:
+        # (key, x.., -o) keys: equal-key order globally consistent
+        ops = (
+            (keys2,) + tuple(ext2[:, a] for a in range(sdim)) + (-o2,)
+            + tuple(ext2[:, a] for a in range(sdim, width)) + (o2,)
+        )
+        nkeys = 2 + sdim
+    else:
+        ops = (keys2,) + tuple(ext2[:, a] for a in range(width)) + (o2,)
+        nkeys = 1
     if need_slot:
         ops = ops + (jnp.arange(ext2.shape[0], dtype=jnp.int32),)
-    out = jax.lax.sort(ops, num_keys=1, is_stable=False)
+    out = jax.lax.sort(ops, num_keys=nkeys, is_stable=False)
     keys_s = out[0]
     ext_s = jnp.stack(out[1 : 1 + sdim], axis=-1)
+    base = 1 + sdim + (1 if coord_keys else 0)
     pay_s = (
-        jnp.stack(out[1 + sdim : 1 + width], axis=-1)
+        jnp.stack(out[base : base + width - sdim], axis=-1)
         if n_payload else None
     )
-    o_s = out[1 + width]
-    slot_s = out[2 + width] if need_slot else None
+    o_s = out[base + width - sdim]
+    slot_s = out[base + width - sdim + 1] if need_slot else None
 
     z_ok = _zhalo_ok(bins.sorted_keys, info.strides, H, nreal)
     drift_ok = _ydrift_ok(pos_s, info, cutoff, real, mid_bounds)
@@ -699,6 +720,141 @@ def sharded_pencil_md_run(
         mesh=mesh,
         in_specs=(P((ZAX, YAX), None), P((ZAX, YAX), None), P(), P()),
         out_specs=(P((ZAX, YAX), None), P((ZAX, YAX), None), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def _own_pair_mask(wi, wj):
+    """Boolean ownership for integer observables on the pencil mesh:
+    keep a pair iff its larger-slot endpoint (the kernels' own side) is
+    one of MY real rows. Exact once-per-pair globally BECAUSE the
+    extended block is sorted with coordinate tie keys
+    (`_build_ext2(coord_keys=True)`): every device agrees on which
+    endpoint is the larger slot."""
+    return wi > 0.5
+
+
+def sharded_pencil_stress(
+    mesh: Mesh,
+    *,
+    cutoff: float,
+    HZ: int,
+    HY: int,
+    gfn=None,
+    M: int = 4096,
+    L: int = 512,
+    MAXJ: int = 8,
+    use_tile: bool = False,
+    interpret: bool = False,
+):
+    """Jitted global configurational stress tensor over pencil-sharded
+    positions (open boundaries; the pencil sibling of
+    `parallel.sharded_stress`). Each pair's g is scaled MULTIPLICATIVELY
+    by the 0.5*(o_i + o_j) ownership rule (`pbc._half_own_weight` — the
+    d (x) d outer product cannot absorb a term weighting), and the
+    (3, 3) tensors psum over both mesh axes. ``use_tile=True`` runs the
+    segment-tile stress kernel (`tile_pairs.tile_pair_stress` with
+    ``pair_weight``). sfn(positions, mid_bounds, n_real) ->
+    ((3, 3) stress, coverage_ok)."""
+    from .pbc import _half_own_weight
+
+    gfn_eff = gfn or lj_force_factor
+
+    def local(pos, mid_bounds, n_real):
+        ext_s, keys_s, o_s, _, _, info, ok, _, _ = _build_ext2(
+            pos, cutoff, HZ, HY, mid_bounds, n_real, need_slot=False,
+        )
+        csq = jnp.asarray(cutoff, pos.dtype) ** 2
+        if use_tile:
+            from ..ops.tile_pairs import tile_pair_stress
+
+            sig, cap = tile_pair_stress(
+                ext_s, keys_s, info.strides, csq, sorted_payload=o_s,
+                pair_weight=_half_own_weight, gfn=gfn_eff, MAXJ=MAXJ,
+                interpret=interpret,
+            )
+        else:
+            from ..ops.pallas_pairs import lag_coverage_ok, pair_lag_stress
+
+            sig = pair_lag_stress(
+                ext_s, keys_s, info.strides, csq,
+                sorted_payload=o_s[:, None], pair_weight=_half_own_weight,
+                gfn=gfn_eff, M=M, L=L, interpret=interpret,
+            )
+            cap = lag_coverage_ok(keys_s, info.strides, L)
+        sig = jax.lax.psum(jax.lax.psum(sig, ZAX), YAX)
+        return sig, _all_ok2(ok & cap)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P((ZAX, YAX), None), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_pencil_pair_hist(
+    mesh: Mesh,
+    edges,
+    *,
+    HZ: int,
+    HY: int,
+    M: int = 1024,
+    L: int = 512,
+    MAXJ: int = 8,
+    use_tile: bool = False,
+    interpret: bool = False,
+):
+    """Jitted global pair-distance histogram over pencil-sharded
+    positions (the pencil sibling of `parallel.sharded_pair_hist`):
+    cumulative int counts of unique pairs with ``dsq < edges[k]^2``,
+    every pair counted exactly once globally. Integer counts cannot take
+    the fractional 0.5-ownership weight, so the extended block is
+    sorted with coordinate tie keys (`_build_ext2(coord_keys=True)`)
+    and a pair is kept iff its larger-slot endpoint is a real row of
+    the executing device (`_own_pair_mask`) — a globally consistent
+    boolean rule. Bitwise-coincident real/ghost duplicate rows (dsq==0
+    cross pairs) are deterministically dropped by the -o tie key.
+    hfn(positions, mid_bounds, n_real) -> ((2, K) int32 hi/lo planes,
+    coverage_ok); reconstruct with `pallas_pairs.combine_count_vec`.
+    ``edges[-1]`` is the effective cutoff and must match the grid."""
+    cutoff = float(np.asarray(edges)[-1])
+    edges64 = np.asarray(edges, np.float64) ** 2
+
+    def local(pos, mid_bounds, n_real):
+        ext_s, keys_s, o_s, _, _, info, ok, _, _ = _build_ext2(
+            pos, cutoff, HZ, HY, mid_bounds, n_real, need_slot=False,
+            coord_keys=True,
+        )
+        edges_sq = jnp.asarray(edges64, pos.dtype)
+        if use_tile:
+            from ..ops.tile_pairs import tile_pair_hist
+
+            packed, cap = tile_pair_hist(
+                ext_s, keys_s, info.strides, edges_sq,
+                sorted_payload=o_s, pair_mask=_own_pair_mask,
+                MAXJ=MAXJ, interpret=interpret,
+            )
+        else:
+            from ..ops.pallas_pairs import lag_coverage_ok, pair_lag_hist
+
+            packed = pair_lag_hist(
+                ext_s, keys_s, info.strides, edges_sq,
+                sorted_payload=o_s[:, None], pair_mask=_own_pair_mask,
+                M=M, L=L, interpret=interpret,
+            )
+            cap = lag_coverage_ok(keys_s, info.strides, L)
+        packed = jax.lax.psum(jax.lax.psum(packed, ZAX), YAX)
+        return packed, _all_ok2(ok & cap)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P((ZAX, YAX), None), P(), P()),
+        out_specs=(P(), P()),
         check_vma=False,
     )
     return jax.jit(fn)
