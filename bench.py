@@ -242,9 +242,11 @@ def parity_rel_err(jax, jnp, M, L):
 def cubic_mode(jax, jnp, rtt):
     """Cubic-box (100-cells-per-edge geometry class) pairs/s via the
     segment-tile kernel — the shape where the lag window degenerates.
-    BENCH_CUBIC_N=0 disables; default 1e6 keeps driver runtime low
-    (benchmarks/cubic.py measures the full 1e7 cube)."""
-    nC = int(float(os.environ.get("BENCH_CUBIC_N", "1e6")))
+    BENCH_CUBIC_N=0 disables; default 1e7 (the shape the perf story is
+    argued on — `benchmarks/cubic.py` is the standalone harness; kernel
+    knobs match its headline config: maskless, safe_term=False, plain
+    accumulation, fast term)."""
+    nC = int(float(os.environ.get("BENCH_CUBIC_N", "1e7")))
     if nC <= 0:
         return None
     from zelll_tpu.ops.pallas_pairs import combine_count, count_term, lj_term_fast
@@ -288,7 +290,8 @@ def cubic_mode(jax, jnp, rtt):
         def body(i, acc):
             p = p0 + (i % 2).astype(p0.dtype) * 1e-6
             e, _ = tile_lj_rebuild_energy(p, CUTOFF, MAXJ=MAXJ, kahan=False,
-                                          term=lj_term_fast)
+                                          term=lj_term_fast,
+                                          safe_term=False)
             return acc + e
 
         return jax.lax.fori_loop(0, REPS, body, jnp.float32(0))
@@ -354,6 +357,7 @@ def main():
         cpps, cn, cdt = cub
         result["cubic_pairs_per_sec"] = cpps
         result["cubic_n"] = cn
+        result["cubic_step_ms"] = cdt * 1e3
     print(json.dumps(result), flush=True)
     save_last_good(result)
 

@@ -15,13 +15,16 @@ which is what makes 1e8 feasible (a 4 GB text file parsed per tool is
 not). Engine rows time `reps` evaluations inside ONE jitted fori_loop
 (per-iteration input perturbation defeats loop-invariant hoisting).
 
-Omissions at 1e8, documented not forgotten: the engine's split
-(f64-grade) variant — hi+lo planes double every sort operand and the
-16 GB v5e HBM is RESOURCE_EXHAUSTED at n=1e8 (measured; the f32 row
-covers 1e8, and split's 1e-6-grade parity is established at every
-n <= 1e7); scipy cKDTree (hours on this 1-core host, >20 GB); torch
-brute force (O(n^2) f64 — ~years); LAMMPS/Julia cannot be installed
-here (no package installs, no egress).
+At 1e8 the split (f64-grade) energy runs as the "splitchunk" variant
+(round 13): one-dispatch split is RESOURCE_EXHAUSTED on the 16 GB v5e
+(hi+lo planes double every sort operand — measured), so the energy runs
+in K host-sequential major-axis slab chunks, each [one-cell halo | own
+rows] with the `parallel/domain.py` min_islot ownership rule on one
+chip — O(n/K) device memory, exact pair coverage (cell width == cutoff
+bounds pairs to adjacent major cells). Remaining omissions, documented
+not forgotten: scipy cKDTree at 1e8 (hours on this 1-core host,
+>20 GB); torch brute force (O(n^2) f64 — ~years); LAMMPS/Julia cannot
+be installed here (no package installs, no egress).
 
 Usage: python benchmarks/run_comparison_r5.py [out.csv] [exponents...]
 """
@@ -49,6 +52,82 @@ n = int(sys.argv[1]); reps = int(sys.argv[2])
 variant = os.environ["ZELLL_VARIANT"]
 cutoff = 10.0
 pts = generate_points_random(n, lj_box(n, cutoff))
+
+if variant == "splitchunk":
+    # f64-grade (split-precision) energy at n beyond single-dispatch
+    # device memory: host-sequential slab chunks along the major axis,
+    # each chunk = [one-cell halo | own rows] with min_islot ownership
+    # (parallel/domain.py's rule run serially on one chip). Cell width
+    # == cutoff bounds every pair to adjacent major cells, so one halo
+    # layer is exact. Matches /root/reference/scripts/more_benches.sh
+    # exact-f64 coverage through 1e8.
+    from zelll_tpu.core.geometry import Aabb, GridInfo
+    from zelll_tpu.ops.pallas_pairs import (
+        lag_coverage_ok, lj_term, pair_lag_reduce, suggest_lag)
+    pos64 = np.asarray(pts, np.float64)
+    hi = pos64.astype(np.float32)
+    lo = (pos64 - hi.astype(np.float64)).astype(np.float32)
+    del pts, pos64
+    t0 = time.perf_counter()
+    inf32, sup32 = hi.min(axis=0), hi.max(axis=0)
+    info = GridInfo.create(
+        Aabb(jnp.asarray(inf32), jnp.asarray(sup32)), cutoff,
+        auto_order=True)
+    major = int(np.argmax(sup32 - inf32))
+    # EXACT f32 replica of GridInfo.cell_index on the major axis
+    zc = np.floor(
+        (hi[:, major] - inf32[major]) / np.float32(cutoff)
+    ).astype(np.int32)
+    order = np.argsort(zc, kind="stable")
+    hi, lo, zc = hi[order], lo[order], zc[order]
+    del order
+    K = int(os.environ.get("ZELLL_CHUNKS", "14"))
+    bcells = np.unique(zc[np.arange(1, K) * (n // K)])
+    starts = np.concatenate(
+        [[0], np.searchsorted(zc, bcells, side="left"), [n]])
+    starts = np.unique(starts)
+    halos = np.searchsorted(zc, zc[starts[:-1]] - 1, side="left")
+    cap = int(np.max(starts[1:] - halos))
+    cap = -(-(cap + 8) // 1024) * 1024
+    csq = jnp.float32(cutoff) ** 2
+    # one capacity class: every chunk runs the same compiled graph
+    from zelll_tpu.core.binning import bin_and_sort as _bs
+    b0, _ = _bs(jnp.asarray(hi[halos[0]:starts[1]]), cutoff,
+                max_cells=1, need_perm=False, info=info)
+    L = suggest_lag(np.asarray(b0.sorted_keys), np.asarray(info.strides))
+    M = max(1024, min(16384, L))
+    del b0
+
+    @jax.jit
+    def chunk_energy(chi, clo, valid, mis):
+        bins, cols = _bs(
+            jnp.concatenate([chi, clo], axis=1), cutoff, max_cells=1,
+            need_perm=False, info=info, valid=valid)
+        e = pair_lag_reduce(
+            cols[:, :3], bins.sorted_keys, info.strides, csq,
+            cols[:, 3:], M=M, L=L, term=lj_term, min_islot=mis)
+        return e, lag_coverage_ok(bins.sorted_keys, info.strides, L)
+
+    from zelll_tpu.api import _pad_far
+    e_total, all_ok = 0.0, True
+    for c in range(len(starts) - 1):
+        h0, s0, s1 = int(halos[c]), int(starts[c]), int(starts[c + 1])
+        m = s1 - h0
+        chi = _pad_far(hi[h0:s1], cap)
+        clo = np.zeros((cap, 3), np.float32)
+        clo[:m] = lo[h0:s1]
+        valid = np.arange(cap) < m
+        ev, ok = chunk_energy(
+            jnp.asarray(chi), jnp.asarray(clo), jnp.asarray(valid),
+            jnp.int32(s0 - h0))
+        e_total += float(ev)
+        all_ok = all_ok and bool(ok)
+    assert all_ok, "chunked split energy: coverage flag tripped"
+    dt = time.perf_counter() - t0
+    mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    print(f"{n},1,{e_total / n:.14g},{dt:.6g},{mb:.1f},"
+          f"zelll_tpu[splitchunk(K={len(starts) - 1},L={L})|split]")
+    sys.exit(0)
 if variant == "presorted":
     org = pts.min(axis=0)
     cell = np.floor((pts - org) / cutoff).astype(np.int64)
@@ -169,7 +248,7 @@ def main():
     for exp in exps:
         n, reps = 10 ** exp, REPS[exp]
         sys.stderr.write(f"== n=1e{exp} reps={reps}\n")
-        variants = (("f32", "presorted") if exp >= 8
+        variants = (("splitchunk", "f32", "presorted") if exp >= 8
                     else ("split", "f32", "presorted"))
         for variant in variants:
             line = run(ENGINE, n, reps, ZELLL_VARIANT=variant)

@@ -373,3 +373,63 @@ def test_pencil_pbc_md_run_matches_oracle_trajectory():
     assert (d[np.arange(real.sum()), match] < 1e-12).all()
     assert len(set(match.tolist())) == n
     np.testing.assert_allclose(v2[real], V_[match], rtol=1e-7, atol=1e-10)
+
+
+def _ref_stress(pts):
+    d = pts[:, None, :] - pts[None, :, :]
+    dsq = (d * d).sum(-1)
+    np.fill_diagonal(dsq, np.inf)
+    w = np.triu(dsq < CUT * CUT)
+    t = 1.0 / np.where(w, dsq, 1.0)
+    t3 = t * t * t
+    g = np.where(w, 24.0 * t3 * (2.0 * t3 - 1.0) * t, 0.0)
+    return np.einsum("ij,ija,ijb->ab", g, d, d)
+
+
+@pytest.mark.parametrize("shape,use_tile", [((2, 4), False), ((4, 2), True)])
+def test_pencil_stress_matches_oracle(shape, use_tile):
+    """Pencil stress (0.5-ownership pair_weight) vs the f64 oracle on
+    both kernel paths."""
+    from zelll_tpu.parallel.pencil import sharded_pencil_stress
+
+    pts = _cloud(seed=7)
+    mesh = make_pencil_mesh(shape)
+    parts, n_local, mid_bounds, n_real = partition_by_pencil(pts, CUT, shape)
+    sfn = sharded_pencil_stress(
+        mesh, cutoff=CUT, HZ=256, HY=512, L=512, MAXJ=16,
+        use_tile=use_tile, interpret=True,
+    )
+    sig, ok = sfn(_put(mesh, parts), mid_bounds, n_real)
+    assert bool(ok)
+    ref = _ref_stress(pts)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(
+        np.asarray(sig), ref, atol=scale * 1e-9
+    )
+
+
+@pytest.mark.parametrize("shape,use_tile", [((4, 2), False), ((2, 4), True)])
+def test_pencil_hist_matches_oracle(shape, use_tile):
+    """Pencil pair histogram (coord-tie-key boolean ownership) vs numpy
+    brute force: integer-exact cumulative counts on both kernel paths."""
+    from zelll_tpu.ops.pallas_pairs import combine_count_vec
+    from zelll_tpu.parallel.pencil import sharded_pencil_pair_hist
+
+    pts = _cloud(seed=11)
+    edges = np.linspace(0.25, CUT, 8)
+    mesh = make_pencil_mesh(shape)
+    parts, n_local, mid_bounds, n_real = partition_by_pencil(pts, CUT, shape)
+    hfn = sharded_pencil_pair_hist(
+        mesh, edges, HZ=256, HY=512, L=512, MAXJ=16,
+        use_tile=use_tile, interpret=True,
+    )
+    packed, ok = hfn(_put(mesh, parts), mid_bounds, n_real)
+    assert bool(ok)
+    counts = combine_count_vec(np.asarray(packed))
+
+    d = pts[:, None, :] - pts[None, :, :]
+    dsq = (d * d).sum(-1)
+    iu = np.triu_indices(len(pts), k=1)
+    pd = dsq[iu]
+    ref = np.array([(pd < e * e).sum() for e in edges])
+    np.testing.assert_array_equal(counts, ref)
