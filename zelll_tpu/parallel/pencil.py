@@ -53,6 +53,8 @@ __all__ = [
     "sharded_pencil_lj_energy",
     "sharded_pencil_md_step",
     "sharded_pencil_md_run",
+    "sharded_pencil_stress",
+    "sharded_pencil_pair_hist",
     "repartition_pencil",
     "partition_by_pencil_pbc",
     "sharded_pencil_pbc_lj_energy",
@@ -344,16 +346,17 @@ def _yhalo(ext1, info, cutoff, HY, mid_bounds):
     return ygl, ygr, ok_l & ok_r
 
 
-def _zhalo_ok(sorted_keys, strides, H, nreal):
+def _zhalo_ok(sorted_keys, strides, H, nreal, reach=None):
     """z-window coverage, both sides (the 0.5-ownership rule needs every
     owned row's full neighborhood locally) — `halo_coverage_ok` adapted
     to per-block pads: only the REAL rows (pads sort last) count, and
-    the neighbor extremes are the real extremes."""
+    the neighbor extremes are the real extremes. ``reach`` widens the
+    window for min-imaged axes (`geometry.key_window`)."""
     nd = jax.lax.axis_size(ZAX)
     if nd == 1:
         return jnp.asarray(True)
     idx = jax.lax.axis_index(ZAX)
-    w = key_window(strides).astype(sorted_keys.dtype)
+    w = key_window(strides, reach).astype(sorted_keys.dtype)
     real = jnp.arange(sorted_keys.shape[0]) < nreal
     fwd = [(i, (i + 1) % nd) for i in range(nd)]
     bwd = [(i, (i - 1) % nd) for i in range(nd)]
@@ -1161,11 +1164,15 @@ def _yhalo_pbc(ext1, origin, box, cutoff, HY, mid_bounds, major, mid):
 
 
 def _build_ext2_pbc(pos, origin, box, cutoff, HZ, HY, B, G, mid_bounds,
-                    n_real, need_slot):
+                    n_real, need_slot, minimage=False):
     """Periodic pencil preamble: static grid, wrap z/y halos, minor-axis
-    ghost images, one re-sort. Returns (ext_s, keys_s, o_s, slot_s,
-    info, ok, n_loc, Hg, pool_len)."""
-    from .pbc import _static_info
+    ghost images, one re-sort. ``minimage=True`` folds the MINOR axis
+    in-kernel instead (no ghost rows at all — the round-9 narrow-axis
+    rule applied to the pencil's minor axis; requires <= 4 cells): the
+    returned (mi_box, reach) feed the lag kernels' in-kernel fold and
+    every key-window coverage check. Returns (ext_s, keys_s, o_s,
+    slot_s, info, ok, n_loc, Hg, mi_box, reach)."""
+    from .pbc import _mi_reach, _static_info
     from ..ops.pbc import pbc_extend
 
     n_loc = pos.shape[0]
@@ -1176,6 +1183,15 @@ def _build_ext2_pbc(pos, origin, box, cutoff, HZ, HY, B, G, mid_bounds,
     bx = jnp.asarray(box, dt).reshape(3)
     info = _static_info(org, bx, cutoff, dt)
     major, mid, minor = _pencil_axes(box, cutoff)
+    mimask = np.zeros(3, bool)
+    if minimage:
+        b64 = np.asarray(box, np.float64).reshape(3)
+        if int(np.ceil(b64[minor] / float(cutoff))) > 4:
+            raise ValueError(
+                "pencil minimage: the minor axis spans more than 4 "
+                "cells — use ghost images (minimage=False)"
+            )
+        mimask[minor] = True
 
     # stable: the md path feeds a pre-sorted block (see `_build_ext2`)
     bins, pos_s = bin_and_sort(pos, cutoff, max_cells=1, info=info)
@@ -1197,18 +1213,28 @@ def _build_ext2_pbc(pos, origin, box, cutoff, HZ, HY, B, G, mid_bounds,
     ny = ygl.shape[0] + ygr.shape[0]
     o_pool = jnp.concatenate([o1, jnp.zeros((ny,), dt)])
 
-    # minor-axis periodic images (incl. images of wrapped halo rows)
-    axes = tuple(a == minor for a in range(3))
-    ext, _, _w, valid, okg = pbc_extend(
-        pool, org, bx, cutoff, B=B, G=G, wrap=False, axes=axes,
-    )
-    o = jnp.concatenate(
-        [o_pool, jnp.zeros((ext.shape[0] - pool.shape[0],), dt)])
+    if minimage:
+        # minor axis folds in-kernel: NO ghost rows; the widened key
+        # window (reach) flows to the kernels and every coverage check
+        ext, o, okg = pool, o_pool, jnp.asarray(True)
+        valid = None
+        reach = _mi_reach(box, cutoff, mimask)
+        mi_box = jnp.where(jnp.asarray(mimask), bx, jnp.zeros_like(bx))
+    else:
+        # minor-axis periodic images (incl. images of wrapped halo rows)
+        axes = tuple(a == minor for a in range(3))
+        ext, _, _w, valid, okg = pbc_extend(
+            pool, org, bx, cutoff, B=B, G=G, wrap=False, axes=axes,
+        )
+        o = jnp.concatenate(
+            [o_pool, jnp.zeros((ext.shape[0] - pool.shape[0],), dt)])
+        reach, mi_box = None, None
 
     from ..core.geometry import SENTINEL_KEY
 
     keys2 = jax.vmap(info.flat_cell_index)(ext)
-    keys2 = jnp.where(valid, keys2, SENTINEL_KEY)
+    if valid is not None:
+        keys2 = jnp.where(valid, keys2, SENTINEL_KEY)
     ops = (keys2,) + tuple(ext[:, a] for a in range(3)) + (o,)
     if need_slot:
         ops = ops + (jnp.arange(ext.shape[0], dtype=jnp.int32),)
@@ -1220,7 +1246,7 @@ def _build_ext2_pbc(pos, origin, box, cutoff, HZ, HY, B, G, mid_bounds,
 
     # coverage: interior z key windows + ring faces + y capacity +
     # y residency + extend flags
-    z_ok = _zhalo_ok(bins.sorted_keys, info.strides, H, nreal)
+    z_ok = _zhalo_ok(bins.sorted_keys, info.strides, H, nreal, reach=reach)
     # ring faces: rows within cutoff of a major face must fit in the
     # edge devices' halo slices. Unlike the slab check, pads never eat
     # halo slots here — `_zhalo_pbc` slices the REAL tail (nreal - H),
@@ -1243,7 +1269,7 @@ def _build_ext2_pbc(pos, origin, box, cutoff, HZ, HY, B, G, mid_bounds,
     inside = (y >= mid_bounds[idy]) & (y < mid_bounds[idy + 1])
     drift_ok = jnp.all(jnp.where(real, inside, True))
     ok = z_ok & y_ok & okg & ring_ok & drift_ok
-    return ext_s, keys_s, o_s, slot_s, info, ok, n_loc, Hg
+    return ext_s, keys_s, o_s, slot_s, info, ok, n_loc, Hg, mi_box, reach
 
 
 def sharded_pencil_pbc_lj_energy(
@@ -1262,20 +1288,27 @@ def sharded_pencil_pbc_lj_energy(
     use_tile: bool = False,
     term=lj_term,
     interpret: bool = False,
+    minimage: bool = False,
 ):
     """Global LJ energy under orthorhombic PBC over the pencil mesh.
 
     efn(positions, mid_bounds, n_real) -> (energy, ok): positions in the
     `partition_by_pencil_pbc` layout. All three boundary mechanisms
     compose under the one ownership plane: z wraps the z ring, y wraps
-    the y ring, the minor axis gets ghost images."""
+    the y ring, the minor axis gets ghost images — or, with
+    ``minimage=True``, folds in-kernel (no ghost rows; minor axis must
+    span <= 4 cells; lag path only)."""
+    if use_tile and minimage:
+        raise ValueError("minimage folding is a lag-kernel feature; "
+                         "use_tile=False")
     wterm = _weighted_term(term)
 
     def local(pos, mid_bounds, n_real):
-        ext_s, keys_s, o_s, _, info, ok, _, _ = _build_ext2_pbc(
-            pos, origin, box, cutoff, HZ, HY, B, G, mid_bounds, n_real,
-            need_slot=False,
-        )
+        ext_s, keys_s, o_s, _, info, ok, _, _, mi_box, reach = \
+            _build_ext2_pbc(
+                pos, origin, box, cutoff, HZ, HY, B, G, mid_bounds,
+                n_real, need_slot=False, minimage=minimage,
+            )
         csq = jnp.asarray(cutoff, pos.dtype) ** 2
         if use_tile:
             from ..ops.tile_pairs import tile_pair_reduce
@@ -1290,9 +1323,9 @@ def sharded_pencil_pbc_lj_energy(
             e_loc = pair_lag_reduce(
                 ext_s, keys_s, info.strides, csq,
                 sorted_payload=o_s[:, None], M=M, L=L, term=wterm,
-                interpret=interpret,
+                interpret=interpret, mi_box=mi_box, key_reach=reach,
             )
-            cap = lag_coverage_ok(keys_s, info.strides, L)
+            cap = lag_coverage_ok(keys_s, info.strides, L, reach=reach)
         e = jax.lax.psum(jax.lax.psum(e_loc, ZAX), YAX)
         return e, _all_ok2(ok & cap)
 
@@ -1307,7 +1340,8 @@ def sharded_pencil_pbc_lj_energy(
 
 
 def _pbc_md_step_local(pos, vel, mid_bounds, n_real, *, origin, box,
-                       cutoff, HZ, HY, B, G, dt, M, L, interpret):
+                       cutoff, HZ, HY, B, G, dt, M, L, interpret,
+                       minimage=False):
     from ..ops.pbc import wrap_positions
 
     wterm = _weighted_term(lj_term)
@@ -1325,21 +1359,24 @@ def _pbc_md_step_local(pos, vel, mid_bounds, n_real, *, origin, box,
     dim = pos.shape[1]
     pos_s, vel_s = cols[:, :dim], cols[:, dim:]
 
-    ext_s, keys_s, o_s, slot_s, info, ok, n_loc, Hg = _build_ext2_pbc(
-        pos_s, origin, box, cutoff, HZ, HY, B, G, mid_bounds, n_real,
-        need_slot=True,
-    )
+    ext_s, keys_s, o_s, slot_s, info, ok, n_loc, Hg, mi_box, reach = \
+        _build_ext2_pbc(
+            pos_s, origin, box, cutoff, HZ, HY, B, G, mid_bounds, n_real,
+            need_slot=True, minimage=minimage,
+        )
     csq = jnp.asarray(cutoff, pos.dtype) ** 2
     f = pair_lag_forces(
         ext_s, keys_s, info.strides, csq, M=M, L=L,
         gfn=lj_force_factor, interpret=interpret,
+        mi_box=mi_box, key_reach=reach,
     )
     from ..ops.pallas_pairs import lag_coverage_ok
 
-    cap = lag_coverage_ok(keys_s, info.strides, L)
+    cap = lag_coverage_ok(keys_s, info.strides, L, reach=reach)
     e_loc = pair_lag_reduce(
         ext_s, keys_s, info.strides, csq, sorted_payload=o_s[:, None],
         M=M, L=L, term=wterm, interpret=interpret,
+        mi_box=mi_box, key_reach=reach,
     )
     uops = (slot_s,) + tuple(f[:, a] for a in range(dim))
     uout = jax.lax.sort(uops, num_keys=1, is_stable=False)
@@ -1372,18 +1409,20 @@ def sharded_pencil_pbc_md_step(
     M: int = 4096,
     L: int = 512,
     interpret: bool = False,
+    minimage: bool = False,
 ):
     """One periodic MD step over the pencil mesh (positions wrapped back
     into the box; pads never integrate). coverage_ok folds the
     y-residency check — wrap-induced y migration trips it and
     `repartition_pencil` (with `partition_by_pencil_pbc` numbering) is
-    the recovery path."""
+    the recovery path. ``minimage=True`` folds the minor axis in-kernel
+    (see `sharded_pencil_pbc_lj_energy`)."""
 
     def local(pos, vel, mid_bounds, n_real):
         return _pbc_md_step_local(
             pos, vel, mid_bounds, n_real, origin=origin, box=box,
             cutoff=cutoff, HZ=HZ, HY=HY, B=B, G=G, dt=dt, M=M, L=L,
-            interpret=interpret,
+            interpret=interpret, minimage=minimage,
         )
 
     fn = shard_map(
@@ -1411,6 +1450,7 @@ def sharded_pencil_pbc_md_run(
     M: int = 4096,
     L: int = 512,
     interpret: bool = False,
+    minimage: bool = False,
 ):
     """Whole periodic pencil trajectory in one dispatch (scan of
     `sharded_pencil_pbc_md_step`'s body + a final energy)."""
@@ -1421,7 +1461,7 @@ def sharded_pencil_pbc_md_run(
             p2, v2, _e, ok = _pbc_md_step_local(
                 p, v, mid_bounds, n_real, origin=origin, box=box,
                 cutoff=cutoff, HZ=HZ, HY=HY, B=B, G=G, dt=dt, M=M, L=L,
-                interpret=interpret,
+                interpret=interpret, minimage=minimage,
             )
             return (p2, v2, okacc & ok), None
 
@@ -1431,7 +1471,7 @@ def sharded_pencil_pbc_md_run(
         _, _, e, ok_e = _pbc_md_step_local(
             p, v, mid_bounds, n_real, origin=origin, box=box,
             cutoff=cutoff, HZ=HZ, HY=HY, B=B, G=G, dt=0.0, M=M, L=L,
-            interpret=interpret,
+            interpret=interpret, minimage=minimage,
         )
         return p, v, e, ok & ok_e
 
