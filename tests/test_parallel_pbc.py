@@ -581,3 +581,27 @@ def test_sharded_pbc_stress_matches_oracle(case, mi):
     assert bool(ok)
     np.testing.assert_allclose(np.asarray(sig), sig_ref, rtol=1e-9,
                                atol=1e-9 * np.abs(sig_ref).max())
+
+
+def test_sharded_pbc_stress_tile_matches_oracle():
+    """Round 13: the tile stress kernel's multiplicative pair_weight
+    lets cubic/wide periodic boxes take the segment-tile path in
+    `sharded_pbc_stress` — same oracle, use_tile=True."""
+    from zelll_tpu.parallel import sharded_pbc_stress
+
+    pts, origin, box, c = make_case(n=512, box=(4.1, 4.7, 30.0), seed=20)
+    sig_ref = oracle_stress_pbc(pts, box, c)
+
+    mesh = make_mesh(ND)
+    parts, n_local = partition_by_slab_pbc(pts, origin, box, c, ND)
+    pos = jax.device_put(
+        jnp.asarray(parts),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("z", None)),
+    )
+    sfn = sharded_pbc_stress(mesh, origin=origin, box=box, cutoff=c,
+                             H=n_local, use_tile=True, MAXJ=16,
+                             interpret=True)
+    sig, ok = sfn(pos)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(sig), sig_ref, rtol=1e-9,
+                               atol=1e-9 * np.abs(sig_ref).max())

@@ -558,6 +558,8 @@ def sharded_pbc_stress(
     gfn: Callable | None = None,
     M: int = 4096,
     L: int = 256,
+    use_tile: bool = False,
+    MAXJ: int | tuple = 8,
     interpret: bool = False,
     minimage=False,
 ):
@@ -569,16 +571,16 @@ def sharded_pbc_stress(
     since stress terms carry d (x) d, not a scalar the term could
     absorb), and the (3, 3) tensors psum to the minimum-image global
     stress. ``minimage`` folds narrow minor axes in-kernel per device
-    (`_pool_and_extend`). The trace is the scalar virial W; add the
-    kinetic part via `ops.virial.pressure_tensor`. Lag path only (the
-    tile kernel's packed blocks carry one payload row, which the
-    ownership plane occupies — the energy term trick does not transfer
-    to a multiplicative weight there yet). Returns
+    (`_pool_and_extend`; lag path only). ``use_tile=True`` runs the
+    segment-tile stress kernel (round 13: `tile_pair_stress` grew the
+    multiplicative ``pair_weight``, so cubic/wide periodic boxes now
+    take the tile path here too). The trace is the scalar virial W; add
+    the kinetic part via `ops.virial.pressure_tensor`. Returns
     fn(positions) -> ((3, 3) stress, ok)."""
     from ..ops.pallas_pairs import pair_lag_stress
 
     major = _major_axis(box, cutoff)
-    mimask = _sharded_mimask(box, cutoff, minimage, major, False)
+    mimask = _sharded_mimask(box, cutoff, minimage, major, use_tile)
     gfn = gfn or lj_force_factor
 
     def local(pos):
@@ -591,16 +593,27 @@ def sharded_pbc_stress(
             pos, origin, box, cutoff, H, Bv, Gv, major, mimask=mimask,
         )
         csq = jnp.asarray(cutoff, pos.dtype) ** 2
-        sig = pair_lag_stress(
-            sp, bins.sorted_keys, bins.info.strides, csq,
-            sorted_payload=so[:, None], pair_weight=_half_own_weight,
-            gfn=gfn, M=M, L=L, interpret=interpret,
-            mi_box=mi_box, key_reach=reach if mi_box is not None else None,
-        )
-        ok &= lag_coverage_ok(
-            bins.sorted_keys, bins.info.strides, L,
-            reach=reach if mi_box is not None else None,
-        )
+        if use_tile:
+            from ..ops.tile_pairs import tile_pair_stress
+
+            sig, cov = tile_pair_stress(
+                sp, bins.sorted_keys, bins.info.strides, csq,
+                sorted_payload=so, pair_weight=_half_own_weight,
+                gfn=gfn, MAXJ=MAXJ, interpret=interpret,
+            )
+            ok &= cov
+        else:
+            sig = pair_lag_stress(
+                sp, bins.sorted_keys, bins.info.strides, csq,
+                sorted_payload=so[:, None], pair_weight=_half_own_weight,
+                gfn=gfn, M=M, L=L, interpret=interpret,
+                mi_box=mi_box,
+                key_reach=reach if mi_box is not None else None,
+            )
+            ok &= lag_coverage_ok(
+                bins.sorted_keys, bins.info.strides, L,
+                reach=reach if mi_box is not None else None,
+            )
         return jax.lax.psum(sig, AXIS), _all_ok(ok)
 
     return jax.jit(
