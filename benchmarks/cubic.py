@@ -67,11 +67,10 @@ def main():
 
 
         # round-3 tile-body knobs (defaults = the fast maskless path;
-        # set CUBIC_BANDMASK=1 to restore the key-band compare).
-        # CUBIC_HALFPACK=1 runs the round-4 64-slot half-window kernel
-        # (measured ~8 ms slower at 1e7 — see DESIGN_NOTES round 12).
+        # set CUBIC_BANDMASK=1 to restore the key-band compare). The
+        # round-4 halfpack kernel family was pruned in round 13
+        # (measured loss; write-up in DESIGN_NOTES round 12).
         bandmask = os.environ.get("CUBIC_BANDMASK", "0") == "1"
-        halfpack = os.environ.get("CUBIC_HALFPACK", "0") == "1"
         safe_term = os.environ.get("CUBIC_SAFE", "0") == "1"
         kah = os.environ.get("CUBIC_KAHAN", "0")
         kah = {"0": False, "1": True, "program": "program"}[kah]
@@ -102,14 +101,13 @@ def main():
             e, _ = tile_lj_rebuild_energy(
                 p + (i % 2).astype(p.dtype) * 1e-6, cutoff,
                 MAXJ=MAXJ, CB=CBK, kahan=kah, term=fterm,
-                bandmask=bandmask, safe_term=safe_term, halfpack=halfpack,
+                bandmask=bandmask, safe_term=safe_term,
             )
             return e
 
         mj_json = list(MAXJ) if isinstance(MAXJ, tuple) else MAXJ
         extra = (f'"MAXJ": {mj_json}, "CB": {CBK}, '
-                 f'"bandmask": {int(bandmask)}, "safe": {int(safe_term)}, '
-                 f'"halfpack": {int(halfpack)}')
+                 f'"bandmask": {int(bandmask)}, "safe": {int(safe_term)}')
     else:
         T = int(os.environ.get("CUBIC_T", "3"))
         M = int(os.environ.get("CUBIC_M", "16384"))

@@ -192,232 +192,6 @@ def windows_disjoint(jlo: jax.Array, toff: jax.Array,
     return ok
 
 
-HALF = 64
-
-
-def band_clusters(dim: int, full: bool = False) -> tuple:
-    """Static grouping of stencil bands into contiguous key-space
-    CLUSTERS for the halfpack kernels: one DMA copy per (chunk, cluster)
-    replaces one per (chunk, band) — the per-chunk DMA issue/wait
-    machinery is a first-order cost at ~1-2 executed tiles per band, and
-    the cluster copy is SMALLER than the per-band capacity windows
-    summed (the three z-1 rows sit within 2*s_y + 2 keys of each other;
-    own row and the y-1 row within s_y + 1).
-
-    3D half: {own, y-1} and {the three z-1 rows}; 3D full adds the
-    mirrored clusters. For dim <= 2 every band is its own cluster."""
-    if dim == 3:
-        if full:
-            return ((4, 3, 2), (0, 1, 5), (6, 7, 8))
-        return ((0, 1), (2, 3, 4))
-    S = num_segments(dim, full=full)
-    return tuple((s,) for s in range(S))
-
-
-def halfpack_bounds(sorted_keys: jax.Array, bands: jax.Array,
-                    max_c: tuple, clusters: tuple, order: tuple,
-                    max_al: int,
-                    half: bool = True, tri_band: bool = True):
-    """64-slot-granular windows + tile metadata for the halfpack maskless
-    tile kernels (round 4).
-
-    The 128-lane window quantization wastes ~1.8x at reference density:
-    each band's true window spans ~1.2 chunks but executes 2+. At 64-slot
-    granularity a band's window is ~2.5-3 halves; whole 128-slot blocks
-    inside the window run as ALIGNED tiles (the unchanged tile body) and
-    the <= 2 leftover boundary halves per band pool — ACROSS bands — into
-    MIXED tiles, each composing two 64-lane halves out of the already-
-    DMA'd jbuf windows with one lane roll + select (no extra DMA; the
-    executed (own x 128) tile count drops ~10.8 -> ~8.6 per chunk).
-
-    DMA windows are per CLUSTER (`band_clusters`): ``max_c`` is the
-    static per-cluster copy capacity in blocks (the capacity class —
-    exceeding it trips coverage_ok, never drops pairs).
-
-    Returns (dma (NC, 2*NCL) int32 [jlo, jnum] DMA block windows per
-    cluster, counts (NC, S+3) int32 [aligned prefix over bands in
-    ``order`` (S+1 entries), n_mixed_tri, n_mixed], meta_al
-    (NC, max_al*2) [src, delta64] per aligned tile, meta_mx (NC, S*4)
-    [srcA, dA, srcB, dB] per mixed tile, coverage_ok).
-
-    ``src`` indexes the jbuf: (CMOFF[cluster] + block - jlo[cluster]) *
-    2 + halfbit for mixed halves, without the halfbit doubling for
-    aligned blocks; src < 0 marks the padding group. ``delta64`` drives
-    the slot-order half-space compare ``row - (lane mod 64) > delta64 *
-    64`` (exact j < i for the own-row band, whose window may include the
-    own chunk); bands other than the tri band carry -2^20 (pass-all),
-    empty mixed halves +2^20 (mask-all). Mixed tiles carrying a tri-band
-    fragment are listed FIRST and counted by n_mixed_tri, so the kernels
-    run the delta compare only on that prefix. With ``tri_band=False``
-    (full-stencil forces) no deltas are consulted.
-
-    Executed halves are trimmed pairwise-disjoint (`trim_windows_disjoint`
-    at half granularity) and the disjointness + DMA/flatten capacity +
-    key preconditions fold into ``coverage_ok`` like `chunk_bounds`.
-    """
-    from .pallas_pairs import _PAD_KEY_BASE
-
-    C = sorted_keys.shape[0]
-    assert C % CHUNK == 0
-    nc = C // CHUNK
-    nh = C // HALF
-    k = sorted_keys.reshape(nc, CHUNK)
-    b = bands.astype(jnp.int32)
-    S = b.shape[0]
-    NCL = len(clusters)
-    mc = np.broadcast_to(np.asarray(max_c, np.int32), (NCL,))
-    CMOFF = np.concatenate([[0], np.cumsum(mc)[:-1]]).astype(np.int32)
-    cl_of_band = np.zeros((S,), np.int32)
-    for ci, cl in enumerate(clusters):
-        for s in cl:
-            cl_of_band[s] = ci
-
-    # ---- own-chunk queries (identical to chunk_bounds) ----
-    real = k < jnp.int32(_PAD_KEY_BASE)
-    has_real = real[:, 0]
-    kmax_real_chunk = jnp.max(jnp.where(real, k, jnp.int32(-1)), axis=1)
-    kreal_max = jnp.max(kmax_real_chunk)
-    kmax_eff = jnp.where(has_real, kmax_real_chunk, k[:, -1])
-    kmin_q = jnp.minimum(k[:, 0], kreal_max + 1)
-    kmax_q = jnp.minimum(kmax_eff, kreal_max)
-    qlo = kmin_q[None, :] - b[:, 1][:, None]  # (S, NC)
-    qhi = kmax_q[None, :] - b[:, 0][:, None]
-
-    # ---- 64-downsampled j-side keys ----
-    kh = sorted_keys.reshape(nh, HALF)
-    hreal = kh < jnp.int32(_PAD_KEY_BASE)
-    h_has = hreal[:, 0]
-    h_kmax_real = jnp.max(jnp.where(hreal, kh, jnp.int32(-1)), axis=1)
-    h_kmax_eff = jnp.where(h_has, h_kmax_real, kh[:, -1])
-    h_kmin = kh[:, 0]
-
-    lo = jnp.searchsorted(h_kmax_eff, qlo.reshape(-1), side="left",
-                          method="sort")
-    hi = jnp.searchsorted(h_kmin, qhi.reshape(-1), side="right",
-                          method="sort")
-    lo = lo.reshape(S, nc).T.astype(jnp.int32)  # (NC, S) half units
-    hi = hi.reshape(S, nc).T.astype(jnp.int32) - 1
-    hi = jnp.where(has_real[:, None], hi, lo - 1)
-    if half:
-        own = jnp.arange(nc, dtype=jnp.int32)[:, None]
-        hi = jnp.minimum(hi, 2 * own + 1)
-    hnum = jnp.maximum(hi - lo + 1, 0)
-
-    # ---- trim executed halves pairwise-disjoint ----
-    toff2, hnum = trim_windows_disjoint(lo, jnp.zeros_like(lo), hnum, order)
-    hstart = lo + toff2
-    cov = windows_disjoint(lo, toff2, hnum)
-    a = hstart
-    e = hstart + hnum  # exclusive ends, half units
-
-    # ---- per-cluster DMA block windows covering the executed halves ----
-    blo = a >> 1
-    bhi = (e + 1) >> 1  # ceil(e / 2), exclusive block end
-    BIG = jnp.int32(1 << 28)
-    blo_m = jnp.where(hnum > 0, blo, BIG)
-    bhi_m = jnp.where(hnum > 0, bhi, -BIG)
-    cl_lo_l, cl_hi_l = [], []
-    for cl in clusters:
-        cl_lo_l.append(jnp.min(
-            jnp.stack([blo_m[:, s] for s in cl], -1), -1))
-        cl_hi_l.append(jnp.max(
-            jnp.stack([bhi_m[:, s] for s in cl], -1), -1))
-    cl_lo = jnp.stack(cl_lo_l, -1)  # (NC, NCL)
-    cl_hi = jnp.stack(cl_hi_l, -1)
-    cl_any = cl_hi > -BIG
-    jnum_cl = jnp.where(cl_any, cl_hi - cl_lo, 0)
-    mc_row = jnp.asarray(mc)[None, :]
-    cov = cov & jnp.all(jnum_cl <= mc_row)
-    cov = cov & (kreal_max < jnp.int32(_PAD_KEY_BASE))
-    cov = cov & jnp.all(sorted_keys[1:] >= sorted_keys[:-1])
-    jnum_cl = jnp.minimum(jnum_cl, mc_row)
-    jlo_cl = jnp.clip(jnp.where(cl_any, cl_lo, 0), 0,
-                      jnp.asarray(np.maximum(nc - mc, 0))[None, :])
-    dma = jnp.stack([jlo_cl, jnum_cl], axis=-1).reshape(nc, 2 * NCL)
-    # per-band jbuf base: cluster offset minus the cluster copy base
-    base_b = jnp.stack(
-        [jnp.int32(CMOFF[cl_of_band[s]]) - jlo_cl[:, cl_of_band[s]]
-         for s in range(S)], -1)  # (NC, S)
-
-    # ---- aligned runs + boundary fragments per band ----
-    al_first = (a + 1) >> 1
-    al_end = e >> 1
-    nal = jnp.where(hnum > 0, jnp.maximum(al_end - al_first, 0), 0)
-    frag_lo_on = (hnum > 0) & ((a & 1) == 1)
-    frag_hi_on = (hnum > 0) & ((e & 1) == 1)
-
-    gchunk = jnp.arange(nc, dtype=jnp.int32)[:, None]  # (NC, 1)
-    PASS = jnp.int32(-(1 << 20))
-    BLOCK = jnp.int32(1 << 20)
-
-    # flatten aligned tiles in `order`, tri band (order[0]) first
-    ordv = list(order)
-    nal_o = jnp.stack([nal[:, s] for s in ordv], axis=-1)  # (NC, S)
-    prefix = jnp.concatenate(
-        [jnp.zeros((nc, 1), jnp.int32), jnp.cumsum(nal_o, axis=-1)], axis=-1
-    )  # (NC, S+1)
-    cov = cov & jnp.all(prefix[:, -1] <= max_al)
-    kk = jnp.arange(max_al, dtype=jnp.int32)[None, :]  # (1, max_al)
-    src_al = jnp.zeros((nc, max_al), jnp.int32)
-    del_al = jnp.full((nc, max_al), BLOCK)
-    for i, s in enumerate(ordv):
-        in_band = (kk >= prefix[:, i : i + 1]) & (kk < prefix[:, i + 1 : i + 2])
-        blk = al_first[:, s : s + 1] + (kk - prefix[:, i : i + 1])
-        src_s = base_b[:, s : s + 1] + blk
-        src_al = jnp.where(in_band, src_s, src_al)
-        if tri_band and s == order[0]:
-            d_s = 2 * blk - 2 * gchunk
-        else:
-            d_s = jnp.broadcast_to(PASS, (nc, max_al))
-        del_al = jnp.where(in_band, d_s, del_al)
-    meta_al = jnp.stack([src_al, del_al], axis=-1).reshape(nc, 2 * max_al)
-
-    # ---- pool fragments across bands into mixed tiles ----
-    # candidates in `order` (tri band first): (frag_lo, frag_hi) per band
-    cand_on, cand_src, cand_del, cand_tri = [], [], [], []
-    for s in ordv:
-        is_tri = tri_band and s == order[0]
-        for on, h in ((frag_lo_on[:, s], a[:, s]),
-                      (frag_hi_on[:, s], e[:, s] - 1)):
-            cand_on.append(on)
-            cand_src.append((base_b[:, s] + (h >> 1)) * 2 + (h & 1))
-            if is_tri:
-                cand_del.append(h - 2 * gchunk[:, 0])
-            else:
-                cand_del.append(jnp.broadcast_to(PASS, h.shape))
-            cand_tri.append(jnp.full(h.shape, is_tri))
-    on = jnp.stack(cand_on, axis=-1)  # (NC, 2S)
-    csrc = jnp.stack(cand_src, axis=-1)
-    cdel = jnp.stack(cand_del, axis=-1)
-    ctri = jnp.stack(cand_tri, axis=-1)
-    rank = jnp.cumsum(on.astype(jnp.int32), axis=-1) - 1  # valid -> slot
-    nfrag = jnp.sum(on.astype(jnp.int32), axis=-1)  # (NC,)
-    n_tri_frag = jnp.sum((on & ctri).astype(jnp.int32), axis=-1)
-    TWO_S = 2 * S
-    slot_src = jnp.full((nc, TWO_S), jnp.int32(-2))
-    slot_del = jnp.full((nc, TWO_S), BLOCK)
-    for m in range(TWO_S):
-        pick = on & (rank == m)
-        any_p = jnp.any(pick, axis=-1)
-        v_src = jnp.sum(jnp.where(pick, csrc, 0), axis=-1)
-        v_del = jnp.sum(jnp.where(pick, cdel, 0), axis=-1)
-        slot_src = slot_src.at[:, m].set(
-            jnp.where(any_p, v_src, jnp.int32(-2)))
-        slot_del = slot_del.at[:, m].set(jnp.where(any_p, v_del, BLOCK))
-    n_mixed = (nfrag + 1) >> 1
-    # mixed tiles whose first half can be a tri-band fragment: tri-band
-    # fragments are listed first, so tiles [0, ceil(n_tri_frag/2)) are
-    # the only ones that need the delta compare
-    n_mixed_tri = jnp.minimum((n_tri_frag + 1) >> 1, n_mixed)
-    meta_mx = jnp.stack(
-        [slot_src[:, 0::2], slot_del[:, 0::2],
-         slot_src[:, 1::2], slot_del[:, 1::2]], axis=-1
-    ).reshape(nc, 4 * S)
-    counts = jnp.concatenate(
-        [prefix, n_mixed_tri[:, None], n_mixed[:, None]], axis=-1)
-    return dma, counts, meta_al, meta_mx, cov
-
-
 def join_bounds(q_keys: jax.Array, p_keys: jax.Array, bands: jax.Array,
                 max_j: int | None = None):
     """Per-QUERY-chunk, per-band windows over a SECOND sorted array.

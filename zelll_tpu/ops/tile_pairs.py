@@ -1220,160 +1220,9 @@ def _key_exact_f32(keys_p, cov_ok):
     return cov_ok & (kreal_max < (1 << 24)) & (jnp.min(keys_p) > -(1 << 24))
 
 
-def _make_tile_forces_kernel_halfpack(CB: int, S: int, MAXC: tuple, D: int,
-                                      gfn: Callable, dtype, split: bool,
-                                      order: tuple, MAXA: int,
-                                      safe_term: bool = True,
-                                      interpret: bool = False,
-                                      prebc: bool = True):
-    """Half-granular sibling of `_make_tile_forces_kernel_packed` (see
-    `_make_tile_kernel_halfpack`): aligned whole-block tiles + pooled
-    mixed 64-lane fragment tiles over the full (mirrored) band set.
-    No triangle logic — the full stencil wants both pair sides and
-    dsq > 0 excludes self; empty mixed halves point at the jbuf padding
-    group whose far-away coordinates fail the cutoff."""
-    ncoord = D // 2 if split else D
-    NCL = len(MAXC)
-    TJ = sum(MAXC)
-    CMOFF = tuple(sum(MAXC[:c]) for c in range(NCL))
-    PADG = CB * TJ
-
-    if interpret:
-        def roll64(x):
-            return jnp.roll(x, 64, axis=1)
-    else:
-        def roll64(x):
-            return pltpu.roll(x, 64, 1)
-
-    NBC = D if prebc else 0
-
-    def kernel(*refs):
-        csq_ref, dma_ref, cnt_ref, al_ref, mx_ref, own8_ref = refs[:6]
-        ownbc = refs[6 : 6 + NBC]
-        jarr_ref = refs[6 + NBC]
-        fout_ref = refs[7 + NBC]
-        facc, macc, jbuf, sems = refs[8 + NBC : 12 + NBC]
-        p = pl.program_id(0)
-        csq = csq_ref[0]
-        facc[...] = jnp.zeros_like(facc)
-
-        @pl.when(p == 0)
-        def _():
-            jbuf[PADG * RB : (PADG + 1) * RB, :] = jnp.full(
-                (RB, CHUNK), 3e7, dtype)
-
-        def copy_obj(oc, c, jlo):
-            return pltpu.make_async_copy(
-                jarr_ref.at[pl.ds(jlo * RB, MAXC[c] * RB), :],
-                jbuf.at[pl.ds((oc * TJ + CMOFF[c]) * RB, MAXC[c] * RB), :],
-                sems.at[oc * NCL + c],
-            )
-
-        for oc in range(CB):
-            for c in range(NCL):
-                jlo = dma_ref[oc, 2 * c]
-                jnum = dma_ref[oc, 2 * c + 1]
-
-                @pl.when(jnum > 0)
-                def _(oc=oc, c=c, jlo=jlo):
-                    copy_obj(oc, c, jlo).start()
-
-        ones_row = jnp.ones((1, CHUNK), dtype)
-        lane_blk = jax.lax.broadcasted_iota(jnp.int32, (RB, CHUNK), 1) < 64
-
-        for oc in range(CB):
-            o0 = oc * CHUNK
-            if prebc:
-                # see _make_tile_kernel_halfpack: streamed pre-broadcast
-                # own planes replace the per-chunk transpose + lane
-                # broadcasts
-                own_cols = [
-                    ownbc[a][oc * CHUNK : (oc + 1) * CHUNK, :]
-                    for a in range(D)
-                ]
-            else:
-                blkT = jnp.transpose(own8_ref[oc * RB : (oc + 1) * RB, :])
-                own_cols = [
-                    jnp.broadcast_to(blkT[:, a : a + 1], (CHUNK, CHUNK))
-                    for a in range(D)
-                ]
-            macc[...] = jnp.zeros_like(macc)
-
-            def eval_blk(blk, own_cols=own_cols):
-                d = []
-                dsq = jnp.zeros((CHUNK, CHUNK), dtype)
-                for a in range(ncoord):
-                    da = own_cols[a] - blk[a : a + 1, :]
-                    if split:
-                        da = da + (own_cols[a + ncoord]
-                                   - blk[a + ncoord : a + ncoord + 1, :])
-                    d.append(da)
-                    dsq = dsq + da * da
-                m = (dsq < csq) & (dsq > 0)
-                g = jnp.where(
-                    m,
-                    gfn(jnp.where(m, dsq, jnp.ones_like(dsq))
-                        if safe_term else dsq),
-                    jnp.zeros((CHUNK, CHUNK), dtype),
-                )
-                # ONE fused read-modify-write of the whole (128, 3*128)
-                # accumulator instead of three sliced ones — measured
-                # 281.9 -> 252.6 ms on the forces kernel at n=1e7
-                macc[...] += jnp.concatenate(
-                    [g * d[a] for a in range(ncoord)], axis=1)
-
-            for c in range(NCL):
-                jlo = dma_ref[oc, 2 * c]
-                jnum = dma_ref[oc, 2 * c + 1]
-
-                @pl.when(jnum > 0)
-                def _(oc=oc, c=c, jlo=jlo):
-                    copy_obj(oc, c, jlo).wait()
-
-            # one merged aligned loop (see _make_tile_kernel_halfpack:
-            # loop setup dominates at ~1 iteration per band)
-            na = cnt_ref[oc, S]
-
-            def tile_al(t, _, oc=oc):
-                src = al_ref[oc, 2 * t]
-                eval_blk(jbuf[pl.ds((oc * TJ + src) * RB, RB), :])
-                return 0
-
-            jax.lax.fori_loop(0, na, tile_al, 0)
-
-            nm = cnt_ref[oc, S + 2]
-
-            def tile_mx(t, _, oc=oc):
-                srcA = mx_ref[oc, 4 * t]
-                srcB = mx_ref[oc, 4 * t + 2]
-                rgA = jnp.where(srcA < 0, PADG, oc * TJ + (srcA >> 1))
-                rgB = jnp.where(srcB < 0, PADG, oc * TJ + (srcB >> 1))
-                blkA = jbuf[pl.ds(rgA * RB, RB), :]
-                blkB = jbuf[pl.ds(rgB * RB, RB), :]
-                tA = jnp.where((srcA & 1) == 1, roll64(blkA), blkA)
-                tB = jnp.where((srcB & 1) == 0, roll64(blkB), blkB)
-                eval_blk(jnp.where(lane_blk, tA, tB))
-                return 0
-
-            jax.lax.fori_loop(0, nm, tile_mx, 0)
-
-            for a in range(ncoord):
-                facc[o0 : o0 + CHUNK, a : a + 1] += jax.lax.dot_general(
-                    macc[:, a * CHUNK : (a + 1) * CHUNK], ones_row,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=dtype,
-                )
-
-        for oc in range(CB):
-            o0 = oc * CHUNK
-            fout_ref[oc] = jnp.transpose(facc[o0 : o0 + CHUNK, :])
-
-    return kernel
-
-
 def _packed_forces_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
                         MAXJ, gfn, interpret, split, bandmask=True,
-                        safe_term=True, halfpack=False):
+                        safe_term=True):
     """Packed forces pipeline over per-coordinate planes; returns
     ([dim (n,) force planes], coverage_ok) — planes, so large-n callers
     never materialize a lane-padded (n, dim) pallas operand."""
@@ -1394,119 +1243,50 @@ def _packed_forces_core(planes, sorted_keys, strides, cutoff_sq, *, CB,
     keys_p = _pad_and_desentinel(sorted_keys, C)
 
     bands = segment_bands(strides, full=True)
-    use_halfpack = halfpack and not bandmask
-    if use_halfpack:
-        from .segments import band_clusters, halfpack_bounds
+    jlo, toff, jnum, cov_ok = chunk_bounds(keys_p, bands, MAXJ,
+                                           half=False)
+    if not bandmask:
+        from .segments import trim_windows_disjoint, windows_disjoint
 
-        clusters = band_clusters(dim, full=True)
-        MAXC = tuple(min(sum(MAXJ[b] for b in cl), nc_pad)
-                     for cl in clusters)
-        MAXA = sum(MAXJ)
-        dma, counts, meta_al, meta_mx, cov_ok = halfpack_bounds(
-            keys_p, bands, MAXC, clusters, order, MAXA,
-            half=False, tri_band=False,
-        )
-    else:
-        jlo, toff, jnum, cov_ok = chunk_bounds(keys_p, bands, MAXJ,
-                                               half=False)
-        if not bandmask:
-            from .segments import trim_windows_disjoint, windows_disjoint
-
-            toff, jnum = trim_windows_disjoint(jlo, toff, jnum, order)
-            cov_ok = cov_ok & windows_disjoint(jlo, toff, jnum)
-        bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(nc_pad, 3 * S)
+        toff, jnum = trim_windows_disjoint(jlo, toff, jnum, order)
+        cov_ok = cov_ok & windows_disjoint(jlo, toff, jnum)
+    bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(nc_pad, 3 * S)
 
     jarr8 = _pack_blocks(planes, keys_p, cutoff_sq, n, C, dtype)
     if dtype == jnp.float32:
         cov_ok = _key_exact_f32(keys_p, cov_ok)
 
-    TJ = sum(MAXJ)
-    if use_halfpack:
-        prebc = D * C * CHUNK * jnp.dtype(dtype).itemsize <= PREBC_MAX_BYTES
-        bc_args, bc_specs = [], []
-        if prebc:
-            planes_p, _ = _pad_planes(planes, cutoff_sq, n, C, dtype)
-            bc_args = [
-                jnp.broadcast_to(pa[:, None], (C, CHUNK)) for pa in planes_p
-            ]
-            bc_specs = [
-                pl.BlockSpec((CB * CHUNK, CHUNK), lambda p: (p, 0))
-                for _ in bc_args
-            ]
-        kernel = _make_tile_forces_kernel_halfpack(
-            CB, S, MAXC, D, gfn, dtype, split, order, MAXA,
-            safe_term=safe_term, interpret=interpret, prebc=prebc,
-        )
-        NCL = len(MAXC)
-        TJC = sum(MAXC)
-        fout = pl.pallas_call(
-            kernel,
-            grid=(nc_pad // CB,),
-            in_specs=[
-                pl.BlockSpec((1,), lambda p: (0,), memory_space=pltpu.SMEM),
-                pl.BlockSpec((CB, 2 * NCL), lambda p: (p, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((CB, S + 3), lambda p: (p, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((CB, 2 * MAXA), lambda p: (p, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((CB, 4 * S), lambda p: (p, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((CB * RB, CHUNK), lambda p: (p, 0)),
-                *bc_specs,
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec((CB, RB, CHUNK), lambda p: (p, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((nc_pad, RB, CHUNK), dtype),
-            scratch_shapes=[
-                pltpu.VMEM((CB * CHUNK, RB), dtype),
-                pltpu.VMEM((CHUNK, dim * CHUNK), dtype),
-                pltpu.VMEM(((CB * TJC + 1) * RB, CHUNK), dtype),
-                pltpu.SemaphoreType.DMA((CB * NCL,)),
-            ],
-            interpret=interpret,
-        )(
-            jnp.asarray(cutoff_sq, dtype).reshape(1),
-            dma,
-            counts,
-            meta_al,
-            meta_mx,
-            jarr8,
-            *bc_args,
-            jarr8,
-        )
-    else:
-        kernel = _make_tile_forces_kernel_packed(CB, S, MAXJ, D, gfn, dtype,
-                                                 split, bandmask=bandmask,
-                                                 safe_term=safe_term)
-        fout = pl.pallas_call(
-            kernel,
-            grid=(nc_pad // CB,),
-            in_specs=[
-                pl.BlockSpec((S, 2), lambda p: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1,), lambda p: (0,), memory_space=pltpu.SMEM),
-                pl.BlockSpec((CB, 3 * S), lambda p: (p, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((CB * RB, CHUNK), lambda p: (p, 0)),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec((CB, RB, CHUNK), lambda p: (p, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((nc_pad, RB, CHUNK), dtype),
-            scratch_shapes=[
-                pltpu.VMEM((CB * CHUNK, RB), dtype),
-                pltpu.VMEM((CHUNK, dim * CHUNK), dtype),
-                pltpu.VMEM((CB * sum(MAXJ) * RB, CHUNK), dtype),
-                pltpu.SemaphoreType.DMA((CB * S,)),
-            ],
-            interpret=interpret,
-        )(
-            bands.astype(dtype),
-            jnp.asarray(cutoff_sq, dtype).reshape(1),
-            bounds,
-            jarr8,
-            jarr8,
-        )
+    kernel = _make_tile_forces_kernel_packed(CB, S, MAXJ, D, gfn, dtype,
+                                             split, bandmask=bandmask,
+                                             safe_term=safe_term)
+    fout = pl.pallas_call(
+        kernel,
+        grid=(nc_pad // CB,),
+        in_specs=[
+            pl.BlockSpec((S, 2), lambda p: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda p: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((CB, 3 * S), lambda p: (p, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((CB * RB, CHUNK), lambda p: (p, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((CB, RB, CHUNK), lambda p: (p, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nc_pad, RB, CHUNK), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((CB * CHUNK, RB), dtype),
+            pltpu.VMEM((CHUNK, dim * CHUNK), dtype),
+            pltpu.VMEM((CB * sum(MAXJ) * RB, CHUNK), dtype),
+            pltpu.SemaphoreType.DMA((CB * S,)),
+        ],
+        interpret=interpret,
+    )(
+        bands.astype(dtype),
+        jnp.asarray(cutoff_sq, dtype).reshape(1),
+        bounds,
+        jarr8,
+        jarr8,
+    )
     fplanes = [fout[:, a, :].reshape(C)[:n] for a in range(dim)]
     return fplanes, cov_ok
 
@@ -1619,254 +1399,9 @@ def _make_tile_forces_kernel(CB: int, S: int, MAXJ: int, D: int,
     return kernel
 
 
-# pre-broadcast own-side budget: the halfpack kernels stream (C, 128)
-# row-constant own planes from HBM instead of paying ~200 cycles per
-# (128,1)->(128,128) lane broadcast per chunk (~3 broadcasts/chunk was
-# ~30% of the whole energy step at n=1e7). (D+payload) * C * 512 bytes
-# of HBM; above this budget fall back to in-kernel transpose+broadcast
-# (n=1e8 would need ~150 GB).
-PREBC_MAX_BYTES = 6_000_000_000
-
-
-def _make_tile_kernel_halfpack(CB: int, S: int, MAXC: tuple, D: int,
-                               term: Callable, dtype, out_dtype,
-                               split: bool, kahan, distributed: bool,
-                               order: tuple, MAXA: int,
-                               n_payload: int = 0,
-                               safe_term: bool = True, tri: bool = True,
-                               interpret: bool = False,
-                               prebc: bool = True):
-    """Half-granular sibling of `_make_tile_kernel_packed` (round 4,
-    maskless only): per own chunk the executed tiles come from
-    `segments.halfpack_bounds` — whole-block ALIGNED tiles (identical
-    body) plus pooled MIXED tiles, each composing two 64-lane window
-    fragments out of the DMA'd jbuf with one lane roll + select. The
-    composition costs ~5 vreg ops against a ~230-op tile body, and the
-    executed tile count drops ~30% (the 128-lane window quantization is
-    paid at 64-slot granularity, with boundary fragments shared across
-    bands). Key-band compares never run (maskless); the slot-order
-    half-space rule for the own-row band rides the per-tile ``delta64``
-    compare ``row - (lane mod 64) > delta64 * 64`` (``tri=True``;
-    full-stencil forces pass ``tri=False`` and rely on dsq > 0).
-
-    DMA structure, per-band windows, capacities and the jbuf layout are
-    unchanged except for one extra padding row group at the end of jbuf
-    (constant far-away coordinates) that empty mixed halves point at."""
-    ncoord = D // 2 if split else D
-    NCL = len(MAXC)
-    TJ = sum(MAXC)
-    CMOFF = tuple(sum(MAXC[:c]) for c in range(NCL))
-    PADG = CB * TJ  # padding row group (empty mixed halves)
-
-    if interpret:
-        def roll64(x):
-            return jnp.roll(x, 64, axis=1)
-    else:
-        def roll64(x):
-            return pltpu.roll(x, 64, 1)
-
-    tile_kahan = (kahan is True) and jnp.issubdtype(out_dtype, jnp.floating)
-    prog_kahan = (
-        kahan in (True, "program")
-        and jnp.issubdtype(out_dtype, jnp.floating)
-    )
-    kahan = tile_kahan
-
-    NBC = (D + n_payload) if prebc else 0
-
-    def kernel(*refs):
-        (csq_ref, mislot_ref, dma_ref, cnt_ref, al_ref, mx_ref,
-         own8_ref) = refs[:7]
-        ownbc = refs[7 : 7 + NBC]
-        jarr_ref = refs[7 + NBC]
-        out_ref, comp_ref = refs[8 + NBC : 10 + NBC]
-        acc_s, comp_s, jbuf, sems = refs[10 + NBC : 14 + NBC]
-        p = pl.program_id(0)
-        num_p = pl.num_programs(0)
-        csq = csq_ref[0]
-        min_islot = mislot_ref[0]
-
-        @pl.when(p == 0)
-        def _():
-            out_ref[...] = jnp.zeros_like(out_ref)
-            comp_ref[...] = jnp.zeros_like(comp_ref)
-            # far-away constant: every pair against the padding group
-            # fails the cutoff (scratch persists across programs)
-            jbuf[PADG * RB : (PADG + 1) * RB, :] = jnp.full(
-                (RB, CHUNK), 3e7, dtype)
-
-        acc_s[...] = jnp.zeros_like(acc_s)
-        if kahan:
-            comp_s[...] = jnp.zeros_like(comp_s)
-
-        def copy_obj(oc, c, jlo):
-            return pltpu.make_async_copy(
-                jarr_ref.at[pl.ds(jlo * RB, MAXC[c] * RB), :],
-                jbuf.at[pl.ds((oc * TJ + CMOFF[c]) * RB, MAXC[c] * RB), :],
-                sems.at[oc * NCL + c],
-            )
-
-        for oc in range(CB):
-            for c in range(NCL):
-                jlo = dma_ref[oc, 2 * c]
-                jnum = dma_ref[oc, 2 * c + 1]
-
-                @pl.when(jnum > 0)
-                def _(oc=oc, c=c, jlo=jlo):
-                    copy_obj(oc, c, jlo).start()
-
-        row_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-        lane_j = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-        rml = row_i - lane_j
-        rmlh = row_i - (lane_j & 63)
-        lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-        lane_blk = jax.lax.broadcasted_iota(jnp.int32, (RB, CHUNK), 1) < 64
-
-        for oc in range(CB):
-            if prebc:
-                # row-constant own operands pre-broadcast in HBM and
-                # streamed (static slices) — the in-kernel lane
-                # broadcasts below cost ~200 cycles each per chunk,
-                # ~30% of the whole step at reference density
-                own_cols = [
-                    ownbc[a][oc * CHUNK : (oc + 1) * CHUNK, :]
-                    for a in range(D)
-                ]
-                if n_payload:
-                    own_w = ownbc[D][oc * CHUNK : (oc + 1) * CHUNK, :]
-            else:
-                blkT = jnp.transpose(own8_ref[oc * RB : (oc + 1) * RB, :])
-                own_cols = [
-                    jnp.broadcast_to(blkT[:, a : a + 1], (CHUNK, CHUNK))
-                    for a in range(D)
-                ]
-                if n_payload:
-                    own_w = jnp.broadcast_to(blkT[:, D + 1 : D + 2],
-                                             (CHUNK, CHUNK))
-            if distributed:
-                gslot0 = (p * CB + oc) * CHUNK
-                owned = (row_i[:, 0:1] + gslot0) >= min_islot
-
-            def eval_blk(blk, m_extra,
-                         own_cols=own_cols,
-                         own_w=own_w if n_payload else None,
-                         owned=owned if distributed else None):
-                dsq = jnp.zeros((CHUNK, CHUNK), dtype)
-                for a in range(ncoord):
-                    d = own_cols[a] - blk[a : a + 1, :]
-                    if split:
-                        d = d + (own_cols[a + ncoord]
-                                 - blk[a + ncoord : a + ncoord + 1, :])
-                    dsq = dsq + d * d
-                m = dsq < csq
-                if m_extra is not None:
-                    m = m & m_extra
-                if distributed:
-                    m = m & owned
-                safe = (
-                    jnp.where(m, dsq, jnp.ones_like(dsq))
-                    if safe_term else dsq
-                )
-                if n_payload:
-                    tv = term(safe, own_w, blk[D + 1 : D + 2, :])
-                else:
-                    tv = term(safe)
-                v = jnp.where(
-                    m, tv, jnp.zeros((CHUNK, CHUNK), dtype)
-                ).astype(out_dtype)
-                if kahan:
-                    acc, comp = acc_s[...], comp_s[...]
-                    y = v - comp
-                    tt = acc + y
-                    comp_s[...] = (tt - acc) - y
-                    acc_s[...] = tt
-                else:
-                    acc_s[...] += v
-
-            for c in range(NCL):
-                jlo = dma_ref[oc, 2 * c]
-                jnum = dma_ref[oc, 2 * c + 1]
-
-                @pl.when(jnum > 0)
-                def _(oc=oc, c=c, jlo=jlo):
-                    copy_obj(oc, c, jlo).wait()
-
-            # aligned tiles in TWO merged loops (tri prefix = order[0]'s
-            # tiles, then the rest): fori_loop setup is a first-order
-            # cost at ~1 iteration per band — merging 5 band loops into 2
-            # beats per-band loops even though the tri compare runs on
-            # the whole prefix
-            nat = cnt_ref[oc, 1] if tri else cnt_ref[oc, 0]
-            na = cnt_ref[oc, S]
-
-            def tile_al_tri(t, _, oc=oc):
-                src = al_ref[oc, 2 * t]
-                d64 = al_ref[oc, 2 * t + 1]
-                blk = jbuf[pl.ds((oc * TJ + src) * RB, RB), :]
-                eval_blk(blk, rml > d64 * 64)
-                return 0
-
-            def tile_al(t, _, oc=oc):
-                src = al_ref[oc, 2 * t]
-                blk = jbuf[pl.ds((oc * TJ + src) * RB, RB), :]
-                eval_blk(blk, None)
-                return 0
-
-            if tri:
-                jax.lax.fori_loop(0, nat, tile_al_tri, 0)
-            jax.lax.fori_loop(nat, na, tile_al, 0)
-
-            nmt = cnt_ref[oc, S + 1]
-            nm = cnt_ref[oc, S + 2]
-
-            def load_mx(t, oc=oc):
-                srcA = mx_ref[oc, 4 * t]
-                srcB = mx_ref[oc, 4 * t + 2]
-                rgA = jnp.where(srcA < 0, PADG, oc * TJ + (srcA >> 1))
-                rgB = jnp.where(srcB < 0, PADG, oc * TJ + (srcB >> 1))
-                blkA = jbuf[pl.ds(rgA * RB, RB), :]
-                blkB = jbuf[pl.ds(rgB * RB, RB), :]
-                tA = jnp.where((srcA & 1) == 1, roll64(blkA), blkA)
-                tB = jnp.where((srcB & 1) == 0, roll64(blkB), blkB)
-                return jnp.where(lane_blk, tA, tB)
-
-            def tile_mx_tri(t, _, oc=oc):
-                dA = mx_ref[oc, 4 * t + 1]
-                dB = mx_ref[oc, 4 * t + 3]
-                dvec = jnp.where(lane_row < 64, dA, dB) * 64
-                eval_blk(load_mx(t), rmlh > dvec)
-                return 0
-
-            def tile_mx(t, _, oc=oc):
-                eval_blk(load_mx(t), None)
-                return 0
-
-            if tri:
-                jax.lax.fori_loop(0, nmt, tile_mx_tri, 0)
-            jax.lax.fori_loop(nmt if tri else 0, nm, tile_mx, 0)
-
-        if prog_kahan:
-            contrib = (acc_s[...] - comp_s[...]) if kahan else acc_s[...]
-            prev = out_ref[...]
-            y = contrib - comp_ref[...]
-            tt = prev + y
-            comp_ref[...] = (tt - prev) - y
-            out_ref[...] = tt
-
-            @pl.when(p == num_p - 1)
-            def _():
-                out_ref[...] = out_ref[...] - comp_ref[...]
-
-        else:
-            out_ref[...] += acc_s[...]
-
-    return kernel
-
-
 def _packed_core(planes, sorted_keys, strides, cutoff_sq, *, CB, MAXJ, term,
                  interpret, out_dtype, min_islot, kahan, distributed, split,
-                 payload=None, bandmask=True, safe_term=True,
-                 halfpack=False):
+                 payload=None, bandmask=True, safe_term=True):
     """Shared packed-layout pipeline: pad planes -> window bounds -> 8-row
     blocks -> kernel. ``planes`` is a list of D sorted (n,) coordinate
     planes (hi planes then lo planes when split) — the sort's native form,
@@ -1889,142 +1424,62 @@ def _packed_core(planes, sorted_keys, strides, cutoff_sq, *, CB, MAXJ, term,
     keys_p = _pad_and_desentinel(sorted_keys, C)
 
     bands = segment_bands(strides)
-    use_halfpack = halfpack and not bandmask
-    if use_halfpack:
-        from .segments import band_clusters, halfpack_bounds
+    jlo, toff, jnum, cov_ok = chunk_bounds(keys_p, bands, MAXJ)
+    if not bandmask:
+        # maskless tiles are only exact when no j-chunk is shared by
+        # two bands' executed windows (a shared chunk would
+        # double-count and meet the own chunk without its triangle):
+        # trim the windows pairwise-disjoint (coverage-preserving)
+        # and keep the invariant in the flag — never silently wrong
+        from .segments import trim_windows_disjoint, windows_disjoint
 
-        clusters = band_clusters(dim, full=False)
-        MAXC = tuple(min(sum(MAXJ[b] for b in cl), nc_pad)
-                     for cl in clusters)
-        MAXA = sum(MAXJ)
-        dma, counts, meta_al, meta_mx, cov_ok = halfpack_bounds(
-            keys_p, bands, MAXC, clusters, order, MAXA,
-            half=True, tri_band=True,
-        )
-    else:
-        jlo, toff, jnum, cov_ok = chunk_bounds(keys_p, bands, MAXJ)
-        if not bandmask:
-            # maskless tiles are only exact when no j-chunk is shared by
-            # two bands' executed windows (a shared chunk would
-            # double-count and meet the own chunk without its triangle):
-            # trim the windows pairwise-disjoint (coverage-preserving)
-            # and keep the invariant in the flag — never silently wrong
-            from .segments import trim_windows_disjoint, windows_disjoint
-
-            toff, jnum = trim_windows_disjoint(jlo, toff, jnum, order)
-            cov_ok = cov_ok & windows_disjoint(jlo, toff, jnum)
-        bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(nc_pad, 3 * S)
+        toff, jnum = trim_windows_disjoint(jlo, toff, jnum, order)
+        cov_ok = cov_ok & windows_disjoint(jlo, toff, jnum)
+    bounds = jnp.stack([jlo, toff, jnum], axis=-1).reshape(nc_pad, 3 * S)
 
     jarr8 = _pack_blocks(planes, keys_p, cutoff_sq, n, C, dtype,
                          payload=payload)
     if dtype == jnp.float32:
         cov_ok = _key_exact_f32(keys_p, cov_ok)
 
-    TJ = sum(MAXJ)
-    if use_halfpack:
-        n_pay = 0 if payload is None else 1
-        prebc = (D + n_pay) * C * CHUNK * jnp.dtype(dtype).itemsize \
-            <= PREBC_MAX_BYTES
-        bc_args, bc_specs = [], []
-        if prebc:
-            planes_p, pay_p = _pad_planes(planes, cutoff_sq, n, C, dtype,
-                                          payload=payload)
-            if pay_p is not None:
-                planes_p = planes_p + [pay_p]
-            bc_args = [
-                jnp.broadcast_to(pa[:, None], (C, CHUNK)) for pa in planes_p
-            ]
-            bc_specs = [
-                pl.BlockSpec((CB * CHUNK, CHUNK), lambda p: (p, 0))
-                for _ in bc_args
-            ]
-        kernel = _make_tile_kernel_halfpack(
-            CB, S, MAXC, D, term, dtype, out_dtype, split, kahan,
-            distributed, order, MAXA, n_payload=n_pay,
-            safe_term=safe_term, tri=True, interpret=interpret,
-            prebc=prebc,
-        )
-        NCL = len(MAXC)
-        TJC = sum(MAXC)
-        out = pl.pallas_call(
-            kernel,
-            grid=(nc_pad // CB,),
-            in_specs=[
-                pl.BlockSpec((1,), lambda p: (0,), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1,), lambda p: (0,), memory_space=pltpu.SMEM),
-                pl.BlockSpec((CB, 2 * NCL), lambda p: (p, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((CB, S + 3), lambda p: (p, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((CB, 2 * MAXA), lambda p: (p, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((CB, 4 * S), lambda p: (p, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((CB * RB, CHUNK), lambda p: (p, 0)),
-                *bc_specs,
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec((CHUNK, CHUNK), lambda p: (0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((CHUNK, CHUNK), out_dtype),
-            scratch_shapes=[
-                pltpu.VMEM((CHUNK, CHUNK), out_dtype),
-                pltpu.VMEM((CHUNK, CHUNK), out_dtype),
-                pltpu.VMEM((CHUNK, CHUNK), out_dtype),
-                pltpu.VMEM(((CB * TJC + 1) * RB, CHUNK), dtype),
-                pltpu.SemaphoreType.DMA((CB * NCL,)),
-            ],
-            interpret=interpret,
-        )(
-            jnp.asarray(cutoff_sq, dtype).reshape(1),
-            jnp.asarray(min_islot, jnp.int32).reshape(1),
-            dma,
-            counts,
-            meta_al,
-            meta_mx,
-            jarr8,
-            *bc_args,
-            jarr8,
-        )
-    else:
-        kernel = _make_tile_kernel_packed(
-            CB, S, MAXJ, D, term, dtype, out_dtype, split, kahan,
-            distributed,
-            n_payload=0 if payload is None else 1, bandmask=bandmask,
-            safe_term=safe_term,
-        )
-        out = pl.pallas_call(
-            kernel,
-            grid=(nc_pad // CB,),
-            in_specs=[
-                pl.BlockSpec((S, 2), lambda p: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1,), lambda p: (0,), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1,), lambda p: (0,), memory_space=pltpu.SMEM),
-                pl.BlockSpec((CB, 3 * S), lambda p: (p, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((CB * RB, CHUNK), lambda p: (p, 0)),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec((CHUNK, CHUNK), lambda p: (0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((CHUNK, CHUNK), out_dtype),
-            scratch_shapes=[
-                pltpu.VMEM((CHUNK, CHUNK), out_dtype),
-                pltpu.VMEM((CHUNK, CHUNK), out_dtype),
-                pltpu.VMEM((CHUNK, CHUNK), out_dtype),
-                pltpu.VMEM((CB * sum(MAXJ) * RB, CHUNK), dtype),
-                pltpu.SemaphoreType.DMA((CB * S,)),
-            ],
-            interpret=interpret,
-        )(
-            bands.astype(dtype),
-            jnp.asarray(cutoff_sq, dtype).reshape(1),
-            jnp.asarray(min_islot, jnp.int32).reshape(1),
-            bounds,
-            jarr8,
-            jarr8,
-        )
+    kernel = _make_tile_kernel_packed(
+        CB, S, MAXJ, D, term, dtype, out_dtype, split, kahan,
+        distributed,
+        n_payload=0 if payload is None else 1, bandmask=bandmask,
+        safe_term=safe_term,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nc_pad // CB,),
+        in_specs=[
+            pl.BlockSpec((S, 2), lambda p: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda p: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda p: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((CB, 3 * S), lambda p: (p, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((CB * RB, CHUNK), lambda p: (p, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((CHUNK, CHUNK), lambda p: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((CHUNK, CHUNK), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK, CHUNK), out_dtype),
+            pltpu.VMEM((CHUNK, CHUNK), out_dtype),
+            pltpu.VMEM((CHUNK, CHUNK), out_dtype),
+            pltpu.VMEM((CB * sum(MAXJ) * RB, CHUNK), dtype),
+            pltpu.SemaphoreType.DMA((CB * S,)),
+        ],
+        interpret=interpret,
+    )(
+        bands.astype(dtype),
+        jnp.asarray(cutoff_sq, dtype).reshape(1),
+        jnp.asarray(min_islot, jnp.int32).reshape(1),
+        bounds,
+        jarr8,
+        jarr8,
+    )
     if jnp.issubdtype(out_dtype, jnp.integer):
         lo = jnp.sum(out & 0xFFFF)
         hi = jnp.sum(out >> 16)
@@ -2035,7 +1490,7 @@ def _packed_core(planes, sorted_keys, strides, cutoff_sq, *, CB, MAXJ, term,
 @functools.partial(
     jax.jit,
     static_argnames=("CB", "MAXJ", "term", "kahan", "interpret", "out_dtype",
-                     "bandmask", "safe_term", "halfpack"),
+                     "bandmask", "safe_term"),
 )
 def tile_lj_rebuild_energy(
     positions: jax.Array,
@@ -2050,7 +1505,6 @@ def tile_lj_rebuild_energy(
     out_dtype=None,
     bandmask: bool = False,
     safe_term: bool = True,
-    halfpack: bool = False,
 ):
     """Full pipeline in one jittable step for cubic/wide boxes (the tile
     sibling of `fused_lj_rebuild_energy`): cell keys -> multi-operand sort
@@ -2083,14 +1537,14 @@ def tile_lj_rebuild_energy(
         CB=CB, MAXJ=MAXJ, term=term, interpret=interpret,
         out_dtype=out_dtype, min_islot=jnp.asarray(0, jnp.int32),
         kahan=kahan, distributed=False, split=split,
-        bandmask=bandmask, safe_term=safe_term, halfpack=halfpack,
+        bandmask=bandmask, safe_term=safe_term,
     )
 
 
 
 @functools.partial(
     jax.jit, static_argnames=("CB", "MAXJ", "gfn", "interpret", "packed",
-                              "bandmask", "safe_term", "halfpack")
+                              "bandmask", "safe_term")
 )
 def tile_pair_forces(
     sorted_pos: jax.Array,
@@ -2106,7 +1560,6 @@ def tile_pair_forces(
     packed: bool = True,
     bandmask: bool | None = None,
     safe_term: bool = True,
-    halfpack: bool = False,
 ):
     """Per-particle pairwise forces in sorted-slot order, any box shape.
 
@@ -2134,7 +1587,7 @@ def tile_pair_forces(
         fplanes, ok = _packed_forces_core(
             planes, sorted_keys, strides, cutoff_sq,
             CB=CB, MAXJ=MAXJ, gfn=gfn, interpret=interpret, split=split,
-            bandmask=bandmask, safe_term=safe_term, halfpack=halfpack,
+            bandmask=bandmask, safe_term=safe_term,
         )
         return jnp.stack(fplanes, axis=-1), ok
     if not bandmask or not safe_term:
@@ -2220,7 +1673,6 @@ def tile_pair_reduce(
     packed: bool = True,
     bandmask: bool | None = None,
     safe_term: bool = True,
-    halfpack: bool = False,
 ):
     """Sum ``term(dsq)`` over all unique cutoff-filtered pairs, any box
     shape (the shape-robust sibling of `pair_lag_reduce`).
@@ -2266,7 +1718,7 @@ def tile_pair_reduce(
         CB=CB, MAXJ=MAXJ, term=term, interpret=interpret,
         out_dtype=out_dtype, min_islot=jnp.asarray(min_islot, jnp.int32),
         kahan=kahan, distributed=distributed, OH=OH, packed=packed,
-        bandmask=bandmask, safe_term=safe_term, halfpack=halfpack,
+        bandmask=bandmask, safe_term=safe_term,
     )
 
 
@@ -2274,7 +1726,7 @@ def tile_pair_reduce(
     jax.jit,
     static_argnames=("CB", "MAXJ", "term", "interpret", "out_dtype",
                      "kahan", "distributed", "OH", "packed", "bandmask",
-                     "safe_term", "halfpack"),
+                     "safe_term"),
 )
 def _tile_pair_reduce_impl(
     sorted_pos: jax.Array,  # (n, dim) cell-key-sorted positions (hi part)
@@ -2296,7 +1748,6 @@ def _tile_pair_reduce_impl(
     packed: bool = False,
     bandmask: bool = True,
     safe_term: bool = True,
-    halfpack: bool = False,
 ):
     n, dim = sorted_pos.shape
     if sorted_payload is not None and not packed:
@@ -2330,7 +1781,7 @@ def _tile_pair_reduce_impl(
             CB=CB, MAXJ=MAXJ, term=term, interpret=interpret,
             out_dtype=out_dtype, min_islot=min_islot, kahan=kahan,
             distributed=distributed, split=split, payload=sorted_payload,
-            bandmask=bandmask, safe_term=safe_term, halfpack=halfpack,
+            bandmask=bandmask, safe_term=safe_term,
         )
 
     nc_pad = max(-(-n // (CHUNK * CB)) * CB, CB)
